@@ -1,0 +1,136 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable
+
+/** The pipeline facade (reference: AutoETL.transform/run_etl,
+  * ETL_PROJECT.py:228-349).
+  *
+  * Fixed stage order — the pipeline is order-sensitive (trap P11:
+  * detection runs on RAW values; null ratios on CLEANED values):
+  *
+  *   1. profile (ONE aggregate pass)  -> logical types + cleaner gates
+  *   2. categorical value counts      -> rare-fold sets (only for <50-distinct cols)
+  *   3. clean (ONE projection)        -> persist
+  *   4. null counts -> drop / impute decisions (median/mode aggregates)
+  *   5. winsorize stats -> clamp projection
+  *   6. exact dedup (the only full-width shuffle)
+  *   7. summary aggregate
+  *
+  * Roughly 7 Spark jobs over a persisted cleaned frame, vs the
+  * reference's O(columns) full-table passes.
+  */
+object AutoEtl {
+
+  /** Rare-category fold threshold (reference: ETL_PROJECT.py:118):
+    * values with count < max(2, 1% of total rows) fold to "Other".
+    */
+  def rareThreshold(totalRows: Long): Double = math.max(2.0, 0.01 * totalRows)
+
+  def transform(raw: DataFrame): EtlResult = {
+    val report = mutable.Map.empty[String, Vector[Action]]
+      .withDefaultValue(Vector.empty)
+    def log(col: String, a: Action): Unit = report(col) = report(col) :+ a
+
+    // -- stage 1: detect -------------------------------------------------
+    val prof = TypeDetector.profile(raw)
+    val types: Map[String, ColType] =
+      prof.cols.map { case (c, p) => c -> TypeDetector.decide(p) }
+    raw.columns.foreach(c => log(c, Action.DetectedType(types(c))))
+    val totalRows = prof.totalRows
+
+    // -- stage 2: rare-category sets (reference: ETL_PROJECT.py:114-121) --
+    // Counted over the base-cleaned expression against the raw source so
+    // cleaning stays a single projection. The <50-distinct gate is checked
+    // on POST-clean values via limit(51): if 51 groups come back the column
+    // is not "really categorical" and nothing folds.
+    val rareSets: Map[String, Seq[String]] = types.collect {
+      case (c, ColType.Categorical) =>
+        val base = Cleaners.cleanCategoricalBase(col(c)).as("__v")
+        val counts = raw.select(base).where(col("__v").isNotNull)
+          .groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+          .limit(51).collect()
+        val rare =
+          if (counts.length >= 51) Seq.empty[String]
+          else {
+            val thr = rareThreshold(totalRows)
+            counts.filter(_.getLong(1) < thr).map(_.getString(0)).toSeq.sorted
+          }
+        c -> rare
+    }
+
+    // -- stage 3: clean (single projection) -------------------------------
+    val cleanedCols: Seq[Column] = raw.columns.toSeq.map { c =>
+      val e = types(c) match {
+        case ColType.Numeric => Cleaners.cleanNumeric(col(c))
+        case ColType.Date    => Cleaners.cleanDate(col(c))
+        case ColType.Categorical =>
+          Cleaners.foldRare(Cleaners.cleanCategoricalBase(col(c)), rareSets(c))
+        case _ => // text AND unknown both text-clean (ETL_PROJECT.py:255-256)
+          Cleaners.cleanText(col(c), collapseWhitespace = prof.cols(c).avgTextCleanedLen > 20)
+      }
+      e.as(c)
+    }
+    val cleaned = raw.select(cleanedCols: _*).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // -- stage 4: missing values ------------------------------------------
+    val nulls = Imputer.nullCounts(cleaned)
+    raw.columns.foreach { c =>
+      val rawNull = totalRows - prof.cols(c).nonNull
+      types(c) match {
+        case ColType.Numeric =>
+          log(c, Action.NumericCleaned(nulls(c) - rawNull))
+        case ColType.Date =>
+          log(c, Action.DateCleaned(totalRows - nulls(c), totalRows))
+        case ColType.Categorical =>
+          if (rareSets(c).nonEmpty) log(c, Action.RareFolded(rareSets(c).size))
+          log(c, Action.CategoricalCleaned)
+        case _ =>
+          log(c, Action.TextCleaned)
+      }
+    }
+    val decisions = Imputer.decide(cleaned, types, nulls, totalRows)
+    decisions.toSeq.sortBy(_._1).foreach {
+      case (c, Imputer.Drop) =>
+        log(c, Action.DroppedHighNull(nulls(c).toDouble / math.max(totalRows, 1)))
+      case (c, Imputer.FillMedian(v)) => log(c, Action.ImputedMedian(v))
+      case (c, Imputer.FillMode(v))   => log(c, Action.ImputedMode(String.valueOf(v)))
+      case _ =>
+    }
+    val droppedCols = raw.columns.filter(c => decisions.get(c).contains(Imputer.Drop)).toSeq
+    if (droppedCols.nonEmpty) log("global", Action.DroppedColumns(droppedCols))
+    val imputed = Imputer.apply(cleaned, decisions)
+
+    // -- stage 5: winsorize ------------------------------------------------
+    val numericCols = imputed.columns.filter(c => types.get(c).contains(ColType.Numeric)).toSeq
+    val wstats = Winsorizer.stats(imputed, numericCols)
+    val flagged = Winsorizer.flaggedCounts(imputed, wstats)
+    flagged.toSeq.sortBy(_._1).foreach { case (c, n) =>
+      if (n > 0) log(c, Action.OutliersClamped(n))
+    }
+    val winsorized = Winsorizer.apply(imputed, wstats)
+
+    // -- stage 6: exact dedup ----------------------------------------------
+    val deduped = winsorized.dropDuplicates().persist(StorageLevel.MEMORY_AND_DISK)
+    val finalRows = deduped.count()
+    val removed = totalRows - finalRows
+    if (removed > 0) log("global", Action.DuplicatesRemoved(removed))
+
+    // -- stage 7: summary ----------------------------------------------------
+    val summary = Summarizer.summarize(deduped, types)
+    cleaned.unpersist()
+
+    EtlResult(deduped, types, CleaningReport(report.toMap), summary)
+  }
+
+  /** E1 — extract -> transform -> load (reference: ETL_PROJECT.py:326-349). */
+  def run(spark: SparkSession, sourcePath: String, sinkPath: Option[String] = None): EtlResult = {
+    val raw = Io.read(spark, sourcePath)
+    val result = transform(raw)
+    sinkPath.foreach(p => Io.write(result.data, p))
+    result
+  }
+}

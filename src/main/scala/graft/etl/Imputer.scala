@@ -1,0 +1,113 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** M1-M4 — high-null column drop + missing-value imputation
+  * (reference: ETL_PROJECT.py:129-170).
+  *
+  * All statistics come from driver-collected aggregates injected back
+  * as literals — never a single-partition window.
+  */
+object Imputer {
+
+  /** Strictly-greater drop threshold (reference: ETL_PROJECT.py:129). */
+  val dropThreshold = 0.8
+
+  /** Per-column null COUNTS (not ratios — counts also feed the
+    * cleaning-report counters) in one aggregate pass. NaN counts as
+    * missing like pandas `isna` for double columns.
+    */
+  def nullCounts(df: DataFrame): Map[String, Long] = {
+    val aggs = df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val miss = f.dataType match {
+        case DoubleType => c.isNull || isnan(c)
+        case _          => c.isNull
+      }
+      count(when(miss, 1)).as(f.name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    df.schema.fields.map(f => f.name -> row.getLong(row.fieldIndex(f.name))).toMap
+  }
+
+  /** Exact interpolating medians (pandas-compatible, trap P4) for many
+    * columns in one pass. `percentile` is Spark's exact percentile —
+    * matches pandas `median` and DuckDB `quantile_cont(0.5)`.
+    */
+  def medians(df: DataFrame, cols: Seq[String]): Map[String, Double] = {
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.map(c => percentile(col(c), lit(0.5)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.flatMap { c =>
+      val i = row.fieldIndex(c)
+      if (row.isNullAt(i)) None else Some(c -> row.getDouble(i))
+    }.toMap
+  }
+
+  /** Deterministic mode: the SMALLEST value among the most frequent,
+    * matching pandas `mode()[0]` which sorts (reference:
+    * ETL_PROJECT.py:152; trap P5 — Spark's own `mode()` ties are
+    * nondeterministic). Returns None when the column is all-null.
+    */
+  def mode(df: DataFrame, colName: String): Option[Any] = {
+    val rows: Array[Row] = df
+      .where(col(colName).isNotNull)
+      .groupBy(col(colName)).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col(colName).asc)
+      .limit(1)
+      .collect()
+    rows.headOption.map(_.get(0))
+  }
+
+  /** The imputation decision for one column. */
+  sealed trait Decision
+  case object Drop extends Decision
+  case class FillMedian(v: Double) extends Decision
+  case class FillMode(v: Any) extends Decision
+  case object Keep extends Decision
+
+  /** Decide per column like the reference loop (ETL_PROJECT.py:134-162):
+    * ratio > 0.8 -> drop; ratio > 0 -> median (numeric) / mode (rest).
+    */
+  def decide(
+      df: DataFrame,
+      types: Map[String, ColType],
+      nulls: Map[String, Long],
+      totalRows: Long): Map[String, Decision] = {
+    val ratios = nulls.view.mapValues(n =>
+      if (totalRows == 0) 0.0 else n.toDouble / totalRows).toMap
+    val needMedian = df.columns.filter { c =>
+      ratios(c) <= dropThreshold && ratios(c) > 0 &&
+        types.get(c).contains(ColType.Numeric)
+    }.toSeq
+    val med = medians(df, needMedian)
+    df.columns.toSeq.map { c =>
+      val r = ratios(c)
+      val d: Decision =
+        if (r > dropThreshold) Drop
+        else if (r > 0) types.get(c) match {
+          case Some(ColType.Numeric) =>
+            med.get(c).map(FillMedian).getOrElse(FillMode("Unknown"))
+          case _ =>
+            mode(df, c).map(FillMode).getOrElse(FillMode("Unknown"))
+        }
+        else Keep
+      c -> d
+    }.toMap
+  }
+
+  /** Apply decisions: drop + coalesce-fill in one projection. */
+  def apply(df: DataFrame, decisions: Map[String, Decision]): DataFrame = {
+    val kept = df.columns.filterNot(c => decisions.get(c).contains(Drop))
+    val cols: Seq[Column] = kept.toSeq.map { c =>
+      decisions.get(c) match {
+        case Some(FillMedian(v)) => coalesce(col(c), lit(v)).as(c)
+        case Some(FillMode(v))   => coalesce(col(c), lit(v)).as(c)
+        case _                   => col(c)
+      }
+    }
+    df.select(cols: _*)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sources and sinks (reference extract/load, ETL_PROJECT.py:203-226,
+  * 304-324), dispatched on file suffix like the reference.
+  *
+  * Deliberate mappings (see README):
+  *  - CSV is read with inferSchema=false — every column arrives as a
+  *    string so OUR detector (TypeDetector) owns typing, one detection
+  *    path for all sources (SURVEY.md trap P7);
+  *  - Excel (reference: ETL_PROJECT.py:214-215) is out of scope — no
+  *    Spark-native reader; raises UnsupportedFormatException exactly
+  *    like the reference does for unknown suffixes;
+  *  - JSON ".json" is read multiLine (array-of-records, like
+  *    pd.read_json); ".jsonl"/".ndjson" as JSON Lines;
+  *  - Parquet added (not in the reference) — it is the scale format.
+  */
+object Io {
+
+  class UnsupportedFormatException(suffix: String)
+    extends IllegalArgumentException(s"unsupported file format: $suffix")
+
+  private def suffixOf(path: String): String = {
+    val name = path.split('/').last
+    val dot = name.lastIndexOf('.')
+    if (dot < 0) "" else name.substring(dot).toLowerCase
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = suffixOf(path) match {
+    case ".csv" =>
+      spark.read.option("header", "true").option("inferSchema", "false").csv(path)
+    case ".json" =>
+      spark.read.option("multiLine", "true").json(path)
+    case ".jsonl" | ".ndjson" =>
+      spark.read.json(path)
+    case ".parquet" =>
+      spark.read.parquet(path)
+    case other =>
+      throw new UnsupportedFormatException(other)
+  }
+
+  def write(df: DataFrame, path: String): Unit = suffixOf(path) match {
+    case ".csv" =>
+      df.write.mode("overwrite").option("header", "true").csv(path)
+    case ".json" | ".jsonl" | ".ndjson" =>
+      df.write.mode("overwrite").json(path)
+    case ".parquet" =>
+      df.write.mode("overwrite").parquet(path)
+    case other =>
+      throw new UnsupportedFormatException(other)
+  }
+
+  /** K4 — generic JDBC sink standing in for the reference's SQLite
+    * `to_sql("cleaned_data", if_exists="replace")` (ETL_PROJECT.py:318-322).
+    * No JDBC driver jar ships in this environment, so this is exercised
+    * through the interface in tests with a parquet stand-in.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String = "cleaned_data",
+      properties: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode("overwrite").jdbc(url, table, properties)
+}

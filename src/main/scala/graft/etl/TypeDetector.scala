@@ -1,0 +1,99 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** T1/T2 — per-column logical type inference (reference:
+  * ETL_PROJECT.py:16-41).
+  *
+  * The reference makes 2+ full passes per column; here ONE wide
+  * aggregate over the whole table computes every per-column statistic
+  * the detector (and the text-cleaner's whitespace gate) needs, then
+  * the 5-way decision is plain Scala on the single collected row.
+  *
+  * Scale note: the exact `count(distinct c)` per column is required by
+  * the reference's hard `< 50` / ratio cutoffs. Multiple distinct
+  * aggregates in one pass cost an Expand (#cols × rows); at very large
+  * scale call [[profile]] on `df.sample(...)` — the ratios are the
+  * decision inputs and subsample well — keeping exact counts for the
+  * correctness path.
+  */
+object TypeDetector {
+
+  /** Everything the detector + cleaner gates need for one column. */
+  final case class ColProfile(
+      nonNull: Long,
+      dateParses: Long,
+      numericParses: Long,
+      distinct: Long,
+      avgRawLen: Double,
+      /** mean length after trim+text-null-map: drives C2's collapse gate */
+      avgTextCleanedLen: Double) {
+
+    def dateRatio: Double    = if (nonNull == 0) 0 else dateParses.toDouble / nonNull
+    def numericRatio: Double = if (nonNull == 0) 0 else numericParses.toDouble / nonNull
+    def uniqueRatio: Double  = if (nonNull == 0) 0 else distinct.toDouble / nonNull
+  }
+
+  final case class TableProfile(totalRows: Long, cols: Map[String, ColProfile])
+
+  /** `pd.to_numeric(errors='coerce').notna()` equivalence: Spark's
+    * try_cast accepts "NaN" as a non-null NaN double while pandas'
+    * NaN fails `notna()` — exclude it; pandas accepts "inf"/"infinity"
+    * spellings (→ non-null inf) which try_cast spells differently —
+    * include them. (SURVEY.md trap P8.)
+    */
+  def numericParses(s: Column): Column = {
+    val d = s.try_cast(DoubleType)
+    (d.isNotNull && !isnan(d)) ||
+      lower(trim(s)).isin("inf", "+inf", "-inf", "infinity", "+infinity", "-infinity")
+  }
+
+  /** DuckDB rendering of [[numericParses]] for oracle SQL. */
+  def duckdbNumericParses(expr: String): String =
+    s"((try_cast($expr AS DOUBLE) IS NOT NULL AND NOT isnan(try_cast($expr AS DOUBLE)))" +
+      s" OR lower(trim($expr)) IN ('inf','+inf','-inf','infinity','+infinity','-infinity'))"
+
+  def dateParses(s: Column): Column = DateFormats.parseDate(s).isNotNull
+
+  /** ONE aggregate pass computing every column's profile. */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): TableProfile = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { name =>
+      val s = col(name).cast(StringType)
+      Seq(
+        count(s).as(s"$name::n"),
+        count(when(dateParses(s), 1)).as(s"$name::date"),
+        count(when(numericParses(s), 1)).as(s"$name::num"),
+        count_distinct(s).as(s"$name::dist"),
+        avg(length(s)).as(s"$name::len"),
+        avg(length(Cleaners.cleanText(s, collapseWhitespace = false)))
+          .as(s"$name::tlen"),
+      )
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def l(f: String): Long = if (row.isNullAt(row.fieldIndex(f))) 0L else row.getLong(row.fieldIndex(f))
+    def d(f: String): Double = if (row.isNullAt(row.fieldIndex(f))) 0.0 else row.getDouble(row.fieldIndex(f))
+    TableProfile(
+      l("__total"),
+      cols.map { c =>
+        c -> ColProfile(l(s"$c::n"), l(s"$c::date"), l(s"$c::num"),
+          l(s"$c::dist"), d(s"$c::len"), d(s"$c::tlen"))
+      }.toMap)
+  }
+
+  /** The 5-way decision, in the reference's exact rule order
+    * (reference: ETL_PROJECT.py:18-41).
+    */
+  def decide(p: ColProfile): ColType =
+    if (p.nonNull == 0) ColType.Unknown
+    else if (p.dateRatio > 0.7) ColType.Date
+    else if (p.numericRatio > 0.7) ColType.Numeric
+    else if (p.uniqueRatio > 0 && p.uniqueRatio <= 0.3 && p.distinct < 50) ColType.Categorical
+    else if (p.avgRawLen > 10 && p.uniqueRatio > 0.5) ColType.Text
+    else ColType.Unknown
+
+  def detect(df: DataFrame): Map[String, ColType] =
+    profile(df).cols.map { case (c, p) => c -> decide(p) }
+}

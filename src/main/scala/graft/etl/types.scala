@@ -1,0 +1,102 @@
+package graft.etl
+
+/** Logical column types of the auto-cleaning engine.
+  *
+  * Mirrors the 5-way tag assigned by the reference's detector
+  * (reference: ETL_PROJECT.py:16-41). The physical Spark schema is a
+  * separate layer; every raw input column is treated as a string and
+  * tagged with one of these.
+  */
+sealed abstract class ColType(val name: String)
+object ColType {
+  case object Date        extends ColType("date")
+  case object Numeric     extends ColType("numeric")
+  case object Categorical extends ColType("categorical")
+  case object Text        extends ColType("text")
+  case object Unknown     extends ColType("unknown")
+
+  val all: Seq[ColType] = Seq(Date, Numeric, Categorical, Text, Unknown)
+  def fromName(s: String): ColType =
+    all.find(_.name == s).getOrElse(Unknown)
+}
+
+/** One recorded cleaning action with typed counters.
+  *
+  * The reference keeps these as human-readable strings
+  * (ETL_PROJECT.py:11-14, 74, 100, 122-126, 139-168, 197-199, 270-271);
+  * parity target is the counters, not the prose, so we keep a typed ADT
+  * and render text on demand.
+  */
+sealed trait Action { def render: String }
+object Action {
+  case class DetectedType(t: ColType) extends Action {
+    def render = s"detected column type: ${t.name}"
+  }
+  case class NumericCleaned(newInvalid: Long) extends Action {
+    def render = s"cleaned numeric column, newly invalid values: $newInvalid"
+  }
+  case object TextCleaned extends Action { def render = "cleaned text column" }
+  case class DateCleaned(parsed: Long, total: Long) extends Action {
+    def render = s"parsed $parsed of $total values as dates"
+  }
+  case class RareFolded(nRare: Long) extends Action {
+    def render = s"folded $nRare rare values into 'Other'"
+  }
+  case object CategoricalCleaned extends Action {
+    def render = "cleaned categorical column"
+  }
+  case class DroppedHighNull(naRatio: Double) extends Action {
+    def render = f"dropped column: ${naRatio * 100}%.1f%% missing"
+  }
+  case class ImputedMedian(median: Double) extends Action {
+    def render = s"imputed missing values with median: $median"
+  }
+  case class ImputedMode(mode: String) extends Action {
+    def render = s"imputed missing values with mode: $mode"
+  }
+  case class DroppedColumns(cols: Seq[String]) extends Action {
+    def render = s"dropped columns: ${cols.mkString(", ")}"
+  }
+  case class OutliersClamped(n: Long) extends Action {
+    def render = s"winsorized $n outlier values"
+  }
+  case class DuplicatesRemoved(n: Long) extends Action {
+    def render = s"removed $n duplicate rows"
+  }
+}
+
+/** Ordered per-column cleaning log (reference: ETL_PROJECT.py:230-236).
+  * Key "global" collects table-level actions.
+  */
+case class CleaningReport(actions: Map[String, Vector[Action]]) {
+  def render: String = {
+    val sb = new StringBuilder
+    sb ++= "Data cleaning report\n" ++= "=" * 50 ++= "\n"
+    actions.toSeq.sortBy(_._1).foreach { case (col, as) =>
+      if (as.nonEmpty) {
+        sb ++= s"\ncolumn $col:\n"
+        as.foreach(a => sb ++= s"  - ${a.render}\n")
+      }
+    }
+    sb.toString
+  }
+}
+
+case class NumericStats(mean: Double, std: Double, min: Double, max: Double)
+case class DateStats(min: java.sql.Date, max: java.sql.Date)
+
+/** Table summary (reference: ETL_PROJECT.py:279-302). */
+case class DataSummary(
+    totalRows: Long,
+    totalColumns: Int,
+    columnTypes: Map[String, ColType],
+    missingValues: Map[String, Long],
+    numericColumns: Map[String, NumericStats],
+    dateColumns: Map[String, DateStats])
+
+/** Result of a full transform: cleaned frame + metadata. */
+case class EtlResult(
+    data: org.apache.spark.sql.DataFrame,
+    columnTypes: Map[String, ColType],
+    report: CleaningReport,
+    summary: DataSummary)
