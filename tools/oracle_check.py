@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 oracle compare.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<query>/ parquet dump (written by
+`graft.Verify`), runs the matching SQL from oracle_sql.json in DuckDB
+with the sfDir parquet tables registered as views, sorts columns by
+name and rows by all columns, and compares cell-by-cell (exact; floats
+reported with max-abs-diff on mismatch).
+"""
+import sys, json, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            spark_df = con.sql(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
+        if sc != dc:
+            print(f"FAIL {name}: columns {sc} != {dc}")
+            n_fail += 1
+            continue
+        a = spark_df[sc].sort_values(by=sc).reset_index(drop=True)
+        b = duck_df[dc].sort_values(by=dc).reset_index(drop=True)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} != {len(b)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in sc:
+            av, bv = a[c], b[c]
+            for i in range(len(av)):
+                x, y = av.iloc[i], bv.iloc[i]
+                try:
+                    xn, yn = bool(pd.isna(x)), bool(pd.isna(y))
+                except (TypeError, ValueError):  # arrays etc.
+                    xn = yn = False
+                if xn and yn:
+                    continue
+                if xn != yn or not _eq(x, y):
+                    bad.append((c, i, x, y))
+                    if len(bad) > 4:
+                        break
+            if len(bad) > 4:
+                break
+        if bad:
+            print(f"FAIL {name}: {len(bad)}+ cell diffs, first: {bad[:3]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows, {len(sc)} cols)")
+    print(f"{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+def _eq(x, y):
+    if isinstance(x, float) and isinstance(y, float):
+        return x == y  # exact — normalization happens in the queries
+    try:
+        return bool(x == y)
+    except Exception:
+        return str(x) == str(y)
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
