@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash + LSH banding, SimHash.
+  *
+  * All signature math is EXACT int64 arithmetic on [[TextOps.tokenHash]]
+  * values (every intermediate < 2^63), so the DuckDB oracle can
+  * replicate signatures bit-for-bit — the LSH pipeline is verified
+  * end-to-end, not just sampled.
+  *
+  * Scale shape (100 TB): signatures are per-row projections (codegen,
+  * no shuffle); candidate generation is ONE shuffle on (band, key) —
+  * the standard explode + self-join; verification joins shingle-hash
+  * sets back by id (broadcast when the candidate side is small). No
+  * driver-side collection anywhere.
+  */
+object DedupOps {
+
+  import TextOps.{HashP, tokens, tokensSql, tokenHash, tokenHashSql}
+
+  private val Mix = 2654435761L
+
+  // ---- shingles ---------------------------------------------------------
+
+  /** Distinct token k-grams as strings ("w1 w2 w3"). Guarded for short
+    * docs: Spark's `sequence(1, 0)` counts DOWN (unlike DuckDB's
+    * end-exclusive empty `range`), so the < k case must short-circuit.
+    */
+  def shingles(textCol: Column, k: Int = 3): Column =
+    when(size(tokens(textCol)) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(tokens(textCol)) - (k - 1)),
+        i => concat_ws(" ", slice(tokens(textCol), i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  def shinglesSql(e: String, k: Int = 3): String = {
+    val tok = tokensSql(e)
+    s"list_distinct(list_transform(range(1, greatest(len($tok) - ${k - 1}, 0) + 1), " +
+      s"i -> array_to_string(($tok)[i:i+${k - 1}], ' ')))"
+  }
+
+  /** Distinct shingle hashes (the set MinHash/Jaccard operate on). */
+  def shingleHashes(textCol: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(textCol, k), sh => tokenHash(sh)))
+
+  def shingleHashesSql(e: String, k: Int = 3): String =
+    s"list_distinct(list_transform(${shinglesSql(e, k)}, sh -> ${tokenHashSql("sh")}))"
+
+  // ---- exact Jaccard ----------------------------------------------------
+
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  def jaccardSql(a: String, b: String): String =
+    s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct(list_concat($a, $b))))"
+
+  // ---- MinHash ----------------------------------------------------------
+
+  /** Universal-hash coefficients for signature row j (exact ints < P). */
+  def aCoef(j: Int): Long = (j * Mix + 1L) % HashP
+  def bCoef(j: Int): Long = (j * 40503L + 17L) % HashP
+
+  /** MinHash signature (array of numHashes longs) over a distinct
+    * hash-set column. sig_j = min_h (a_j·h + b_j) mod P; a_j·h < 1e18.
+    */
+  def minhashSignature(hashSet: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), j => {
+      val a = get(array((0 until numHashes).map(x => lit(aCoef(x))): _*), j)
+      val b = get(array((0 until numHashes).map(x => lit(bCoef(x))): _*), j)
+      array_min(transform(hashSet, h => (a * h + b) % lit(HashP)))
+    })
+
+  def minhashSignatureSql(hashSetE: String, numHashes: Int): String = {
+    val as = (0 until numHashes).map(aCoef).mkString("[", ", ", "]")
+    val bs = (0 until numHashes).map(bCoef).mkString("[", ", ", "]")
+    s"list_transform(range(1, $numHashes + 1), j -> " +
+      s"list_min(list_transform($hashSetE, h -> ($as[j] * h + $bs[j]) % $HashP)))"
+  }
+
+  /** LSH band keys: one string key per band ("b:sig_i-sig_j-..."). */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat_ws(":", b.cast("string"),
+        concat_ws("-", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))
+
+  def bandKeysSql(sigE: String, bands: Int, rowsPerBand: Int): String =
+    s"list_transform(range(0, $bands), b -> " +
+      s"CAST(b AS VARCHAR) || ':' || array_to_string(($sigE)[b*$rowsPerBand+1:b*$rowsPerBand+$rowsPerBand], '-'))"
+
+  /** Near-duplicate pairs via MinHash-LSH + exact-Jaccard verification.
+    *
+    * @param df        (id, text)
+    * @param threshold exact-Jaccard cutoff on shingle-hash sets
+    * @return (id_a, id_b, jac) with id_a < id_b
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.6,
+      k: Int = 3): DataFrame = {
+    val r = numHashes / bands
+    val withSets = df.select(
+      col(idCol).as("id"),
+      shingleHashes(col(textCol), k).as("hs"))
+      .where(size(col("hs")) > 0)
+      .withColumn("sig", minhashSignature(col("hs"), numHashes))
+      .withColumn("band", explode(bandKeys(col("sig"), bands, r)))
+    // ONE shuffle on the band key; same-bucket self-join, id_a < id_b
+    val left = withSets.select(col("band"), col("id").as("id_a"), col("hs").as("hs_a"))
+    val right = withSets.select(col("band"), col("id").as("id_b"), col("hs").as("hs_b"))
+    left.join(right, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Norm.n4OfJaccard(col("hs_a"), col("hs_b")).as("jac"))
+      .where(col("jac") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  private object Norm {
+    def n4OfJaccard(a: Column, b: Column): Column =
+      floor(jaccard(a, b) * lit(10000d) + lit(0.5d)).cast(DoubleType) / lit(10000d)
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 32-bit SimHash over token hashes WITH multiplicity (term weight =
+    * term frequency). Bit b is set when the signed bit-count is > 0.
+    */
+  def simhash32(textCol: Column): Column = {
+    val th = transform(tokens(textCol), t => tokenHash(t))
+    // call_function: the DSL shiftright/shiftleft only accept Int
+    // literals, but the bit index is a lambda variable here
+    def shr(h: Column, b: Column) = call_function("shiftright", h, b)
+    def shl(h: Column, b: Column) = call_function("shiftleft", h, b)
+    aggregate(
+      transform(sequence(lit(0), lit(31)), b =>
+        when(
+          aggregate(th, lit(0L),
+            (acc, h) => acc + (shr(h, b).cast(LongType) % lit(2L)) * lit(2L) - lit(1L)) > 0,
+          shl(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  def simhash32Sql(e: String): String = {
+    val th = s"list_transform(${tokensSql(e)}, t -> ${tokenHashSql("t")})"
+    s"(list_transform([$th], hs -> CAST(list_sum(list_transform(range(0, 32), b -> " +
+      s"CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT))[1])"
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming32(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  def hamming32Sql(a: String, b: String): String = s"bit_count(xor($a, $b))"
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` fixture: JSON property
+  * extraction, event-time tumbling / sliding / session windows.
+  *
+  * Each windowing op exists in BATCH form (below, oracle-verified
+  * against DuckDB time_bucket / gaps-and-islands SQL) and in
+  * STREAMING form ([[streaming]]) on `readStream` sources with
+  * watermarks — identical expressions, so batch results ARE the
+  * expected streaming outputs (Structured Streaming's unified model).
+  *
+  * Scale: tumbling/sliding aggs are partial+final hash aggregates
+  * (one shuffle on the group keys); session windows shuffle on
+  * user_id. Window starts are emitted as epoch seconds/micros
+  * (bigint) — timestamps don't round-trip parquet identically across
+  * engines, exact integers do.
+  */
+object EventOps {
+
+  /** props is a JSON string like {"k": 87}; extraction by regexp so
+    * the oracle is engine-identical (DuckDB's json extension isn't
+    * assumed).
+    */
+  def jsonK(props: Column): Column =
+    regexp_extract(props, "\"k\": ([0-9]+)", 1)
+      .try_cast(org.apache.spark.sql.types.IntegerType) // no-match -> '' -> null (ANSI-safe)
+
+  def jsonKSql(e: String): String =
+    s"""TRY_CAST(regexp_extract($e, '"k": ([0-9]+)', 1) AS INTEGER)"""
+
+  /** Tumbling 1-hour windows: (window start epoch-sec, event_type) →
+    * count + 2-decimal sum(value).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("value")) * 100 + lit(0.5)).cast("double") / 100.0).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  val tumblingSql: String =
+    """SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS ws, event_type,
+      |  count(*) AS n, (floor(sum(value) * 100 + 0.5) / 100.0) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
+
+  /** DuckDB: generate the 2 covering window starts per event. */
+  val slidingSql: String =
+    """SELECT ws, event_type, count(*) AS n
+      |FROM (SELECT epoch(time_bucket(INTERVAL 30 MINUTE, ts))::BIGINT - k * 1800 AS ws,
+      |             event_type
+      |      FROM events, unnest([0, 1]) AS u(k)) b
+      |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin
+
+  /** Session windows per user with a gap timeout: (user_id, session
+    * start epoch-µs, events-in-session). A gap of EXACTLY `gap` still
+    * merges (Spark's session windows are end-inclusive — verified
+    * empirically; the islands oracle below uses strict `>`).
+    */
+  def sessionize(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start"), col("n"))
+
+  /** Gaps-and-islands twin (strict > for the end-inclusive boundary). */
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, epoch_us(min(ts)) AS session_start, count(*) AS n
+      |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  /** Structured Streaming variants: identical expressions over a
+    * streaming frame, with an event-time watermark bounding state.
+    * Used with MemoryStream in tests; `readStream.parquet(dir)` in
+    * production.
+    */
+  object streaming {
+    def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+      events.withWatermark("ts", watermark)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"), col("n"))
+
+    def sessionize(events: DataFrame, gap: String = "10 minutes",
+        watermark: String = "2 hours"): DataFrame =
+      events.withWatermark("ts", watermark)
+        .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start"), col("n"))
+  }
+}

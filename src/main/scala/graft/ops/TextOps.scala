@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token stats, language ID (stopword heuristic), quality scoring,
+  * and document fingerprinting (position-weighted rolling hash).
+  *
+  * Everything here is a pure Catalyst `Column` expression (codegen'd,
+  * no UDFs, no shuffles — per-row projections that scale linearly and
+  * pipeline into whole-stage codegen). Each op has a DuckDB rendering
+  * for the t2 oracle; the hash primitives use EXACT int64 arithmetic
+  * (all intermediates < 2^63) so both engines agree bit-for-bit.
+  *
+  * Scale note (100 TB): all ops are embarrassingly parallel; the only
+  * care is skew in document length, which `spark.sql.files.maxPartitionBytes`
+  * handles at the scan.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (fixture docs are single-space soup; the
+    * regex form handles arbitrary runs).
+    */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  def tokensSql(e: String): String = s"string_split_regex(trim($e), '\\s+')"
+
+  // ---- exact-arithmetic string hash ------------------------------------
+  // charHash(s) = sum_i cp_i * ((i * 2654435761) % 1000003)  (i 1-based)
+  //   cp < 2^21, multiplier < 1e6, len < 2^20  =>  sum < 2^62: exact.
+  // tokenHash(s) = charHash(s) % 1000000007
+  // Mirrors: Knuth multiplicative step for position mixing; mod-prime
+  // bucket hash. No engine-native hash() is used anywhere (Spark's
+  // murmur3 and DuckDB's hash are incompatible).
+
+  val HashP = 1000000007L
+  private val Mix = 2654435761L
+  private val MixMod = 1000003L
+
+  def charHash(c: Column): Column =
+    aggregate(
+      zip_with(
+        split(c, ""),
+        sequence(lit(1), length(c)),
+        (ch, i) => ascii(ch) * ((i.cast(LongType) * lit(Mix)) % lit(MixMod))),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  def tokenHash(c: Column): Column = charHash(c) % lit(HashP)
+
+  def charHashSql(e: String): String =
+    s"CAST(list_sum(list_transform(range(1, length($e) + 1), i -> " +
+      s"unicode($e[i]) * ((i * $Mix) % $MixMod))) AS BIGINT)"
+
+  def tokenHashSql(e: String): String = {
+    // bind e once: it is indexed per-char inside the lambda
+    val body = charHashSql("s")
+    s"(list_transform([CAST($e AS VARCHAR)], s -> $body)[1] % $HashP)"
+  }
+
+  /** Position-weighted document fingerprint over the token sequence:
+    * fp = (sum_i tokenHash(t_i) * ((i * Mix) % MixMod)) % P  (i 1-based).
+    * tokenHash < 1e9, multiplier < 1e6, 400 tokens => sum < 2^59: exact.
+    */
+  def fingerprint(textCol: Column): Column =
+    aggregate(
+      zip_with(
+        tokens(textCol),
+        sequence(lit(1), size(tokens(textCol))),
+        (t, i) => tokenHash(t) * ((i.cast(LongType) * lit(Mix)) % lit(MixMod))),
+      lit(0L),
+      (acc, x) => acc + x) % lit(HashP)
+
+  def fingerprintSql(e: String): String = {
+    val tok = tokensSql(e)
+    s"(CAST(list_sum(list_transform(range(1, len($tok) + 1), i -> " +
+      s"${tokenHashSql(s"($tok)[i]")} * ((i * $Mix) % $MixMod))) AS BIGINT) % $HashP)"
+  }
+
+  // ---- token statistics -------------------------------------------------
+
+  def nTokens(c: Column): Column = size(tokens(c))
+  def nDistinctTokens(c: Column): Column = size(array_distinct(tokens(c)))
+
+  /** Mean token length, as double. */
+  def avgTokenLen(c: Column): Column =
+    aggregate(transform(tokens(c), t => length(t).cast(LongType)),
+      lit(0L), (acc, x) => acc + x).cast(DoubleType) / size(tokens(c))
+
+  def nTokensSql(e: String): String = s"len(${tokensSql(e)})"
+  def nDistinctTokensSql(e: String): String = s"len(list_distinct(${tokensSql(e)}))"
+  def avgTokenLenSql(e: String): String =
+    s"(CAST(list_sum(list_transform(${tokensSql(e)}, t -> length(t))) AS DOUBLE) / len(${tokensSql(e)}))"
+
+  // ---- language ID (stopword-count heuristic) ---------------------------
+
+  /** Tiny per-language stopword lists (public common words). Order is
+    * the tiebreak order: on equal scores the EARLIER language wins.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  /** Stopword hit count (with multiplicity) for one language. */
+  def stopHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(words.map(lit): _*)))
+
+  def stopHitsSql(e: String, words: Seq[String]): String =
+    s"len(list_filter(${tokensSql(e)}, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Predicted language: argmax of stopword hits, first-language tiebreak
+    * (reverse foldLeft builds the when-chain so the FIRST language with
+    * the max score wins, matching the oracle's CASE order).
+    */
+  def langId(c: Column): Column = {
+    val scores = langStopwords.map { case (_, ws) => stopHits(c, ws) }
+    val maxScore = greatest(scores: _*)
+    langStopwords.zip(scores).reverse.foldLeft(lit("und")) {
+      case (els, ((lang, _), s)) =>
+        when(s === maxScore && maxScore > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  def langIdSql(e: String): String = {
+    val scores = langStopwords.map { case (_, ws) => stopHitsSql("s", ws) }
+    val maxE = s"greatest(${scores.mkString(", ")})"
+    val branches = langStopwords.zip(scores).map { case ((lang, _), sc) =>
+      s"WHEN $sc = __mx AND __mx > 0 THEN '$lang'"
+    }.mkString(" ")
+    // bind text + max score once
+    s"(list_transform([CAST($e AS VARCHAR)], s -> " +
+      s"list_transform([$maxE], __mx -> CASE $branches ELSE 'und' END)[1])[1])"
+  }
+
+  // ---- quality score ----------------------------------------------------
+
+  /** Composite quality score in [0,1]:
+    * 0.3·min(1, nTokens/100) + 0.3·stopwordRatio(en)
+    * + 0.2·min(1, avgTokenLen/8) + 0.2·distinctRatio.
+    * Same floating-op order in both renderings (parity).
+    */
+  def qualityScore(c: Column): Column = {
+    val n = nTokens(c).cast(DoubleType)
+    val lenScore = least(lit(1.0), n / lit(100.0))
+    val stopRatio = stopHits(c, langStopwords.toMap.apply("en")).cast(DoubleType) / n
+    val wlenScore = least(lit(1.0), avgTokenLen(c) / lit(8.0))
+    val distinctRatio = nDistinctTokens(c).cast(DoubleType) / n
+    lit(0.3) * lenScore + lit(0.3) * stopRatio +
+      lit(0.2) * wlenScore + lit(0.2) * distinctRatio
+  }
+
+  def qualityScoreSql(e: String): String = {
+    val n = s"CAST(${nTokensSql("s")} AS DOUBLE)"
+    val en = langStopwords.toMap.apply("en")
+    s"(list_transform([CAST($e AS VARCHAR)], s -> " +
+      s"0.3 * least(CAST(1.0 AS DOUBLE), $n / 100.0) + " +
+      s"0.3 * (CAST(${stopHitsSql("s", en)} AS DOUBLE) / $n) + " +
+      s"0.2 * least(CAST(1.0 AS DOUBLE), ${avgTokenLenSql("s")} / 8.0) + " +
+      s"0.2 * (CAST(${nDistinctTokensSql("s")} AS DOUBLE) / $n))[1])"
+  }
+}

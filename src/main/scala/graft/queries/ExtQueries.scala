@@ -1,0 +1,335 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver-contract queries for the north-star extensions (SURVEY.md
+  * §7.5 / BASELINE.json): text analysis, dedup family, similarity
+  * search, multimodal plumbing, event-time windows, and the classic
+  * join/agg/top-k shapes the reference never had.
+  */
+object ExtQueries {
+
+  import OracleHelpers._
+
+  // ===== text analysis ===================================================
+
+  private def q14(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents").select(
+      col("doc_id"),
+      TextOps.nTokens(col("text")).cast("long").as("n_tokens"),
+      TextOps.nDistinctTokens(col("text")).cast("long").as("n_distinct"),
+      Norm.n4(TextOps.avgTokenLen(col("text"))).as("avg_token_len"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  private val q14Oracle: String =
+    s"""SELECT doc_id, ${TextOps.nTokensSql("text")} AS n_tokens,
+       |  ${TextOps.nDistinctTokensSql("text")} AS n_distinct,
+       |  ${n4(TextOps.avgTokenLenSql("text"))} AS avg_token_len,
+       |  CAST(length(text) AS BIGINT) AS n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def q15(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents").select(
+      col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private val q15Oracle: String =
+    s"""SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def q16(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents").select(
+      col("doc_id"), Norm.n4(TextOps.qualityScore(col("text"))).as("score"))
+      .orderBy("doc_id")
+
+  private val q16Oracle: String =
+    s"""SELECT doc_id, ${n4(TextOps.qualityScoreSql("text"))} AS score
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def q17(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents").select(
+      col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val q17Oracle: String =
+    s"""SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ===== dedup family ====================================================
+
+  /** documents plus exact copies of every 10th doc (new ids +1e6). */
+  private def dupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    d.unionByName(d.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  private val dupCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  private def q18(spark: SparkSession, sfDir: String): DataFrame =
+    dupCorpus(spark, sfDir)
+      .groupBy("text")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+      .select("rep", "n")
+      .orderBy("rep")
+
+  private val q18Oracle: String =
+    s"""SELECT min(doc_id) AS rep, count(*) AS n
+       |FROM ($dupCorpusSql) GROUP BY text ORDER BY rep""".stripMargin
+
+  private def q19(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents")
+    val a = d.select(col("doc_id").as("id_a"), DedupOps.shingles(col("text")).as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), DedupOps.shingles(col("text")).as("sh_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        Norm.n4(DedupOps.jaccard(col("sh_a"), col("sh_b"))).as("jac"))
+      .orderBy("id_a")
+  }
+
+  private val q19Oracle: String = {
+    val sa = DedupOps.shinglesSql("a.text")
+    val sb = DedupOps.shinglesSql("b.text")
+    s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  ${n4(DedupOps.jaccardSql(sa, sb))} AS jac
+       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |ORDER BY id_a""".stripMargin
+  }
+
+  /** documents plus NEAR-copies (3 appended tokens) of every 10th doc. */
+  private def nearDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    d.unionByName(d.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" qq zz vv")).as("text")))
+  }
+
+  private val nearDupCorpusSql: String =
+    """SELECT doc_id AS id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text || ' qq zz vv' FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  private val MinHashes = 12
+  private val Bands = 4
+  private val JacThreshold = 0.6
+
+  private def q20(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.nearDupPairs(nearDupCorpus(spark, sfDir), "doc_id", "text",
+        MinHashes, Bands, JacThreshold)
+      .orderBy("id_a", "id_b")
+
+  private val q20Oracle: String = {
+    val r = MinHashes / Bands
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |hs AS (SELECT id, ${DedupOps.shingleHashesSql("text")} AS h FROM corpus),
+       |sigs AS (SELECT id, h, ${DedupOps.minhashSignatureSql("h", MinHashes)} AS sig
+       |         FROM hs WHERE len(h) > 0),
+       |bands AS (SELECT id, unnest(${DedupOps.bandKeysSql("sig", Bands, r)}) AS band FROM sigs),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+       |verified AS (SELECT id_a, id_b,
+       |  ${n4(DedupOps.jaccardSql("ha.h", "hb.h"))} AS jac
+       |  FROM cand JOIN sigs ha ON cand.id_a = ha.id JOIN sigs hb ON cand.id_b = hb.id)
+       |SELECT id_a, id_b, jac FROM verified WHERE jac >= $JacThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def q21(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents").select(
+      col("doc_id"), DedupOps.simhash32(col("text")).as("sh"))
+      .orderBy("doc_id")
+
+  private val q21Oracle: String =
+    s"""SELECT doc_id, ${DedupOps.simhash32Sql("text")} AS sh
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ===== similarity search ===============================================
+
+  private def q22(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    SimilarityOps.bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q22Oracle: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+       |scored AS (SELECT query_id, vec_id,
+       |  ${n4(SimilarityOps.cosineSql("qv", "v"))} AS cos
+       |  FROM c, q WHERE vec_id != query_id),
+       |ranked AS (SELECT query_id, vec_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val AnnTables = 2
+  private val AnnBits = 8
+
+  private def q23(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    SimilarityOps.annTopK(emb, emb.where(col("vec_id") < 10), 3,
+        tables = AnnTables, bits = AnnBits)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q23Oracle: String = {
+    def buckets(alias: String) = (0 until AnnTables).map(t =>
+      s"WHEN $t THEN ${SimilarityOps.bucketSql(alias, t, 64, AnnBits)}")
+      .mkString("CASE t ", " ", " END")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT vec_id, v, t, ${buckets("v")} AS bk FROM c, unnest([0, 1]) AS u(t)),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+       |qb AS (SELECT query_id, qv, t, ${buckets("qv")} AS bk FROM q, unnest([0, 1]) AS u(t)),
+       |cand AS (SELECT DISTINCT query_id, vec_id, qv, v
+       |         FROM cb JOIN qb ON cb.t = qb.t AND cb.bk = qb.bk
+       |         WHERE vec_id != query_id),
+       |scored AS (SELECT query_id, vec_id,
+       |  ${n4(SimilarityOps.cosineSql("qv", "v"))} AS cos FROM cand),
+       |ranked AS (SELECT query_id, vec_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ===== multimodal ======================================================
+
+  private def q24(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "events").select(
+      col("event_id"),
+      EventOps.jsonK(col("props")).as("k"),
+      length(col("props")).cast("long").as("n_props_chars"))
+      .orderBy("event_id")
+
+  private val q24Oracle: String =
+    s"""SELECT event_id, ${EventOps.jsonKSql("props")} AS k,
+       |  CAST(length(props) AS BIGINT) AS n_props_chars
+       |FROM events ORDER BY event_id""".stripMargin
+
+  private def q25(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.extractFeatures(
+      MultimodalOps.withPayload(Tables.read(spark, sfDir, "documents")))
+      .orderBy("doc_id")
+
+  private val q25Oracle: String = {
+    val cps = "list_transform(string_split(s, ''), c -> unicode(c))"
+    val total = s"CAST(list_sum($cps) AS BIGINT)"
+    val first = "(CASE WHEN length(s) = 0 THEN 0 ELSE unicode(s[1]) END)"
+    s"""SELECT doc_id, CAST(length(s) AS INTEGER) AS n_bytes,
+       |  CAST($first AS INTEGER) AS first_byte,
+       |  CAST($total % 251 AS INTEGER) AS checksum,
+       |  list_transform(range(0, 4), d ->
+       |    CAST(CAST(($total + d * $first) % 97 AS DOUBLE) / 97.0 AS FLOAT)) AS fake_embedding
+       |FROM (SELECT doc_id, CAST(text AS VARCHAR) AS s FROM documents) b
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ===== event-time windows ==============================================
+
+  private def q26(spark: SparkSession, sfDir: String): DataFrame =
+    EventOps.tumblingCounts(Tables.read(spark, sfDir, "events"))
+      .orderBy("ws", "event_type")
+
+  private def q27(spark: SparkSession, sfDir: String): DataFrame =
+    EventOps.slidingCounts(Tables.read(spark, sfDir, "events"))
+      .orderBy("ws", "event_type")
+
+  private def q28(spark: SparkSession, sfDir: String): DataFrame =
+    EventOps.sessionize(Tables.read(spark, sfDir, "events"))
+      .orderBy("user_id", "session_start")
+
+  // ===== classic query shapes (absent from the reference) ================
+
+  private def q29(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(Norm.n2(sum(col("l_quantity"))).as("sum_qty"),
+        Norm.n2(sum(col("l_extendedprice"))).as("sum_price"),
+        Norm.n4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("rf", "ls")
+
+  private val q29Oracle: String =
+    s"""SELECT l_returnflag AS rf, l_linestatus AS ls,
+       |  ${n2("sum(l_quantity)")} AS sum_qty,
+       |  ${n2("sum(l_extendedprice)")} AS sum_price,
+       |  ${n4("avg(l_discount)")} AS avg_disc,
+       |  count(*) AS cnt
+       |FROM lineitem GROUP BY 1, 2 ORDER BY rf, ls""".stripMargin
+
+  private def q30(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val customer = Tables.read(spark, sfDir, "customer")
+    val nation = Tables.read(spark, sfDir, "nation")
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), Norm.n2(sum(col("o_totalprice"))).as("revenue"))
+      .orderBy("n_name", "o_orderstatus")
+  }
+
+  private val q30Oracle: String =
+    s"""SELECT n_name, o_orderstatus, count(*) AS n_orders,
+       |  ${n2("sum(o_totalprice)")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY 1, 2 ORDER BY n_name, o_orderstatus""".stripMargin
+
+  private def q31(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    Tables.read(spark, sfDir, "part")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select("p_brand", "rank", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "rank")
+  }
+
+  private val q31Oracle: String =
+    """SELECT p_brand, rank, p_partkey, p_retailprice
+      |FROM (SELECT p_brand, p_partkey, p_retailprice,
+      |        row_number() OVER (PARTITION BY p_brand
+      |          ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+      |      FROM part) t
+      |WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q14_text_stats", q14, Some(q14Oracle)),
+    QueryDef("q15_lang_id", q15, Some(q15Oracle)),
+    QueryDef("q16_quality_score", q16, Some(q16Oracle)),
+    QueryDef("q17_fingerprint", q17, Some(q17Oracle)),
+    QueryDef("q18_dedup_docs", q18, Some(q18Oracle)),
+    QueryDef("q19_ngram_jaccard", q19, Some(q19Oracle)),
+    QueryDef("q20_minhash_lsh", q20, Some(q20Oracle)),
+    QueryDef("q21_simhash", q21, Some(q21Oracle)),
+    QueryDef("q22_cosine_topk", q22, Some(q22Oracle)),
+    QueryDef("q23_ann_lsh", q23, Some(q23Oracle)),
+    QueryDef("q24_json_props", q24, Some(q24Oracle)),
+    QueryDef("q25_multimodal_features", q25, Some(q25Oracle)),
+    QueryDef("q26_window_tumbling", q26, Some(EventOps.tumblingSql)),
+    QueryDef("q27_window_sliding", q27, Some(EventOps.slidingSql)),
+    QueryDef("q28_sessionize", q28, Some(EventOps.sessionizeSql)),
+    QueryDef("q29_tpch_q1", q29, Some(q29Oracle)),
+    QueryDef("q30_join_enrich", q30, Some(q30Oracle)),
+    QueryDef("q31_topk_window", q31, Some(q31Oracle)),
+  )
+}
+
+/** Tiny oracle-side SQL helpers shared by the query modules. */
+private[queries] object OracleHelpers {
+  def n4(e: String): String = graft.etl.OracleSql.n4(e)
+  def n2(e: String): String = graft.etl.OracleSql.n2(e)
+}

@@ -1,0 +1,179 @@
+package graft.ops
+
+import graft.etl.EtlSpecBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Unit coverage for the north-star extension operators (the t2 oracle
+  * covers them end-to-end on fixtures; these pin the local semantics).
+  */
+class OpsSpec extends EtlSpecBase {
+  import spark.implicits._
+
+  // ---- TextOps ----------------------------------------------------------
+
+  test("tokenHash matches the reference formula and is order-sensitive") {
+    def refCharHash(s: String): Long =
+      s.zipWithIndex.map { case (c, i) =>
+        c.toLong * (((i + 1) * 2654435761L) % 1000003L)
+      }.sum
+    val df = Seq("spark", "kraps").toDF("t")
+      .select(col("t"), TextOps.tokenHash(col("t")).as("h")).collect()
+    val expected = df.map(r => refCharHash(r.getString(0)) % 1000000007L)
+    assert(df.map(_.getLong(1)).toSeq == expected.toSeq)
+    assert(df(0).getLong(1) != df(1).getLong(1)) // anagram, different hash
+  }
+
+  test("langId: stopword argmax with first-language tiebreak") {
+    val df = Seq(
+      "the cat of the house",   // en
+      "der hund ist und",       // de
+      "der el",                 // de=1 es=1 tie -> de (first in order)
+      "xyzzy qwerty").toDF("text")
+      .select(TextOps.langId(col("text"))).as[String].collect()
+    assert(df.toSeq == Seq("en", "de", "de", "und"))
+  }
+
+  test("quality score is in [0,1] and favors long diverse text") {
+    val rows = Seq(
+      ("short", "a a a a"),
+      ("rich", ("the quick brown fox jumps over the lazy dog " * 12).trim))
+      .toDF("name", "text")
+      .select(col("name"), TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.values.forall(v => v >= 0 && v <= 1))
+    assert(rows("rich") > rows("short"))
+  }
+
+  // ---- DedupOps ---------------------------------------------------------
+
+  test("shingles: k-grams, distinct, short-doc guard") {
+    val out = Seq("a b c d", "a b").toDF("t")
+      .select(DedupOps.shingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty) // < k tokens: empty, not sequence(1,0)
+  }
+
+  test("exact jaccard of shingle hash sets") {
+    val df = Seq(("a b c d e", "a b c d f")).toDF("x", "y")
+      .select(DedupOps.jaccard(
+        DedupOps.shingleHashes(col("x")),
+        DedupOps.shingleHashes(col("y"))).as("j"))
+    // shingles x: {abc,bcd,cde}, y: {abc,bcd,cdf} -> 2/4
+    assert(df.as[Double].head() == 0.5)
+  }
+
+  test("minhash LSH finds the planted near-dup and skips unrelated docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.nearDupPairs(docs, "doc_id", "text",
+      numHashes = 12, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: equal texts collide, disjoint texts are distant") {
+    val out = Seq(
+      "spark scala engine data query",
+      "spark scala engine data query",
+      "totally different words entirely here")
+      .toDF("t").select(DedupOps.simhash32(col("t"))).as[Long].collect()
+    assert(out(0) == out(1))
+    val xor = out(0) ^ out(2)
+    assert(java.lang.Long.bitCount(xor) > 0)
+  }
+
+  // ---- SimilarityOps ----------------------------------------------------
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(1f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val top = SimilarityOps.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), 2)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(3L, 1L)) // 3 is closest to [1,0], then 1
+  }
+
+  test("annTopK returns exactly-ranked results among bucket candidates") {
+    val dims = 64
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(dims)(d =>
+        (math.sin(i * dims + d) * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ann = SimilarityOps.annTopK(vecs, vecs.where($"vec_id" < 2), 3,
+      tables = 2, bits = 4, dims = dims)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..k, contiguous per query
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size))
+    }
+  }
+
+  // ---- MultimodalOps ----------------------------------------------------
+
+  test("multimodal stub decode: binary plumbing end-to-end") {
+    val f = MultimodalOps.decodeStub(7L, "ab".getBytes("UTF-8"))
+    assert(f.n_bytes == 2 && f.first_byte == 97 && f.checksum == 195)
+    val docs = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val out = MultimodalOps.extractFeatures(MultimodalOps.withPayload(docs))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_bytes") == 5)
+    assert(out(1).getAs[Int]("n_bytes") == 0 && out(1).getAs[Int]("first_byte") == 0)
+    assert(out(0).getAs[scala.collection.Seq[Float]]("fake_embedding").size == 4)
+  }
+
+  // ---- EventOps ---------------------------------------------------------
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize: exact-gap merges (end-inclusive), beyond-gap splits") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:05:00")),
+      (1L, ts("2024-01-01 10:15:00")),  // exactly 10 min after -> MERGES
+      (1L, ts("2024-01-01 10:25:01")),  // 10:00.001 after -> new session
+      (2L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    val sessions = EventOps.sessionize(events, "10 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(sessions.length == 3)
+    assert(sessions(0).getAs[Long]("n") == 3) // 10:00, 10:05, 10:15
+    assert(sessions(1).getAs[Long]("n") == 1) // 10:25:01 alone
+  }
+
+  test("streaming tumbling counts equal the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.5),
+      (ts("2024-01-01 10:55:00"), "click", 2.5),
+      (ts("2024-01-01 11:05:00"), "view", 3.0))
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    stream.addData(data: _*)
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = EventOps.streaming.tumblingCounts(sdf)
+      .writeStream.format("memory").queryName("tumble_test")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumble_test")
+      .orderBy("ws", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = EventOps.tumblingCounts(data.toDF("ts", "event_type", "value"))
+      .orderBy("ws", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+  }
+
+  test("jsonK extracts the numeric property") {
+    val out = Seq("""{"k": 87}""", """{"x": 1}""").toDF("props")
+      .select(EventOps.jsonK(col("props"))).as[Option[Int]].collect()
+    assert(out(0).contains(87) && out(1).isEmpty)
+  }
+}

@@ -38,8 +38,12 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: columns {sc} != {dc}")
             n_fail += 1
             continue
-        a = spark_df[sc].sort_values(by=sc).reset_index(drop=True)
-        b = duck_df[dc].sort_values(by=dc).reset_index(drop=True)
+        import numpy as np
+        sortable = [c for c in sc
+                    if not isinstance(spark_df[c].iloc[0] if len(spark_df) else None,
+                                      (np.ndarray, list))]
+        a = spark_df[sc].sort_values(by=sortable).reset_index(drop=True)
+        b = duck_df[dc].sort_values(by=sortable).reset_index(drop=True)
         if len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} != {len(b)}")
             n_fail += 1
@@ -71,6 +75,9 @@ def main(sfdir, outdir):
 
 
 def _eq(x, y):
+    import numpy as np
+    if isinstance(x, (np.ndarray, list)) or isinstance(y, (np.ndarray, list)):
+        return list(x) == list(y)
     if isinstance(x, float) and isinstance(y, float):
         return x == y  # exact — normalization happens in the queries
     try:
