@@ -57,22 +57,38 @@ object TypeDetector {
 
   def dateParses(s: Column): Column = DateFormats.parseDate(s).isNotNull
 
-  /** ONE aggregate pass computing every column's profile. */
+  /** ONE aggregate pass computing every column's profile.
+    *
+    * The parse flags and lengths are materialized in a projection BELOW
+    * the aggregate: the exact `count_distinct`s compile to an Expand
+    * (one replica per distinct-agg), and aggregate-level expressions
+    * would be re-evaluated per replica — the 16-format date parse ran
+    * 7x per value before this split. The projection computes each flag
+    * once per row; Expand then replicates cheap column references.
+    */
   def profile(df: DataFrame, columns: Seq[String] = Nil): TableProfile = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
-    val aggs = count(lit(1)).as("__total") +: cols.flatMap { name =>
+    val proj = df.select(cols.flatMap { name =>
       val s = col(name).cast(StringType)
       Seq(
-        count(s).as(s"$name::n"),
-        count(when(dateParses(s), 1)).as(s"$name::date"),
-        count(when(numericParses(s), 1)).as(s"$name::num"),
-        count_distinct(s).as(s"$name::dist"),
-        avg(length(s)).as(s"$name::len"),
-        avg(length(Cleaners.cleanText(s, collapseWhitespace = false)))
-          .as(s"$name::tlen"),
+        s.as(s"$name::s"),
+        dateParses(s).as(s"$name::isdate"),
+        numericParses(s).as(s"$name::isnum"),
+        length(s).as(s"$name::len"),
+        length(Cleaners.cleanText(s, collapseWhitespace = false)).as(s"$name::tlen"),
+      )
+    }: _*)
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { name =>
+      Seq(
+        count(col(s"$name::s")).as(s"$name::n"),
+        count(when(col(s"$name::isdate"), 1)).as(s"$name::date"),
+        count(when(col(s"$name::isnum"), 1)).as(s"$name::num"),
+        count_distinct(col(s"$name::s")).as(s"$name::dist"),
+        avg(col(s"$name::len")).as(s"$name::len"),
+        avg(col(s"$name::tlen")).as(s"$name::tlen"),
       )
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = proj.agg(aggs.head, aggs.tail: _*).collect()(0)
     def l(f: String): Long = if (row.isNullAt(row.fieldIndex(f))) 0L else row.getLong(row.fieldIndex(f))
     def d(f: String): Double = if (row.isNullAt(row.fieldIndex(f))) 0.0 else row.getDouble(row.fieldIndex(f))
     TableProfile(

