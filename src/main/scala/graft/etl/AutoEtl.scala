@@ -30,13 +30,20 @@ object AutoEtl {
     */
   def rareThreshold(totalRows: Long): Double = math.max(2.0, 0.01 * totalRows)
 
-  def transform(raw: DataFrame): EtlResult = {
+  def transform(raw: DataFrame, config: EtlConfig = EtlConfig.exact): EtlResult = {
     val report = mutable.Map.empty[String, Vector[Action]]
       .withDefaultValue(Vector.empty)
     def log(col: String, a: Action): Unit = report(col) = report(col) :+ a
 
     // -- stage 1: detect -------------------------------------------------
-    val prof = TypeDetector.profile(raw)
+    // 100 TB mode: the detection ratios subsample well; total row count
+    // stays exact (one cheap count scan vs the full stats pass)
+    val prof = config.detectionSample match {
+      case Some(f) =>
+        val sampled = TypeDetector.profile(raw.sample(withReplacement = false, f, seed = 42L))
+        sampled.copy(totalRows = raw.count())
+      case None => TypeDetector.profile(raw)
+    }
     val types: Map[String, ColType] =
       prof.cols.map { case (c, p) => c -> TypeDetector.decide(p) }
     raw.columns.foreach(c => log(c, Action.DetectedType(types(c))))
@@ -92,7 +99,7 @@ object AutoEtl {
           log(c, Action.TextCleaned)
       }
     }
-    val decisions = Imputer.decide(cleaned, types, nulls, totalRows)
+    val decisions = Imputer.decide(cleaned, types, nulls, totalRows, config)
     decisions.toSeq.sortBy(_._1).foreach {
       case (c, Imputer.Drop) =>
         log(c, Action.DroppedHighNull(nulls(c).toDouble / math.max(totalRows, 1)))
@@ -106,7 +113,7 @@ object AutoEtl {
 
     // -- stage 5: winsorize ------------------------------------------------
     val numericCols = imputed.columns.filter(c => types.get(c).contains(ColType.Numeric)).toSeq
-    val wstats = Winsorizer.stats(imputed, numericCols)
+    val wstats = Winsorizer.stats(imputed, numericCols, config)
     val flagged = Winsorizer.flaggedCounts(imputed, wstats)
     flagged.toSeq.sortBy(_._1).foreach { case (c, n) =>
       if (n > 0) log(c, Action.OutliersClamped(n))

@@ -34,11 +34,16 @@ object Imputer {
 
   /** Exact interpolating medians (pandas-compatible, trap P4) for many
     * columns in one pass. `percentile` is Spark's exact percentile —
-    * matches pandas `median` and DuckDB `quantile_cont(0.5)`.
+    * matches pandas `median` and DuckDB `quantile_cont(0.5)`. With
+    * `approx` (100 TB mode) the sort-based exact aggregate becomes a
+    * single-pass mergeable sketch.
     */
-  def medians(df: DataFrame, cols: Seq[String]): Map[String, Double] = {
+  def medians(df: DataFrame, cols: Seq[String], approx: Boolean = false,
+      accuracy: Int = 10000): Map[String, Double] = {
     if (cols.isEmpty) return Map.empty
-    val aggs = cols.map(c => percentile(col(c), lit(0.5)).as(c))
+    val aggs =
+      if (approx) cols.map(c => percentile_approx(col(c), lit(0.5), lit(accuracy)).as(c))
+      else cols.map(c => percentile(col(c), lit(0.5)).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     cols.flatMap { c =>
       val i = row.fieldIndex(c)
@@ -75,14 +80,15 @@ object Imputer {
       df: DataFrame,
       types: Map[String, ColType],
       nulls: Map[String, Long],
-      totalRows: Long): Map[String, Decision] = {
+      totalRows: Long,
+      config: EtlConfig = EtlConfig.exact): Map[String, Decision] = {
     val ratios = nulls.view.mapValues(n =>
       if (totalRows == 0) 0.0 else n.toDouble / totalRows).toMap
     val needMedian = df.columns.filter { c =>
       ratios(c) <= dropThreshold && ratios(c) > 0 &&
         types.get(c).contains(ColType.Numeric)
     }.toSeq
-    val med = medians(df, needMedian)
+    val med = medians(df, needMedian, config.approxPercentiles, config.approxAccuracy)
     df.columns.toSeq.map { c =>
       val r = ratios(c)
       val d: Decision =

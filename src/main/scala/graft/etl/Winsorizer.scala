@@ -28,14 +28,19 @@ object Winsorizer {
   /** One pass for every numeric column. Columns that are all-null (can't
     * happen post-impute, but be total) are omitted.
     */
-  def stats(df: DataFrame, cols: Seq[String]): Map[String, Stats] = {
+  def stats(df: DataFrame, cols: Seq[String],
+      config: EtlConfig = EtlConfig.exact): Map[String, Stats] = {
     if (cols.isEmpty) return Map.empty
+    def pct(c: String, p: Double) =
+      if (config.approxPercentiles)
+        percentile_approx(col(c), lit(p), lit(config.approxAccuracy))
+      else percentile(col(c), lit(p))
     val aggs = cols.flatMap { c =>
       Seq(
         avg(col(c)).as(s"$c::mean"),
         stddev_samp(col(c)).as(s"$c::std"),
-        percentile(col(c), lit(0.05)).as(s"$c::p05"),
-        percentile(col(c), lit(0.95)).as(s"$c::p95"),
+        pct(c, 0.05).as(s"$c::p05"),
+        pct(c, 0.95).as(s"$c::p95"),
       )
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)

@@ -100,3 +100,35 @@ case class EtlResult(
     columnTypes: Map[String, ColType],
     report: CleaningReport,
     summary: DataSummary)
+
+/** Scale knobs for [[AutoEtl.transform]] (SURVEY.md §4 north-star).
+  *
+  * The default is EXACT everywhere — that is the t2-oracle correctness
+  * mode. At 100 TB the exact paths have two hot spots with principled
+  * approximations:
+  *
+  *  - `detectionSample`: T1 type detection decides on RATIOS (>70%
+  *    date-parse, ≤30% unique, ...) which subsample well; a 1%% sample
+  *    of 100 TB still decides each column on ~1 B values. Total row
+  *    count stays exact (a plain count is one cheap scan vs. the full
+  *    stats pass). The `< 50 distinct` categorical gate is computed on
+  *    the sample — any column with ≥50 distinct among millions of
+  *    sampled rows is correctly rejected.
+  *  - `approxPercentiles`: M2 median + M5 p05/p95 switch from Spark's
+  *    exact interpolating `percentile` (a full sort-based aggregate)
+  *    to `percentile_approx` (a mergeable t-digest-style sketch,
+  *    single pass, bounded memory). `approxAccuracy` trades memory
+  *    for error exactly as Spark documents.
+  */
+final case class EtlConfig(
+    detectionSample: Option[Double] = None,
+    approxPercentiles: Boolean = false,
+    approxAccuracy: Int = 10000)
+
+object EtlConfig {
+  /** t2 correctness mode: exact statistics everywhere. */
+  val exact: EtlConfig = EtlConfig()
+  /** 100 TB mode: sampled detection + sketch percentiles. */
+  val atScale: EtlConfig =
+    EtlConfig(detectionSample = Some(0.01), approxPercentiles = true)
+}
