@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Event-stream operators over the `events` fixture: JSON property
   * extraction, event-time tumbling / sliding / session windows.
@@ -84,12 +86,61 @@ object EventOps {
       |SELECT user_id, epoch_us(min(ts)) AS session_start, count(*) AS n
       |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  /** As-of join: for every left row, the latest right row with
+    * `right.ts <= left.ts` for the same key (ties include the
+    * equal-timestamp right row, matching DuckDB `ASOF JOIN ... >=`).
+    *
+    * Spark has no native as-of join; the classic scalable shape is
+    * union-the-sides + running `last(_, ignoreNulls)` over
+    * (key, ts, side): ONE shuffle on the key, a linear per-partition
+    * scan, no range-join row explosion. `right` must be
+    * (key, ts, payload...) with payload names disjoint from `left`'s;
+    * output = left.* + `asof_<payload>`... + `asof_ts`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    val payload = right.columns.filterNot(c => c == key || c == ts).toSeq
+    val l = left.withColumn("__side", lit(1))
+    val r = right.withColumn("__side", lit(0)).withColumn("__rts", col(ts))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(
+      u.withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))) {
+      (df, c) => df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__side") === 1)
+      .select(left.columns.map(col).toSeq ++
+        payload.map(c => col(s"asof_$c")) :+ col("asof_ts"): _*)
+  }
+
   /** Structured Streaming variants: identical expressions over a
     * streaming frame, with an event-time watermark bounding state.
     * Used with MemoryStream in tests; `readStream.parquet(dir)` in
     * production.
     */
   object streaming {
+
+    /** Custom arbitrary-state operator: running event count per user
+      * via `mapGroupsWithState` (the escape hatch when built-in window
+      * aggs can't express the state machine). Emits the updated total
+      * for every user touched in a micro-batch; state is one long per
+      * user, bounded by the user-id domain.
+      */
+    final case class UserCount(user_id: Long, n: Long)
+
+    def runningCountsPerUser(events: DataFrame): Dataset[UserCount] = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events.selectExpr("user_id").as[Long]
+        .groupByKey(identity)
+        .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout) {
+          (uid, it, state: GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + it.size
+            state.update(n)
+            UserCount(uid, n)
+        }
+    }
     def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
       events.withWatermark("ts", watermark)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

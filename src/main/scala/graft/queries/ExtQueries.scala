@@ -306,6 +306,82 @@ object ExtQueries {
       |      FROM part) t
       |WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin
 
+  // ===== as-of join / rollup / set ops / pivot ===========================
+
+  private def q32(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.read(spark, sfDir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    EventOps.asofJoin(clicks, purchases, "user_id", "ts")
+      .select(col("event_id"), col("asof_value"),
+        unix_micros(col("asof_ts")).as("asof_pts"))
+      .orderBy("event_id")
+  }
+
+  private val q32Oracle: String =
+    """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |purch AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, p.value AS asof_value, epoch_us(p.ts) AS asof_pts
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  private def q33(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(Norm.n2(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("rf").asc_nulls_first, col("ls").asc_nulls_first)
+
+  private val q33Oracle: String =
+    s"""SELECT l_returnflag AS rf, l_linestatus AS ls,
+       |  ${n2("sum(l_quantity)")} AS sum_qty, count(*) AS cnt
+       |FROM lineitem GROUP BY ROLLUP(rf, ls)
+       |ORDER BY rf ASC NULLS FIRST, ls ASC NULLS FIRST""".stripMargin
+
+  private def q34(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.read(spark, sfDir, "events")
+    def users(t: String) = ev.where(col("event_type") === t).select("user_id")
+    val both = users("click").intersect(users("purchase"))
+      .select(lit("both").as("tag"), col("user_id"))
+    val clickOnly = users("click").except(users("purchase"))
+      .select(lit("click_only").as("tag"), col("user_id"))
+    both.unionByName(clickOnly).orderBy("tag", "user_id")
+  }
+
+  private val q34Oracle: String =
+    """SELECT * FROM (
+      |  SELECT 'both' AS tag, user_id FROM
+      |    (SELECT user_id FROM events WHERE event_type = 'click'
+      |     INTERSECT
+      |     SELECT user_id FROM events WHERE event_type = 'purchase')
+      |  UNION ALL
+      |  SELECT 'click_only', user_id FROM
+      |    (SELECT user_id FROM events WHERE event_type = 'click'
+      |     EXCEPT
+      |     SELECT user_id FROM events WHERE event_type = 'purchase'))
+      |ORDER BY tag, user_id""".stripMargin
+
+  private val pivotSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  private def q35(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents")
+      .where(col("source").isin(pivotSources.map(lit): _*))
+      .groupBy("lang")
+      .pivot("source", pivotSources)
+      .count()
+      .na.fill(0L)
+      .orderBy("lang")
+
+  private val q35Oracle: String = {
+    val cols = pivotSources.map(s =>
+      s"count(CASE WHEN source = '$s' THEN 1 END) AS $s").mkString(", ")
+    s"""SELECT lang, $cols FROM documents
+       |WHERE source IN (${pivotSources.map(s => s"'$s'").mkString(", ")})
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q14_text_stats", q14, Some(q14Oracle)),
     QueryDef("q15_lang_id", q15, Some(q15Oracle)),
@@ -325,6 +401,10 @@ object ExtQueries {
     QueryDef("q29_tpch_q1", q29, Some(q29Oracle)),
     QueryDef("q30_join_enrich", q30, Some(q30Oracle)),
     QueryDef("q31_topk_window", q31, Some(q31Oracle)),
+    QueryDef("q32_asof_join", q32, Some(q32Oracle)),
+    QueryDef("q33_rollup", q33, Some(q33Oracle)),
+    QueryDef("q34_setops", q34, Some(q34Oracle)),
+    QueryDef("q35_pivot", q35, Some(q35Oracle)),
   )
 }
 

@@ -171,6 +171,45 @@ class OpsSpec extends EtlSpecBase {
     assert(streamed == batch)
   }
 
+  test("asofJoin: latest right row at-or-before, per key; null when none") {
+    val clicks = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 12:00:00")),
+      (102L, 2L, ts("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 5.0),
+      (1L, ts("2024-01-01 11:00:00"), 7.0),
+      (1L, ts("2024-01-01 12:00:00"), 9.0),  // equal ts -> included (>= tie)
+      (2L, ts("2024-01-01 10:00:00"), 3.0))  // after the only click of user 2
+      .toDF("user_id", "ts", "value")
+    val out = EventOps.asofJoin(clicks, purchases, "user_id", "ts")
+      .orderBy("event_id")
+      .select("event_id", "asof_value").collect()
+    assert(out(0).getDouble(1) == 5.0)            // 10:00 -> 09:30 purchase
+    assert(out(1).getDouble(1) == 9.0)            // 12:00 -> equal-ts purchase
+    assert(out(2).isNullAt(1))                    // user 2: no prior purchase
+  }
+
+  test("stateful streaming: mapGroupsWithState running counts accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Long]
+    val sdf = stream.toDF().toDF("user_id")
+    val q = EventOps.streaming.runningCountsPerUser(sdf)
+      .writeStream.format("memory").queryName("ucount_test")
+      .outputMode("update").start()
+    stream.addData(1L, 1L, 2L)
+    q.processAllAvailable()
+    stream.addData(1L, 2L, 2L)
+    q.processAllAvailable()
+    q.stop()
+    // last emitted row per user carries the cumulative count
+    val finalCounts = spark.table("ucount_test")
+      .groupBy("user_id").agg(max("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == Map(1L -> 3L, 2L -> 3L))
+  }
+
   test("jsonK extracts the numeric property") {
     val out = Seq("""{"k": 87}""", """{"x": 1}""").toDF("props")
       .select(EventOps.jsonK(col("props"))).as[Option[Int]].collect()
