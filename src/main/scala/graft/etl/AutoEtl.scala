@@ -50,24 +50,31 @@ object AutoEtl {
     val totalRows = prof.totalRows
 
     // -- stage 2: rare-category sets (reference: ETL_PROJECT.py:114-121) --
-    // Counted over the base-cleaned expression against the raw source so
-    // cleaning stays a single projection. The <50-distinct gate is checked
-    // on POST-clean values via limit(51): if 51 groups come back the column
-    // is not "really categorical" and nothing folds.
-    val rareSets: Map[String, Seq[String]] = types.collect {
-      case (c, ColType.Categorical) =>
-        val base = Cleaners.cleanCategoricalBase(col(c)).as("__v")
-        val counts = raw.select(base).where(col("__v").isNotNull)
-          .groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
-          .limit(51).collect()
-        val rare =
-          if (counts.length >= 51) Seq.empty[String]
-          else {
-            val thr = rareThreshold(totalRows)
-            counts.filter(_.getLong(1) < thr).map(_.getString(0)).toSeq.sorted
-          }
-        c -> rare
-    }
+    // ONE job for ALL categorical columns: (column, cleaned-value) pairs
+    // stack through a map-explode and one groupBy. Bounded collect:
+    // detection admits a column as categorical only with < 50 raw
+    // distinct values, and cleaning (title-fold + null-map) can only
+    // merge, so each column contributes < 50 groups. The reference's
+    // own post-clean `nunique < 50` gate is re-checked per column.
+    val catCols = types.collect { case (c, ColType.Categorical) => c }.toSeq
+    val rareSets: Map[String, Seq[String]] =
+      if (catCols.isEmpty) Map.empty
+      else {
+        val stacked = raw.select(
+          explode(map(catCols.flatMap(c =>
+            Seq(lit(c), Cleaners.cleanCategoricalBase(col(c)))): _*)).as(Seq("__c", "__v")))
+          .where(col("__v").isNotNull)
+        val counts = stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__n"))
+          .collect().groupBy(_.getString(0))
+        val thr = rareThreshold(totalRows)
+        catCols.map { c =>
+          val rows = counts.getOrElse(c, Array.empty)
+          val rare =
+            if (rows.length >= 50) Seq.empty[String]
+            else rows.filter(_.getLong(2) < thr).map(_.getString(1)).toSeq.sorted
+          c -> rare
+        }.toMap
+      }
 
     // -- stage 3: clean (single projection) -------------------------------
     val cleanedCols: Seq[Column] = raw.columns.toSeq.map { c =>

@@ -56,14 +56,30 @@ object Imputer {
     * ETL_PROJECT.py:152; trap P5 — Spark's own `mode()` ties are
     * nondeterministic). Returns None when the column is all-null.
     */
-  def mode(df: DataFrame, colName: String): Option[Any] = {
-    val rows: Array[Row] = df
-      .where(col(colName).isNotNull)
-      .groupBy(col(colName)).agg(count(lit(1)).as("__cnt"))
-      .orderBy(col("__cnt").desc, col(colName).asc)
-      .limit(1)
-      .collect()
-    rows.headOption.map(_.get(0))
+  def mode(df: DataFrame, colName: String): Option[Any] =
+    modes(df, Seq(colName)).get(colName)
+
+  /** Deterministic modes for MANY columns in one job per distinct
+    * column TYPE (values stack into a typed map-explode, so the
+    * tie-break `value asc` ordering runs on the native type and the
+    * returned literal keeps the column's type). A per-column loop of
+    * groupBy jobs is N full scans — this is one scan + one shuffle of
+    * (column, value) pairs per type.
+    */
+  def modes(df: DataFrame, cols: Seq[String]): Map[String, Any] = {
+    import org.apache.spark.sql.expressions.Window
+    if (cols.isEmpty) return Map.empty
+    cols.groupBy(c => df.schema(c).dataType).toSeq.flatMap { case (_, cs) =>
+      val stacked = df
+        .select(explode(map(cs.flatMap(c => Seq(lit(c), col(c))): _*)).as(Seq("__c", "__v")))
+        .where(col("__v").isNotNull)
+      val w = Window.partitionBy("__c").orderBy(col("__n").desc, col("__v").asc)
+      stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__n"))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+        .collect()
+        .map(r => r.getString(0) -> r.get(1))
+    }.toMap
   }
 
   /** The imputation decision for one column. */
@@ -89,6 +105,11 @@ object Imputer {
         types.get(c).contains(ColType.Numeric)
     }.toSeq
     val med = medians(df, needMedian, config.approxPercentiles, config.approxAccuracy)
+    val needMode = df.columns.filter { c =>
+      ratios(c) <= dropThreshold && ratios(c) > 0 &&
+        !types.get(c).contains(ColType.Numeric)
+    }.toSeq
+    val mod = modes(df, needMode)
     df.columns.toSeq.map { c =>
       val r = ratios(c)
       val d: Decision =
@@ -97,7 +118,7 @@ object Imputer {
           case Some(ColType.Numeric) =>
             med.get(c).map(FillMedian).getOrElse(FillMode("Unknown"))
           case _ =>
-            mode(df, c).map(FillMode).getOrElse(FillMode("Unknown"))
+            mod.get(c).map(FillMode).getOrElse(FillMode("Unknown"))
         }
         else Keep
       c -> d

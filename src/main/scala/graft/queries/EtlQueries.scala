@@ -339,6 +339,16 @@ object EtlQueries {
        |ORDER BY id""".stripMargin
   }
 
+  // -- q36: CSV sink + source round-trip through the full pipeline -------
+  // K1 (CSV write) -> S2 (all-strings CSV read, trap P7) -> transform;
+  // the cleaned output must equal the same golden VALUES as q13.
+  private def q36(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = s"/tmp/graft_q36_roundtrip.csv"
+    Io.write(Demo.dirtyDemo(spark), tmp)
+    val back = Io.read(spark, tmp)
+    AutoEtl.transform(back).data.orderBy(col("id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_detect_types", q01, Some(q01Oracle)),
     QueryDef("q02_clean_dates", q02, Some(q02Oracle)),
@@ -353,5 +363,6 @@ object EtlQueries {
     QueryDef("q11_summary_numeric", q11, Some(q11Oracle)),
     QueryDef("q12_summary_dates", q12, Some(q12Oracle)),
     QueryDef("q13_etl_demo_golden", q13, Some(q13Oracle)),
+    QueryDef("q36_csv_roundtrip", q36, Some(q13Oracle)),
   )
 }
