@@ -94,12 +94,17 @@ case class DataSummary(
     numericColumns: Map[String, NumericStats],
     dateColumns: Map[String, DateStats])
 
-/** Result of a full transform: cleaned frame + metadata. */
+/** Result of a full transform: cleaned frame + metadata. `data` is
+  * persisted (it fed the summary aggregates); call [[unpersist]] once
+  * consumed.
+  */
 case class EtlResult(
     data: org.apache.spark.sql.DataFrame,
     columnTypes: Map[String, ColType],
     report: CleaningReport,
-    summary: DataSummary)
+    summary: DataSummary) {
+  def unpersist(): Unit = { data.unpersist(); () }
+}
 
 /** Scale knobs for [[AutoEtl.transform]] (SURVEY.md §4 north-star).
   *

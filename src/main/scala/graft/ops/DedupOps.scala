@@ -114,11 +114,14 @@ object DedupOps {
       threshold: Double = 0.6,
       k: Int = 3): DataFrame = {
     val r = numHashes / bands
+    // MEMORY_AND_DISK + LRU eviction: the shingle sets are read twice
+    // (band generation + verification join); callers consume the result
+    // eagerly, after which the block is evictable
     val withSets = df.select(
       col(idCol).as("id"),
       shingleHashes(col(textCol), k).as("hs"))
       .where(size(col("hs")) > 0)
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = withSets
       .withColumn("sig", minhashSignature(col("hs"), numHashes))
       .select(col("id"), explode(bandKeys(col("sig"), bands, r)).as("band"))

@@ -210,6 +210,20 @@ class OpsSpec extends EtlSpecBase {
     assert(finalCounts == Map(1L -> 3L, 2L -> 3L))
   }
 
+  test("SQL surface: registered graft_* functions run in spark.sql") {
+    graft.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_tokenhash('spark') AS h, graft_pytitle('n/a') AS t,
+        |       graft_parse_date('15-03-2023') AS d, graft_simhash32('a b c') AS s
+        |""".stripMargin).collect()(0)
+    assert(row.getLong(0) ==
+      Seq("spark").toDF("x").select(TextOps.tokenHash(col("x"))).as[Long].head())
+    assert(row.getString(1) == "N/A")
+    assert(row.getDate(2).toString == "2023-03-15")
+    assert(row.getLong(3) ==
+      Seq("a b c").toDF("x").select(DedupOps.simhash32(col("x"))).as[Long].head())
+  }
+
   test("jsonK extracts the numeric property") {
     val out = Seq("""{"k": 87}""", """{"x": 1}""").toDF("props")
       .select(EventOps.jsonK(col("props"))).as[Option[Int]].collect()
