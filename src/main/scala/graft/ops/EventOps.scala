@@ -114,6 +114,30 @@ object EventOps {
         payload.map(c => col(s"asof_$c")) :+ col("asof_ts"): _*)
   }
 
+  /** Range self-join: pairs of events of the same key with
+    * `0 < b.ts - a.ts <= window`. A naive theta-join is a per-key cross
+    * product; the scalable shape is BUCKETING — bin timestamps to
+    * window-sized buckets, explode the left side into (bucket,
+    * bucket+1), equi-join on (key, bucket), then apply the exact range
+    * filter. Every qualifying pair matches exactly one bucket replica,
+    * so no dedup pass is needed; the join is a plain hash join on
+    * (key, bucket).
+    */
+  def rangeSelfJoin(events: DataFrame, key: String, ts: String,
+      windowMicros: Long): DataFrame = {
+    val e = events.select(col(key), col("event_id"),
+      unix_micros(col(ts)).as("tus"))
+    val a = e.withColumn("__b",
+        explode(array(expr(s"tus div $windowMicros"), expr(s"tus div $windowMicros") + 1)))
+      .select(col(key), col("event_id").as("a_id"), col("tus").as("a_tus"), col("__b"))
+    val b = e.withColumn("__b", expr(s"tus div $windowMicros"))
+      .select(col(key), col("event_id").as("b_id"), col("tus").as("b_tus"), col("__b"))
+    a.join(b, Seq(key, "__b"))
+      .where(col("b_tus") > col("a_tus") && col("b_tus") <= col("a_tus") + windowMicros)
+      .select(col(key), col("a_id"), col("b_id"),
+        (col("b_tus") - col("a_tus")).as("delta_us"))
+  }
+
   /** Structured Streaming variants: identical expressions over a
     * streaming frame, with an event-time watermark bounding state.
     * Used with MemoryStream in tests; `readStream.parquet(dir)` in

@@ -363,6 +363,19 @@ object ExtQueries {
       |     SELECT user_id FROM events WHERE event_type = 'purchase'))
       |ORDER BY tag, user_id""".stripMargin
 
+  private def q37(spark: SparkSession, sfDir: String): DataFrame =
+    EventOps.rangeSelfJoin(Tables.read(spark, sfDir, "events"),
+        "user_id", "ts", windowMicros = 5L * 60 * 1000000)
+      .orderBy("user_id", "a_id", "b_id")
+
+  private val q37Oracle: String =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts > a.ts
+      | AND b.ts <= a.ts + INTERVAL 5 MINUTE
+      |ORDER BY a.user_id, a_id, b_id""".stripMargin
+
   private val pivotSources = Seq("src0", "src1", "src2", "src3", "src4")
 
   private def q35(spark: SparkSession, sfDir: String): DataFrame =
@@ -402,6 +415,7 @@ object ExtQueries {
     QueryDef("q30_join_enrich", q30, Some(q30Oracle)),
     QueryDef("q31_topk_window", q31, Some(q31Oracle)),
     QueryDef("q32_asof_join", q32, Some(q32Oracle)),
+    QueryDef("q37_range_join", q37, Some(q37Oracle)),
     QueryDef("q33_rollup", q33, Some(q33Oracle)),
     QueryDef("q34_setops", q34, Some(q34Oracle)),
     QueryDef("q35_pivot", q35, Some(q35Oracle)),

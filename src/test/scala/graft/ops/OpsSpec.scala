@@ -191,6 +191,20 @@ class OpsSpec extends EtlSpecBase {
     assert(out(2).isNullAt(1))                    // user 2: no prior purchase
   }
 
+  test("rangeSelfJoin: bucketed pairs equal the exact range predicate incl. boundary") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 10:03:00")),
+      (1L, 12L, ts("2024-01-01 10:05:30")), // 5:30 after 10 -> out; 2:30 after 11 -> in
+      (1L, 13L, ts("2024-01-01 10:20:00")),
+      (2L, 20L, ts("2024-01-01 11:00:00")),
+      (2L, 21L, ts("2024-01-01 11:05:00"))) // exactly 5 min -> included (<=)
+      .toDF("user_id", "event_id", "ts")
+    val pairs = EventOps.rangeSelfJoin(events, "user_id", "ts", 5L * 60 * 1000000)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L), (11L, 12L), (20L, 21L)))
+  }
+
   test("stateful streaming: mapGroupsWithState running counts accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Long]
