@@ -395,6 +395,35 @@ object ExtQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ===== word count + moving average =====================================
+
+  private def q38(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(25)
+
+  private val q38Oracle: String =
+    s"""SELECT token, count(*) AS n
+       |FROM (SELECT unnest(${TextOps.tokensSql("text")}) AS token FROM documents)
+       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 25""".stripMargin
+
+  private def q39(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc)
+      .rowsBetween(-4, Window.currentRow)
+    Tables.read(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        Norm.n4(avg(col("value")).over(w)).as("mavg"))
+      .orderBy("user_id", "tus")
+  }
+
+  private val q39Oracle: String =
+    s"""SELECT user_id, epoch_us(ts) AS tus,
+       |  ${n4("avg(value) OVER (PARTITION BY user_id ORDER BY ts ASC ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)")} AS mavg
+       |FROM events ORDER BY user_id, tus""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q14_text_stats", q14, Some(q14Oracle)),
     QueryDef("q15_lang_id", q15, Some(q15Oracle)),
@@ -419,6 +448,8 @@ object ExtQueries {
     QueryDef("q33_rollup", q33, Some(q33Oracle)),
     QueryDef("q34_setops", q34, Some(q34Oracle)),
     QueryDef("q35_pivot", q35, Some(q35Oracle)),
+    QueryDef("q38_wordcount_topk", q38, Some(q38Oracle)),
+    QueryDef("q39_moving_avg", q39, Some(q39Oracle)),
   )
 }
 
