@@ -424,6 +424,19 @@ object ExtQueries {
        |  ${n4("avg(value) OVER (PARTITION BY user_id ORDER BY ts ASC ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)")} AS mavg
        |FROM events ORDER BY user_id, tus""".stripMargin
 
+  private def q40(spark: SparkSession, sfDir: String): DataFrame =
+    SkewOps.saltedAgg(Tables.read(spark, sfDir, "lineitem"), "l_returnflag",
+        salts = 32,
+        sums = Seq("l_quantity" -> "sq", "l_extendedprice" -> "sp"))
+      .select(col("l_returnflag").as("rf"), col("n"),
+        Norm.n2(col("sq")).as("sum_qty"), Norm.n2(col("sp")).as("sum_price"))
+      .orderBy("rf")
+
+  private val q40Oracle: String =
+    s"""SELECT l_returnflag AS rf, count(*) AS n,
+       |  ${n2("sum(l_quantity)")} AS sum_qty, ${n2("sum(l_extendedprice)")} AS sum_price
+       |FROM lineitem GROUP BY 1 ORDER BY rf""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q14_text_stats", q14, Some(q14Oracle)),
     QueryDef("q15_lang_id", q15, Some(q15Oracle)),
@@ -450,6 +463,7 @@ object ExtQueries {
     QueryDef("q35_pivot", q35, Some(q35Oracle)),
     QueryDef("q38_wordcount_topk", q38, Some(q38Oracle)),
     QueryDef("q39_moving_avg", q39, Some(q39Oracle)),
+    QueryDef("q40_salted_agg", q40, Some(q40Oracle)),
   )
 }
 

@@ -238,6 +238,23 @@ class OpsSpec extends EtlSpecBase {
       Seq("a b c").toDF("x").select(DedupOps.simhash32(col("x"))).as[Long].head())
   }
 
+  test("readStream file source: tumbling counts from a parquet directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val data = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 3.0)).toDF("ts", "event_type", "value")
+    data.write.mode("overwrite").parquet(dir)
+    val sdf = spark.readStream.schema(data.schema).parquet(dir)
+    val q = EventOps.streaming.tumblingCounts(sdf)
+      .writeStream.format("memory").queryName("file_tumble_test")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("file_tumble_test").orderBy("ws", "event_type")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("click", 2L), ("view", 1L)))
+  }
+
   test("jsonK extracts the numeric property") {
     val out = Seq("""{"k": 87}""", """{"x": 1}""").toDF("props")
       .select(EventOps.jsonK(col("props"))).as[Option[Int]].collect()
