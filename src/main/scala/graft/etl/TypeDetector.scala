@@ -43,11 +43,21 @@ object TypeDetector {
     * NaN fails `notna()` — exclude it; pandas accepts "inf"/"infinity"
     * spellings (→ non-null inf) which try_cast spells differently —
     * include them. (SURVEY.md trap P8.)
+    *
+    * The `translate`-emptiness charset gate serves two purposes:
+    * (1) perf — Spark's string→double cast throws-and-catches a
+    * NumberFormatException per failed parse (profiled as the detection
+    * hotspot on non-numeric columns); (2) parity — bare try_cast also
+    * accepts Java-isms like "1.0d"/"1.0f" that pandas AND DuckDB both
+    * reject, so gating on the decimal/scientific charset matches the
+    * oracle more closely, not less.
     */
   def numericParses(s: Column): Column = {
     val d = s.try_cast(DoubleType)
-    (d.isNotNull && !isnan(d)) ||
-      lower(trim(s)).isin("inf", "+inf", "-inf", "infinity", "+infinity", "-infinity")
+    val charsOk = translate(s, " \t\n\r0123456789.eE+-", "") === ""
+    when(charsOk, d.isNotNull && !isnan(d))
+      .otherwise(lower(trim(s)).isin(
+        "inf", "+inf", "-inf", "infinity", "+infinity", "-infinity"))
   }
 
   /** DuckDB rendering of [[numericParses]] for oracle SQL. */
