@@ -119,22 +119,39 @@ object AutoEtl {
     val imputed = Imputer.apply(cleaned, decisions)
 
     // -- stage 5: winsorize ------------------------------------------------
+    // The z-flag counts ride the NEXT action as an Observation (metrics
+    // collected map-side during the dedup/summary pass) instead of
+    // costing their own full scan; the dedup count comes from the
+    // summary's own count(*) — two fewer table scans per transform.
     val numericCols = imputed.columns.filter(c => types.get(c).contains(ColType.Numeric)).toSeq
     val wstats = Winsorizer.stats(imputed, numericCols, config)
-    val flagged = Winsorizer.flaggedCounts(imputed, wstats)
-    flagged.toSeq.sortBy(_._1).foreach { case (c, n) =>
-      if (n > 0) log(c, Action.OutliersClamped(n))
-    }
-    val winsorized = Winsorizer.apply(imputed, wstats)
+    val activeStats = wstats.filter(_._2.active).toSeq.sortBy(_._1)
+    val obs = new org.apache.spark.sql.Observation()
+    val imputedObserved =
+      if (activeStats.isEmpty) imputed
+      else {
+        val aggs = activeStats.map { case (c, st) =>
+          val z = abs((col(c) - lit(st.mean)) / lit(st.std))
+          count(when(z > Winsorizer.zThreshold, 1)).as(c)
+        }
+        imputed.observe(obs, aggs.head, aggs.tail: _*)
+      }
+    val winsorized = Winsorizer.apply(imputedObserved, wstats)
 
     // -- stage 6: exact dedup ----------------------------------------------
     val deduped = winsorized.dropDuplicates().persist(StorageLevel.MEMORY_AND_DISK)
-    val finalRows = deduped.count()
-    val removed = totalRows - finalRows
-    if (removed > 0) log("global", Action.DuplicatesRemoved(removed))
 
-    // -- stage 7: summary ----------------------------------------------------
+    // -- stage 7: summary (one action materializes dedup + observation) -----
     val summary = Summarizer.summarize(deduped, types)
+    val removed = totalRows - summary.totalRows
+    if (removed > 0) log("global", Action.DuplicatesRemoved(removed))
+    if (activeStats.nonEmpty) {
+      val metrics = obs.get
+      activeStats.foreach { case (c, _) =>
+        val n = metrics(c).asInstanceOf[Long]
+        if (n > 0) log(c, Action.OutliersClamped(n))
+      }
+    }
     cleaned.unpersist()
 
     EtlResult(deduped, types, CleaningReport(report.toMap), summary)
