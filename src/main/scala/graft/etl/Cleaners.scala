@@ -34,9 +34,25 @@ object Cleaners {
   /** C1 — numeric clean (reference: ETL_PROJECT.py:63-76): keep only
     * `[0-9.,+-]`, turn European decimal commas into dots (knowingly
     * breaking "1,234.56" like the reference does), null-map, cast.
-    * `try_cast` (ANSI-safe) mirrors `pd.to_numeric(errors="coerce")`.
+    *
+    * Kernel-backed ([[CleanKernels.cleanNumeric]]): the regexp_replace
+    * formulation allocates a Matcher per value and the cast throws per
+    * invalid value — together the hot cost of the cleaning projection
+    * at millions of rows. The kernel is one char scan + a shape check,
+    * allocation- and exception-free. [[cleanNumericExpr]] is the
+    * executable spec; a fuzz test pins kernel == expression.
     */
   def cleanNumeric(c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    ExprBridge.column(StaticInvoke(
+      CleanKernels.getClass, DoubleType, "cleanNumeric",
+      Seq(ExprBridge.expression(c.cast(StringType))), Seq(StringType),
+      propagateNull = true, returnNullable = true))
+  }
+
+  /** The pure-expression formulation of C1 (see [[cleanNumeric]]). */
+  def cleanNumericExpr(c: Column): Column = {
     val stripped = regexp_replace(c.cast(StringType), "[^0-9.,+-]", "")
     val dotted   = translate(stripped, ",", ".")
     mapNullLikes(dotted, numericNullLikes).try_cast(DoubleType)

@@ -51,6 +51,16 @@ object Io {
       throw new UnsupportedFormatException(other)
   }
 
+  /** Bucketed-table sink: co-locates future joins on `key` (PlanSpec
+    * proves the subsequent SortMergeJoin plans with no shuffle
+    * Exchange). The 100 TB recipe for fact tables joined repeatedly on
+    * the same key.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
+
   /** K4 — generic JDBC sink standing in for the reference's SQLite
     * `to_sql("cleaned_data", if_exists="replace")` (ETL_PROJECT.py:318-322).
     * No JDBC driver jar ships in this environment, so this is exercised

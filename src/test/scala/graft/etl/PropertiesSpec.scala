@@ -101,6 +101,23 @@ class PropertiesSpec extends EtlSpecBase {
     }
   }
 
+  test("fuzz: C1 numeric-clean kernel == expression formulation") {
+    val numish: Gen[String] = Gen.frequency(
+      4 -> dirtyGen,
+      2 -> Gen.oneOf("5.", ".5", "+.5", "-.", ".", "+", "5..", "1.2.3",
+        "--5", "+-3", "0.1.", "$ 1 200,50", "1,234.56", "12,5", "-,5", "1e3"),
+      1 -> Gen.asciiPrintableStr.map(_.take(16)))
+    val rows = sample(numish, 400).toDF("s")
+      .select(col("s"), Cleaners.cleanNumeric(col("s")).as("k"),
+        Cleaners.cleanNumericExpr(col("s")).as("e"))
+      .collect()
+    rows.foreach { r =>
+      val k = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val e = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(k == e, s"cleanNumeric kernel vs expr for '${r.getString(0)}'")
+    }
+  }
+
   test("fuzz: tokenHash kernel == HOF charHash formula on ASCII strings") {
     val asciiGen = Gen.listOf(Gen.frequency(
       5 -> Gen.alphaNumChar, 1 -> Gen.const(' '), 1 -> Gen.oneOf('.', ',', '-')))
