@@ -100,6 +100,23 @@ object TextOps {
   def avgTokenLenSql(e: String): String =
     s"(CAST(list_sum(list_transform(${tokensSql(e)}, t -> length(t))) AS DOUBLE) / len(${tokensSql(e)}))"
 
+  // ---- BPE-ish subword tokenization -------------------------------------
+
+  /** GPT2-style (simplified, RE2-safe: no lookarounds) subword split:
+    * space-prefixed letter runs, digit runs, punctuation runs, space
+    * runs. Alternation is leftmost-first in BOTH Java regex and RE2 —
+    * verified to tokenize identically.
+    */
+  val bpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(bpePattern), lit(0))
+
+  def nBpeTokens(c: Column): Column = size(bpeTokens(c)).cast(LongType)
+
+  def nBpeTokensSql(e: String): String =
+    s"len(regexp_extract_all($e, '$bpePattern'))"
+
   // ---- language ID (stopword-count heuristic) ---------------------------
 
   /** Tiny per-language stopword lists (public common words). Order is

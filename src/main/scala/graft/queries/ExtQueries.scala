@@ -424,6 +424,61 @@ object ExtQueries {
        |  ${n4("avg(value) OVER (PARTITION BY user_id ORDER BY ts ASC ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)")} AS mavg
        |FROM events ORDER BY user_id, tus""".stripMargin
 
+  private def q41(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents").select(
+      col("doc_id"),
+      TextOps.nBpeTokens(col("text")).as("n_bpe"),
+      TextOps.nTokens(col("text")).cast("long").as("n_ws"))
+      .orderBy("doc_id")
+
+  private val q41Oracle: String =
+    s"""SELECT doc_id, ${TextOps.nBpeTokensSql("text")} AS n_bpe,
+       |  ${TextOps.nTokensSql("text")} AS n_ws
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** embeddings plus exact copies of every 20th vector (near-dup bait). */
+  private val dupEmbCorpusSql: String =
+    """SELECT vec_id, embedding FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
+  private def q42(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.read(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val corpus = emb.unionByName(emb.where(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    // LSH buckets as the candidate generator (identical vectors share
+    // identical signatures -> guaranteed recall on exact dups), exact
+    // cosine >= 0.999 as the verifier
+    val b = corpus.select(col("vec_id"), SimilarityOps.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), explode(array((0 until 2).map(t =>
+        struct(lit(t).as("t"), SimilarityOps.bucket(col("v"), t, 64, 8).as("bk"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val cand = b.select(col("t"), col("bk"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(b.select(col("t"), col("bk"), col("vec_id").as("id_b"), col("v").as("vb")),
+        Seq("t", "bk"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.select(col("id_a"), col("id_b"),
+        (floor(SimilarityOps.cosine(col("va"), col("vb")) * 10000 + lit(0.5)).cast("double") / 10000.0).as("cos"))
+      .where(col("cos") >= 0.999)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q42Oracle: String = {
+    def buckets(alias: String) = (0 until 2).map(t =>
+      s"WHEN $t THEN ${SimilarityOps.bucketSql(alias, t, 64, 8)}")
+      .mkString("CASE t ", " ", " END")
+    s"""WITH corpus AS ($dupEmbCorpusSql),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
+       |b AS (SELECT vec_id, v, t, ${buckets("v")} AS bk FROM c, unnest([0, 1]) AS u(t)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+       |         FROM b a JOIN b b2 ON a.t = b2.t AND a.bk = b2.bk AND a.vec_id < b2.vec_id),
+       |scored AS (SELECT id_a, id_b,
+       |  ${OracleHelpers.n4(SimilarityOps.cosineSql("va", "vb"))} AS cos FROM cand)
+       |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.999
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private def q40(spark: SparkSession, sfDir: String): DataFrame =
     SkewOps.saltedAgg(Tables.read(spark, sfDir, "lineitem"), "l_returnflag",
         salts = 32,
@@ -464,6 +519,8 @@ object ExtQueries {
     QueryDef("q38_wordcount_topk", q38, Some(q38Oracle)),
     QueryDef("q39_moving_avg", q39, Some(q39Oracle)),
     QueryDef("q40_salted_agg", q40, Some(q40Oracle)),
+    QueryDef("q41_bpe_tokens", q41, Some(q41Oracle)),
+    QueryDef("q42_embed_neardup", q42, Some(q42Oracle)),
   )
 }
 
