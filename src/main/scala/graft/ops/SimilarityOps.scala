@@ -95,6 +95,29 @@ object SimilarityOps {
     terms.mkString("(", " + ", ")")
   }
 
+  /** Embedding near-duplicate pairs: hyperplane-LSH bucket candidates
+    * self-joined per table, verified with exact rounded cosine >=
+    * `threshold`. Identical vectors share identical signatures, so
+    * exact duplicates are found with guaranteed recall; near-dups
+    * follow the usual LSH recall curve.
+    */
+  def nearDupPairs(
+      corpus: DataFrame, threshold: Double,
+      tables: Int = 2, bits: Int = 8, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .select(col("vec_id"), col("v"), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), bucket(col("v"), t, dims, bits).as("bk"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val cand = b.select(col("t"), col("bk"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(b.select(col("t"), col("bk"), col("vec_id").as("id_b"), col("v").as("vb")),
+        Seq("t", "bk"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.select(col("id_a"), col("id_b"), cos4(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** ANN top-k: LSH-bucket candidates (any of `tables` tables), exact
     * cosine re-rank. Recall < 1 by design; the oracle replicates the
     * same buckets so results still match exactly.

@@ -446,21 +446,7 @@ object ExtQueries {
     val emb = Tables.read(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val corpus = emb.unionByName(emb.where(col("vec_id") % 20 === 0)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
-    // LSH buckets as the candidate generator (identical vectors share
-    // identical signatures -> guaranteed recall on exact dups), exact
-    // cosine >= 0.999 as the verifier
-    val b = corpus.select(col("vec_id"), SimilarityOps.asDouble(col("embedding")).as("v"))
-      .select(col("vec_id"), col("v"), explode(array((0 until 2).map(t =>
-        struct(lit(t).as("t"), SimilarityOps.bucket(col("v"), t, 64, 8).as("bk"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bk").as("bk"))
-    val cand = b.select(col("t"), col("bk"), col("vec_id").as("id_a"), col("v").as("va"))
-      .join(b.select(col("t"), col("bk"), col("vec_id").as("id_b"), col("v").as("vb")),
-        Seq("t", "bk"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"),
-        (floor(SimilarityOps.cosine(col("va"), col("vb")) * 10000 + lit(0.5)).cast("double") / 10000.0).as("cos"))
-      .where(col("cos") >= 0.999)
+    SimilarityOps.nearDupPairs(corpus, threshold = 0.999)
       .orderBy("id_a", "id_b")
   }
 
