@@ -177,5 +177,56 @@ object EventOps {
         .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"), unix_micros(col("w.start")).as("session_start"), col("n"))
+
+    /** Closed sessions via `flatMapGroupsWithState` with an event-time
+      * timeout — the fully-custom state machine (per-user open-session
+      * buffer; a session is EMITTED only once it closes, either because
+      * a later event arrives beyond the gap or because the watermark
+      * passes the timeout). Demonstrates the arbitrary-state API the
+      * built-in session_window can't express (e.g. sessions that also
+      * carry custom accumulated payloads).
+      */
+    final case class SessionState(start: Long, lastTs: Long, n: Long)
+    final case class ClosedSession(user_id: Long, session_start: Long, n: Long)
+
+    def closedSessions(events: DataFrame, gapMicros: Long = 10L * 60 * 1000000,
+        watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events.withWatermark("ts", watermark)
+        .selectExpr("user_id", "unix_micros(ts) AS tus", "ts")
+        .as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[SessionState, ClosedSession](
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+          (uid, rows, state: GroupState[SessionState]) =>
+            if (state.hasTimedOut) {
+              val s = state.get
+              state.remove()
+              Iterator(ClosedSession(uid, s.start, s.n))
+            } else {
+              val sorted = rows.map(_._2).toSeq.sorted
+              var st = state.getOption
+              val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+              sorted.foreach { t =>
+                st match {
+                  case Some(s) if t - s.lastTs <= gapMicros =>
+                    st = Some(s.copy(lastTs = t, n = s.n + 1))
+                  case Some(s) =>
+                    closed += ClosedSession(uid, s.start, s.n)
+                    st = Some(SessionState(t, t, 1))
+                  case None =>
+                    st = Some(SessionState(t, t, 1))
+                }
+              }
+              st.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp((s.lastTs + gapMicros) / 1000 + 1)
+              }
+              closed.iterator
+            }
+        }
+    }
   }
 }

@@ -255,6 +255,33 @@ class OpsSpec extends EtlSpecBase {
     assert(got == Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("flatMapGroupsWithState: sessions emit on gap-close and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sdf = stream.toDF().toDF("user_id", "ts")
+    val q = EventOps.streaming.closedSessions(sdf)
+      .writeStream.format("memory").queryName("fmgws_test")
+      .outputMode("append").start()
+    // batch 1: user 1 has an open session (2 events, 5 min apart)
+    stream.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    assert(spark.table("fmgws_test").count() == 0) // still open
+    // batch 2: an event far beyond the gap closes it in-group AND
+    // advances the watermark
+    stream.addData((1L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // batch 3: another user's event advances the watermark past the
+    // 12:00 session's timeout so IT emits too
+    stream.addData((2L, ts("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("fmgws_test")
+      .orderBy("session_start").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // first session: 2 events; second (12:00, 1 event) closed by timeout
+    assert(out.take(2) == Seq((1L, 2L), (1L, 1L)))
+  }
+
   test("jsonK extracts the numeric property") {
     val out = Seq("""{"k": 87}""", """{"x": 1}""").toDF("props")
       .select(EventOps.jsonK(col("props"))).as[Option[Int]].collect()

@@ -49,14 +49,10 @@ class PlanSpec extends EtlSpecBase {
     try {
       spark.sql("DROP TABLE IF EXISTS li_b")
       spark.sql("DROP TABLE IF EXISTS ord_b")
-      spark.read.parquet(s"$sf/lineitem.parquet")
-        .select("l_orderkey", "l_quantity")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("li_b")
-      spark.read.parquet(s"$sf/orders.parquet")
-        .select("o_orderkey", "o_totalprice")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("ord_b")
+      graft.etl.Io.writeBucketed(spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity"), "li_b", "l_orderkey", 8)
+      graft.etl.Io.writeBucketed(spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_totalprice"), "ord_b", "o_orderkey", 8)
       val joined = spark.table("li_b")
         .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
       joined.collect() // force planning + execution
