@@ -34,7 +34,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // defensive: a null SQL (e.g. an object-initialization-order bug in
+    // a query module) must not take down the whole round's JSON
+    val (nullSql, okSql) = SparkEntry.oracleSql.partition(_._2 == null)
+    nullSql.keys.foreach(k => System.err.println(s"[verify] $k has NULL oracle sql — skipped"))
+    val json = okSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -465,6 +465,21 @@ object ExtQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  private def q43(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(Norm.n4(percentile(col("l_quantity"), lit(0.5))).as("med_qty"),
+        Norm.n4(percentile(col("l_extendedprice"), lit(0.25))).as("p25_price"),
+        Norm.n4(percentile(col("l_extendedprice"), lit(0.75))).as("p75_price"))
+      .orderBy("rf")
+
+  private val q43Oracle: String =
+    s"""SELECT l_returnflag AS rf,
+       |  ${n4("quantile_cont(l_quantity, 0.5)")} AS med_qty,
+       |  ${n4("quantile_cont(l_extendedprice, 0.25)")} AS p25_price,
+       |  ${n4("quantile_cont(l_extendedprice, 0.75)")} AS p75_price
+       |FROM lineitem GROUP BY 1 ORDER BY rf""".stripMargin
+
   private def q40(spark: SparkSession, sfDir: String): DataFrame =
     SkewOps.saltedAgg(Tables.read(spark, sfDir, "lineitem"), "l_returnflag",
         salts = 32,
@@ -507,6 +522,7 @@ object ExtQueries {
     QueryDef("q40_salted_agg", q40, Some(q40Oracle)),
     QueryDef("q41_bpe_tokens", q41, Some(q41Oracle)),
     QueryDef("q42_embed_neardup", q42, Some(q42Oracle)),
+    QueryDef("q43_grouped_median", q43, Some(q43Oracle)),
   )
 }
 
