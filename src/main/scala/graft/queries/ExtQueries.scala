@@ -480,6 +480,41 @@ object ExtQueries {
        |  ${n4("quantile_cont(l_extendedprice, 0.75)")} AS p75_price
        |FROM lineitem GROUP BY 1 ORDER BY rf""".stripMargin
 
+  private def q44(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.read(spark, sfDir, "customer").select("c_custkey", "c_mktsegment")
+    val orders = Tables.read(spark, sfDir, "orders").select("o_custkey")
+    val withOrders = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("has_orders").as("tag"), col("c_custkey"), col("c_mktsegment"))
+    val without = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("no_orders").as("tag"), col("c_custkey"), col("c_mktsegment"))
+    withOrders.unionByName(without).orderBy("tag", "c_custkey")
+  }
+
+  private val q44Oracle: String =
+    """SELECT * FROM (
+      |  SELECT 'has_orders' AS tag, c_custkey, c_mktsegment FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  UNION ALL
+      |  SELECT 'no_orders', c_custkey, c_mktsegment FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  private def q45(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("cnt"), col("g_rf"), col("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"), col("rf").asc_nulls_first, col("ls").asc_nulls_first)
+
+  private val q45Oracle: String =
+    """SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS cnt,
+      |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+      |FROM lineitem GROUP BY CUBE(rf, ls)
+      |ORDER BY g_rf, g_ls, rf ASC NULLS FIRST, ls ASC NULLS FIRST""".stripMargin
+
   private def q40(spark: SparkSession, sfDir: String): DataFrame =
     SkewOps.saltedAgg(Tables.read(spark, sfDir, "lineitem"), "l_returnflag",
         salts = 32,
@@ -523,6 +558,8 @@ object ExtQueries {
     QueryDef("q41_bpe_tokens", q41, Some(q41Oracle)),
     QueryDef("q42_embed_neardup", q42, Some(q42Oracle)),
     QueryDef("q43_grouped_median", q43, Some(q43Oracle)),
+    QueryDef("q44_semi_anti", q44, Some(q44Oracle)),
+    QueryDef("q45_cube", q45, Some(q45Oracle)),
   )
 }
 
