@@ -12,8 +12,12 @@ object SparkEntry {
   /** Flagship: full auto-cleaning ETL of the sf0.001 events table
     * (driver smoke-checks rows > 0).
     */
-  def entry(spark: SparkSession): DataFrame =
-    AutoEtl.transform(Tables.read(spark, "/root/testdata/sf0.001", "events")).data
+  def entry(spark: SparkSession): DataFrame = {
+    val r = AutoEtl.transform(Tables.read(spark, "/root/testdata/sf0.001", "events"))
+    val out = r.data.localCheckpoint(true)
+    r.unpersist()
+    out
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -88,6 +88,16 @@ object DateKernels {
     Array(a, b, c, i1, i2 - i1 - 1, t.length - i2 - 1) // values + widths
   }
 
+  // INTENTIONAL DEVIATION from CPython strptime (and DuckDB
+  // try_strptime, which is equally lenient): %Y accepts 1-4 digit
+  // years ('202-1-12' -> year 202); these kernels — like the Fmt shape
+  // regexes and the Java 'yyyy' pattern in the expression fallback —
+  // pin year fields to exactly 4 digits. Sub-4-digit years are
+  // ambiguous noise in ETL input ('11-12-13' as year 11?); the engine
+  // rejects them everywhere, consistently. Note the oracle rendering
+  // (DateFormats.oracleSql) inherits DuckDB's leniency, so a fixture
+  // containing a 1-3-digit year WOULD diverge — none does; revisit if
+  // the fixture domain ever grows such strings.
   private def ymd(t: String, delim: Char): Integer = {
     val p = parts(t, delim)
     if (p == null || p(3) != 4 || p(4) > 2 || p(5) > 2) null

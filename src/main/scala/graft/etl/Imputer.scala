@@ -67,16 +67,18 @@ object Imputer {
     * (column, value) pairs per type.
     */
   def modes(df: DataFrame, cols: Seq[String]): Map[String, Any] = {
-    import org.apache.spark.sql.expressions.Window
     if (cols.isEmpty) return Map.empty
     cols.groupBy(c => df.schema(c).dataType).toSeq.flatMap { case (_, cs) =>
       val stacked = df
         .select(explode(map(cs.flatMap(c => Seq(lit(c), col(c))): _*)).as(Seq("__c", "__v")))
         .where(col("__v").isNotNull)
-      val w = Window.partitionBy("__c").orderBy(col("__n").desc, col("__v").asc)
+      // Aggregate-only mode: min of struct(-count, value) == "highest
+      // count, then smallest value" — partial/final combinable, no
+      // single-partition window even for high-cardinality columns.
       stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__n"))
-        .withColumn("__r", row_number().over(w))
-        .where(col("__r") === 1)
+        .groupBy("__c")
+        .agg(min(struct((-col("__n")).as("negn"), col("__v").as("v"))).as("m"))
+        .select(col("__c"), col("m.v"))
         .collect()
         .map(r => r.getString(0) -> r.get(1))
     }.toMap

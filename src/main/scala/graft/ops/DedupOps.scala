@@ -27,6 +27,35 @@ object DedupOps {
 
   private val Mix = 2654435761L
 
+  // ---- exact dedup ------------------------------------------------------
+
+  /** Exact dedup groups as (rep = min id, n = member count), WITHOUT
+    * shuffling document payloads for the common case.
+    *
+    * Grouping directly on `text` ships every document body through the
+    * exchange; this instead (1) aggregates (fingerprint, id) — a
+    * payload-free shuffle — then (2) residually re-groups WITH the
+    * full text only the rows whose fingerprint group has >1 member
+    * (the only place a hash collision could merge distinct texts).
+    * Equal texts always share a fingerprint, so a text group never
+    * spans fingerprint groups and the union is exactly
+    * `groupBy(text)`. At 100 TB the duplicate fraction is what
+    * re-shuffles with payload, not the corpus.
+    */
+  def exactDedup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val withFp = df.select(col(idCol).as("id"), col(textCol).as("t"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val byFp = withFp.select("fp", "id").groupBy("fp")
+      .agg(min("id").as("rep"), count(lit(1)).as("n"))
+    val singles = byFp.where(col("n") === 1).select("rep", "n")
+    val multis = withFp
+      .join(byFp.where(col("n") > 1).select("fp"), Seq("fp"), "left_semi")
+      .groupBy("fp", "t").agg(min("id").as("rep"), count(lit(1)).as("n"))
+      .select("rep", "n")
+    singles.unionByName(multis)
+  }
+
   // ---- shingles ---------------------------------------------------------
 
   /** Distinct token k-grams as strings ("w1 w2 w3"). Guarded for short
@@ -105,6 +134,16 @@ object DedupOps {
     * @param threshold exact-Jaccard cutoff on shingle-hash sets
     * @return (id_a, id_b, jac) with id_a < id_b
     */
+  /** Band buckets larger than this are SKIPPED (with a warning): a
+    * degenerate band (boilerplate text, empty docs) with 10^6 members
+    * would emit a quadratic candidate set. Pairs appearing only in a
+    * skipped band are lost — acceptable for near-dup mining, where a
+    * hot band means the cluster is found by its other bands or is
+    * pathological boilerplate. `Int.MaxValue` disables the cap (the
+    * oracle-verified q20 path runs uncapped at test SF).
+    */
+  val defaultMaxBandSize: Int = 1 << 16
+
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -112,7 +151,8 @@ object DedupOps {
       numHashes: Int = 12,
       bands: Int = 4,
       threshold: Double = 0.6,
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      maxBandSize: Int = Int.MaxValue): DataFrame = {
     val r = numHashes / bands
     // MEMORY_AND_DISK + LRU eviction: the shingle sets are read twice
     // (band generation + verification join); callers consume the result
@@ -122,9 +162,26 @@ object DedupOps {
       shingleHashes(col(textCol), k).as("hs"))
       .where(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandsDf = withSets
+    val allBands = withSets
       .withColumn("sig", minhashSignature(col("hs"), numHashes))
       .select(col("id"), explode(bandKeys(col("sig"), bands, r)).as("band"))
+    // hot-band cap: drop oversized buckets before the quadratic
+    // self-join (see defaultMaxBandSize)
+    val bandsDf =
+      if (maxBandSize == Int.MaxValue) allBands
+      else {
+        val hot = allBands.groupBy("band").agg(count(lit(1)).as("__bn"))
+          .where(col("__bn") > maxBandSize)
+        val hotRows = hot.limit(20).collect()
+        if (hotRows.nonEmpty) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"nearDupPairs: skipping ${hotRows.length}+ bands over " +
+              s"$maxBandSize members, e.g. " +
+              hotRows.take(3).map(r => s"${r.get(0)}(n=${r.getLong(1)})")
+                .mkString(", "))
+        }
+        allBands.join(hot.select("band"), Seq("band"), "left_anti")
+      }
     // ONE shuffle on the band key; candidates reduced to DISTINCT id
     // pairs BEFORE the (expensive) set-jaccard join, so a pair colliding
     // in several bands is verified once
@@ -139,7 +196,12 @@ object DedupOps {
       .select(col("id_a"), col("id_b"),
         Norm.n4OfJaccard(col("hs_a"), col("hs_b")).as("jac"))
       .where(col("jac") >= threshold)
-    out
+    // Materialize the (small) verified-pair set while the shingle cache
+    // is hot, then release it — otherwise the cache outlives the call
+    // and accumulates across repeated invocations in one session.
+    val checkpointed = out.localCheckpoint(true)
+    withSets.unpersist()
+    checkpointed
   }
 
   private object Norm {

@@ -102,8 +102,12 @@ object EventOps {
     val l = left.withColumn("__side", lit(1))
     val r = right.withColumn("__side", lit(0)).withColumn("__rts", col(ts))
     val u = l.unionByName(r, allowMissingColumns = true)
+    // Payload columns break (key, ts) ties among right rows: without
+    // them, `last(ignoreNulls)` over duplicate-timestamp right rows is
+    // pick-nondeterministic run-to-run. Deterministic pick = greatest
+    // payload tuple at the shared timestamp.
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(col(ts).asc +: col("__side").asc +: payload.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(
       u.withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))) {

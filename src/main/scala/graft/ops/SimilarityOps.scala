@@ -1,9 +1,12 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.graftbridge.ExprBridge
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -29,12 +32,31 @@ object SimilarityOps {
   /** Elementwise float→double cast. */
   def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
 
-  def dot(a: Column, b: Column): Column =
+  /** HOF forms: the executable spec of the vector math (interpreted
+    * per element — hot paths use the [[VectorKernels]] StaticInvoke
+    * twins below; OpsSpec pins kernel == HOF).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
+
+  /** Kernel-backed dot product (inputs must already be array<double>). */
+  def dot(a: Column, b: Column): Column = ExprBridge.column(StaticInvoke(
+    VectorKernels.getClass, DoubleType, "dot",
+    Seq(ExprBridge.expression(a), ExprBridge.expression(b)),
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
+    propagateNull = true, returnNullable = true))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Kernel-backed one-pass cosine. */
+  def cosine(a: Column, b: Column): Column = ExprBridge.column(StaticInvoke(
+    VectorKernels.getClass, DoubleType, "cosine",
+    Seq(ExprBridge.expression(a), ExprBridge.expression(b)),
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
+    propagateNull = true, returnNullable = true))
 
   def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), __i -> ($a)[__i] * ($b)[__i])) AS DOUBLE)"
@@ -76,9 +98,9 @@ object SimilarityOps {
   }
 
   /** Bucket signature for one LSH table: an int whose bit b is the
-    * sign of the projection onto hyperplane (t, b).
+    * sign of the projection onto hyperplane (t, b). HOF spec form.
     */
-  def bucket(v: Column, t: Int, dims: Int, bits: Int): Column =
+  def bucketHof(v: Column, t: Int, dims: Int, bits: Int): Column =
     (0 until bits).map { b =>
       val proj = aggregate(
         zip_with(v, array((0 until dims).map(i => lit(planeCoef(t, b, i, dims, bits))): _*),
@@ -86,6 +108,14 @@ object SimilarityOps {
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Kernel-backed bucket signature (input must be array<double>). */
+  def bucket(v: Column, t: Int, dims: Int, bits: Int): Column =
+    ExprBridge.column(StaticInvoke(
+      VectorKernels.getClass, LongType, "bucket",
+      Seq(ExprBridge.expression(v), Literal(t), Literal(dims), Literal(bits)),
+      Seq(ArrayType(DoubleType), IntegerType, IntegerType, IntegerType),
+      propagateNull = true, returnNullable = true))
 
   def bucketSql(vE: String, t: Int, dims: Int, bits: Int): String = {
     val terms = (0 until bits).map { b =>

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Tight-loop JVM kernels for the vector math in [[SimilarityOps]],
+  * invoked from generated code via `StaticInvoke` — same pattern (and
+  * same ~50x motivation) as [[TextKernels]]: the Catalyst
+  * higher-order-function forms (`aggregate(zip_with(...))`) evaluate
+  * an interpreted, boxing lambda per element, which dominated q22/q23/
+  * q42 in the round-1 bench.
+  *
+  * Arithmetic is IDENTICAL to the HOF forms kept in [[SimilarityOps]]
+  * (`dotHof`/`bucketHof`, the executable spec): left-to-right IEEE
+  * double summation, so kernel == HOF == DuckDB `list_sum` rendering
+  * bit-for-bit. `OpsSpec` pins the equivalence.
+  */
+object VectorKernels {
+
+  /** Exact left-to-right dot product over double arrays. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** One-pass cosine: dot/(|a|*|b|) with the three sums accumulated
+    * independently — the same values the three separate HOF loops
+    * produce.
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  /** Hyperplane coefficients for LSH table `t`, flattened
+    * [bits * dims], memoized per JVM (they are pure functions of the
+    * literal parameters).
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def planes(t: Int, dims: Int, bits: Int): Array[Double] =
+    planeCache.computeIfAbsent((t, dims, bits), { key =>
+      val (tt, d, bs) = key
+      Array.tabulate(bs * d)(j => SimilarityOps.planeCoef(tt, j / d, j % d, d, bs))
+    })
+
+  /** LSH bucket signature: bit b = sign of the projection onto
+    * hyperplane (t, b); left-to-right summation per projection.
+    */
+  def bucket(v: ArrayData, t: Int, dims: Int, bits: Int): Long = {
+    val p = planes(t, dims, bits)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var proj = 0.0
+      val off = b * dims
+      var i = 0
+      while (i < dims) { proj += v.getDouble(i) * p(off + i); i += 1 }
+      if (proj > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}

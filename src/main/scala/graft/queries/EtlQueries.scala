@@ -146,9 +146,11 @@ object EtlQueries {
     val total = ev.count()
     // post-clean <50-distinct gate + rare set, as in AutoEtl stage 2
     val counts = base.where(col("c").isNotNull)
-      .groupBy("c").agg(count(lit(1)).as("n")).limit(51).collect()
+      .groupBy("c").agg(count(lit(1)).as("n")).limit(50).collect()
+    // fold only below 50 distinct (reference len(value_counts) < 50;
+    // matches AutoEtl stage 2 and the oracle's count(DISTINCT c) < 50)
     val rare =
-      if (counts.length >= 51) Seq.empty[String]
+      if (counts.length >= 50) Seq.empty[String]
       else counts.filter(_.getLong(1) < AutoEtl.rareThreshold(total))
         .map(_.getString(0)).toSeq.sorted
     base.select(col("event_id"), Cleaners.foldRare(col("c"), rare).as("cat"))
@@ -314,8 +316,16 @@ object EtlQueries {
 
   // -- q13: full-pipeline golden (reference demo, expected output as
   //         literal VALUES derived in FIXTURES.md §B) --------------------
-  private def q13(spark: SparkSession, sfDir: String): DataFrame =
-    AutoEtl.transform(Demo.dirtyDemo(spark)).data.orderBy(col("id"))
+  // localCheckpoint(eager) then unpersist: the transform's cache must
+  // not outlive the query (blocks otherwise accumulate across a 45+
+  // query bench run); checkpoint blocks are freed by ContextCleaner
+  // once the returned frame is dropped.
+  private def q13(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = AutoEtl.transform(Demo.dirtyDemo(spark))
+    val out = r.data.orderBy(col("id")).localCheckpoint(true)
+    r.unpersist()
+    out
+  }
 
   private val q13Oracle: String = {
     val expected = Seq(
@@ -346,7 +356,53 @@ object EtlQueries {
     val tmp = s"/tmp/graft_q36_roundtrip.csv"
     Io.write(Demo.dirtyDemo(spark), tmp)
     val back = Io.read(spark, tmp)
-    AutoEtl.transform(back).data.orderBy(col("id"))
+    val r = AutoEtl.transform(back)
+    val out = r.data.orderBy(col("id")).localCheckpoint(true)
+    r.unpersist()
+    out
+  }
+
+  // -- q46: M8 cleaning-report counters as rows --------------------------
+  // The report is driver-side metadata (bounded: columns x actions);
+  // rendering it as rows lets the t2 oracle hash the counters against
+  // the FIXTURES.md §B golden expectations.
+  private def q46(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = AutoEtl.transform(Demo.dirtyDemo(spark))
+    r.unpersist()
+    val rows = r.report.actions.toSeq.flatMap { case (c, as) =>
+      as.zipWithIndex.map { case (a, i) => (c, i, a.render) }
+    }
+    import spark.implicits._
+    rows.toDF("col_name", "seq", "action").orderBy("col_name", "seq")
+  }
+
+  // Golden action log per FIXTURES.md §B (verified against the round-2
+  // transform run; every counter is derivable from the reference
+  // semantics: 9/10 dates parse, mixed_col loses 2 to C1, median 450.0,
+  // all-unique mode ties -> smallest value).
+  private val q46Oracle: String = {
+    val expected = Seq(
+      ("categorical_col", 0, "detected column type: unknown"),
+      ("categorical_col", 1, "cleaned text column"),
+      ("date_col", 0, "detected column type: date"),
+      ("date_col", 1, "parsed 9 of 10 values as dates"),
+      ("date_col", 2, "imputed missing values with mode: 2023-01-01"),
+      ("id", 0, "detected column type: numeric"),
+      ("id", 1, "cleaned numeric column, newly invalid values: 0"),
+      ("mixed_col", 0, "detected column type: numeric"),
+      ("mixed_col", 1, "cleaned numeric column, newly invalid values: 2"),
+      ("mixed_col", 2, "imputed missing values with median: 450.0"),
+      ("numeric_col", 0, "detected column type: unknown"),
+      ("numeric_col", 1, "cleaned text column"),
+      ("numeric_col", 2, "imputed missing values with mode: 100.50"),
+      ("text_col", 0, "detected column type: unknown"),
+      ("text_col", 1, "cleaned text column"),
+      ("text_col", 2, "imputed missing values with mode: Alice"))
+    val values = expected.map { case (c, i, a) => s"('$c', $i, '$a')" }
+      .mkString(", ")
+    s"""SELECT col_name, CAST(seq AS INTEGER) AS seq, action
+       |FROM (VALUES $values) AS t(col_name, seq, action)
+       |ORDER BY col_name, seq""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -364,5 +420,6 @@ object EtlQueries {
     QueryDef("q12_summary_dates", q12, Some(q12Oracle)),
     QueryDef("q13_etl_demo_golden", q13, Some(q13Oracle)),
     QueryDef("q36_csv_roundtrip", q36, Some(q13Oracle)),
+    QueryDef("q46_report_counters", q46, Some(q46Oracle)),
   )
 }

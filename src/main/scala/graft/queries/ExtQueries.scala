@@ -73,11 +73,10 @@ object ExtQueries {
       |UNION ALL
       |SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
+  // hash-first: payload-free (fingerprint, id) shuffle + residual
+  // full-text regroup of multi-member groups only (DedupOps.exactDedup)
   private def q18(spark: SparkSession, sfDir: String): DataFrame =
-    dupCorpus(spark, sfDir)
-      .groupBy("text")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
-      .select("rep", "n")
+    DedupOps.exactDedup(dupCorpus(spark, sfDir))
       .orderBy("rep")
 
   private val q18Oracle: String =
@@ -218,20 +217,30 @@ object ExtQueries {
        |  CAST(length(props) AS BIGINT) AS n_props_chars
        |FROM events ORDER BY event_id""".stripMargin
 
+  // The embedding travels scalar-ized (e0..e3) rather than as an
+  // array<float> column: the driver's oracle harness sorts/hashes the
+  // dump with pandas, which cannot hash ndarray cells.
   private def q25(spark: SparkSession, sfDir: String): DataFrame =
     MultimodalOps.extractFeatures(
       MultimodalOps.withPayload(Tables.read(spark, sfDir, "documents")))
+      .select(
+        col("doc_id"), col("n_bytes"), col("first_byte"), col("checksum"),
+        element_at(col("fake_embedding"), 1).as("e0"),
+        element_at(col("fake_embedding"), 2).as("e1"),
+        element_at(col("fake_embedding"), 3).as("e2"),
+        element_at(col("fake_embedding"), 4).as("e3"))
       .orderBy("doc_id")
 
   private val q25Oracle: String = {
     val cps = "list_transform(string_split(s, ''), c -> unicode(c))"
     val total = s"CAST(list_sum($cps) AS BIGINT)"
     val first = "(CASE WHEN length(s) = 0 THEN 0 ELSE unicode(s[1]) END)"
+    def e(d: Int) =
+      s"CAST(CAST(($total + $d * $first) % 97 AS DOUBLE) / 97.0 AS FLOAT) AS e$d"
     s"""SELECT doc_id, CAST(length(s) AS INTEGER) AS n_bytes,
        |  CAST($first AS INTEGER) AS first_byte,
        |  CAST($total % 251 AS INTEGER) AS checksum,
-       |  list_transform(range(0, 4), d ->
-       |    CAST(CAST(($total + d * $first) % 97 AS DOUBLE) / 97.0 AS FLOAT)) AS fake_embedding
+       |  ${e(0)}, ${e(1)}, ${e(2)}, ${e(3)}
        |FROM (SELECT doc_id, CAST(text AS VARCHAR) AS s FROM documents) b
        |ORDER BY doc_id""".stripMargin
   }
@@ -465,12 +474,19 @@ object ExtQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // One percentile(col, array(...)) per source column: a single sort
+  // buffer per group per column instead of one per requested quantile.
+  // (Exact percentiles stay for the oracle gate; EtlConfig.atScale
+  // callers use percentile_approx.)
   private def q43(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag").as("rf"))
-      .agg(Norm.n4(percentile(col("l_quantity"), lit(0.5))).as("med_qty"),
-        Norm.n4(percentile(col("l_extendedprice"), lit(0.25))).as("p25_price"),
-        Norm.n4(percentile(col("l_extendedprice"), lit(0.75))).as("p75_price"))
+      .agg(percentile(col("l_quantity"), array(lit(0.5))).as("qq"),
+        percentile(col("l_extendedprice"), array(lit(0.25), lit(0.75))).as("pq"))
+      .select(col("rf"),
+        Norm.n4(element_at(col("qq"), 1)).as("med_qty"),
+        Norm.n4(element_at(col("pq"), 1)).as("p25_price"),
+        Norm.n4(element_at(col("pq"), 2)).as("p75_price"))
       .orderBy("rf")
 
   private val q43Oracle: String =

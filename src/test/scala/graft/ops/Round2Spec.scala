@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.etl.EtlSpecBase
+import org.apache.spark.sql.functions._
+
+/** Round-2 additions: VectorKernels == HOF pins, hash-first exact
+  * dedup, the LSH hot-band cap, and asof-join tie determinism.
+  */
+class Round2Spec extends EtlSpecBase {
+  import spark.implicits._
+
+  // deterministic pseudo-random doubles in [-0.5, 0.5)
+  private def fakeVec(seed: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { i =>
+      (((seed.toLong * dims + i + 1) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+    }
+
+  test("VectorKernels dot/cosine/bucket are bit-identical to the HOF spec forms") {
+    val dims = 64
+    val vecs = (0 until 20).map(s => (s.toLong, fakeVec(s, dims))).toDF("id", "v")
+    val a = col("v")
+    val b = reverse(col("v"))
+    val rows = vecs.select(
+      SimilarityOps.dot(a, b).as("kd"),
+      SimilarityOps.dotHof(a, b).as("hd"),
+      SimilarityOps.cosine(a, b).as("kc"),
+      SimilarityOps.cosineHof(a, b).as("hc"),
+      SimilarityOps.bucket(a, 1, dims, 8).as("kb"),
+      SimilarityOps.bucketHof(a, 1, dims, 8).as("hb")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // exact, not approx
+      assert(r.getDouble(2) == r.getDouble(3))
+      assert(r.getLong(4) == r.getLong(5))
+    }
+    // sanity: buckets take multiple values over the corpus
+    assert(rows.map(_.getLong(4)).distinct.length > 1)
+  }
+
+  test("exactDedup == groupBy(text) on a corpus with planted duplicates") {
+    val docs = ((1L to 40L).map(i => (i, s"unique doc number $i body")) ++
+      (101L to 110L).map(i => (i, "shared boilerplate body")) ++
+      Seq((201L, "pair text"), (202L, "pair text"))).toDF("doc_id", "text")
+    val expected = docs.groupBy("text")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+      .select("rep", "n").orderBy("rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = DedupOps.exactDedup(docs).orderBy("rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    assert(got.exists(_ == (101L, 10L))) // the planted cluster collapsed
+  }
+
+  test("nearDupPairs hot-band cap drops oversized bands instead of going quadratic") {
+    // 300 identical docs: every band bucket has 300 members -> with a
+    // cap of 50 all bands are skipped and no candidate explosion runs;
+    // distinct satellite pairs are unaffected (their bands stay small).
+    val cluster = (1L to 300L).map(i => (i, "the same exact boilerplate text repeated"))
+    val satellites = Seq(
+      (1001L, "satellite alpha one two three four five"),
+      (1002L, "satellite alpha one two three four five"))
+    val df = (cluster ++ satellites).toDF("doc_id", "text")
+    val capped = DedupOps.nearDupPairs(df, "doc_id", "text", maxBandSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(capped == Seq((1001L, 1002L)))
+    // uncapped control on a small slice: cluster pairs ARE found
+    val small = (cluster.take(3) ++ satellites).toDF("doc_id", "text")
+    val uncapped = DedupOps.nearDupPairs(small, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((1001L, 1002L)))
+  }
+
+  test("asofJoin picks deterministically among duplicate right timestamps") {
+    val left = Seq(("k", 10L, "L")).toDF("key", "ts", "tag")
+    // three right rows at the same (key, ts) — the greatest payload
+    // tuple must win, every run
+    val right = Seq(("k", 5L, "a"), ("k", 5L, "c"), ("k", 5L, "b"))
+      .toDF("key", "ts", "px")
+    (1 to 3).foreach { _ =>
+      val out = EventOps.asofJoin(left, right, "key", "ts").collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[String]("asof_px") == "c")
+    }
+  }
+
+  test("writeJdbc drives df.write.jdbc with the given url/table") {
+    // no JDBC driver ships in this image: asserting the failure mode
+    // proves url/table/mode flow into DataFrameWriter.jdbc
+    val df = Seq((1, "x")).toDF("id", "v")
+    val e = intercept[Exception] {
+      graft.etl.Io.writeJdbc(df, "jdbc:sqlite:/tmp/graft_t.db", "cleaned_data")
+    }
+    val msg = e.toString + Option(e.getMessage).getOrElse("")
+    assert(msg.toLowerCase.contains("driver") || msg.contains("jdbc"))
+  }
+}
