@@ -67,14 +67,23 @@ object TypeDetector {
 
   def dateParses(s: Column): Column = DateFormats.parseDate(s).isNotNull
 
-  /** ONE aggregate pass computing every column's profile.
+  /** TWO aggregate passes computing every column's profile.
     *
-    * The parse flags and lengths are materialized in a projection BELOW
-    * the aggregate: the exact `count_distinct`s compile to an Expand
-    * (one replica per distinct-agg), and aggregate-level expressions
-    * would be re-evaluated per replica — the 16-format date parse ran
-    * 7x per value before this split. The projection computes each flag
-    * once per row; Expand then replicates cheap column references.
+    * Pass 1 — every cheap statistic (counts, parse flags, avg lengths)
+    * in ONE flat aggregate: the parse flags and lengths are
+    * materialized in a projection below the aggregate so the 16-format
+    * date parse runs once per value, and with no distinct-aggregate in
+    * the plan there is NO Expand — one codegen span, partial+final.
+    *
+    * Pass 2 — the exact distinct counts (required by the reference's
+    * hard `< 50` / ratio cutoffs) via a map-explode: (column, value)
+    * pairs, map-side-deduped by the partial aggregate, then counted per
+    * column. N exact `count_distinct`s in pass 1 would compile to an
+    * Expand replicating every projected column N+1 times through the
+    * aggregate (measured 14.5 s of a 75 s bench at sf0.1); the explode
+    * ships 2-column pairs instead and was measured ~5x cheaper. At very
+    * large scale call [[profile]] on `df.sample(...)` — the ratios are
+    * the decision inputs and subsample well.
     */
   def profile(df: DataFrame, columns: Seq[String] = Nil): TableProfile = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
@@ -93,20 +102,37 @@ object TypeDetector {
         count(col(s"$name::s")).as(s"$name::n"),
         count(when(col(s"$name::isdate"), 1)).as(s"$name::date"),
         count(when(col(s"$name::isnum"), 1)).as(s"$name::num"),
-        count_distinct(col(s"$name::s")).as(s"$name::dist"),
         avg(col(s"$name::len")).as(s"$name::len"),
         avg(col(s"$name::tlen")).as(s"$name::tlen"),
       )
     }
     val row = proj.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val distinct = distinctCounts(df, cols)
     def l(f: String): Long = if (row.isNullAt(row.fieldIndex(f))) 0L else row.getLong(row.fieldIndex(f))
     def d(f: String): Double = if (row.isNullAt(row.fieldIndex(f))) 0.0 else row.getDouble(row.fieldIndex(f))
     TableProfile(
       l("__total"),
       cols.map { c =>
         c -> ColProfile(l(s"$c::n"), l(s"$c::date"), l(s"$c::num"),
-          l(s"$c::dist"), d(s"$c::len"), d(s"$c::tlen"))
+          distinct.getOrElse(c, 0L), d(s"$c::len"), d(s"$c::tlen"))
       }.toMap)
+  }
+
+  /** Exact per-column distinct counts, Expand-free: posexplode to
+    * (ordinal, value) pairs — nulls dropped like `count_distinct` —
+    * dedup (map-side partials collapse in-partition duplicates before
+    * the shuffle), count per ordinal. Array, not map: no per-row key
+    * strings allocated.
+    */
+  private def distinctCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
+    val pairs = df.select(
+      posexplode(array(cols.map(c => col(c).cast(StringType)): _*))
+        .as(Seq("__i", "__v")))
+      .where(col("__v").isNotNull)
+    pairs.distinct()
+      .groupBy("__i").agg(count(lit(1)).as("__dist"))
+      .collect()
+      .map(r => cols(r.getInt(0)) -> r.getLong(1)).toMap
   }
 
   /** The 5-way decision, in the reference's exact rule order
