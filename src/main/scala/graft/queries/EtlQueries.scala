@@ -362,6 +362,20 @@ object EtlQueries {
     out
   }
 
+  // -- q48: JSONL sink + source round-trip (K3 + S4 oracle coverage) -----
+  // Same golden contract as q36, through the JSON Lines path. The demo
+  // frame is all-string, so JSON round-trips values verbatim; JSON
+  // read returns columns alphabetically, re-selected to demo order.
+  private def q48(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = s"/tmp/graft_q48_roundtrip.jsonl"
+    Io.write(Demo.dirtyDemo(spark), tmp)
+    val back = Io.read(spark, tmp).select(Demo.columns.map(col): _*)
+    val r = AutoEtl.transform(back)
+    val out = r.data.orderBy(col("id")).localCheckpoint(true)
+    r.unpersist()
+    out
+  }
+
   // -- q46: M8 cleaning-report counters as rows --------------------------
   // The report is driver-side metadata (bounded: columns x actions);
   // rendering it as rows lets the t2 oracle hash the counters against
@@ -421,5 +435,6 @@ object EtlQueries {
     QueryDef("q13_etl_demo_golden", q13, Some(q13Oracle)),
     QueryDef("q36_csv_roundtrip", q36, Some(q13Oracle)),
     QueryDef("q46_report_counters", q46, Some(q46Oracle)),
+    QueryDef("q48_jsonl_roundtrip", q48, Some(q13Oracle)),
   )
 }

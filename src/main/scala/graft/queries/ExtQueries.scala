@@ -259,6 +259,29 @@ object ExtQueries {
     EventOps.sessionize(Tables.read(spark, sfDir, "events"))
       .orderBy("user_id", "session_start")
 
+  // -- q47: Structured Streaming with a t2 oracle ------------------------
+  // The same tumbling aggregation as q26, executed as a STREAM: file
+  // source (AvailableNow trigger) -> windowed agg -> memory sink, then
+  // the sink table is returned as the query result. Streaming and
+  // batch share the oracle — the strongest form of the engine's
+  // "streaming == batch" contract (the round-1 gap: streaming paths
+  // were only MemoryStream-unit-tested, never oracle-hashed).
+  private def q47(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agged = EventOps.tumblingCounts(stream.withWatermark("ts", "2 hours"))
+    val sink = "graft_q47_sink"
+    val q = agged.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("ws", "event_type")
+  }
+
   // ===== classic query shapes (absent from the reference) ================
 
   private def q29(spark: SparkSession, sfDir: String): DataFrame =
@@ -576,6 +599,7 @@ object ExtQueries {
     QueryDef("q43_grouped_median", q43, Some(q43Oracle)),
     QueryDef("q44_semi_anti", q44, Some(q44Oracle)),
     QueryDef("q45_cube", q45, Some(q45Oracle)),
+    QueryDef("q47_stream_tumbling", q47, Some(EventOps.tumblingSql)),
   )
 }
 
