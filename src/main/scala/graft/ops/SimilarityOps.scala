@@ -148,6 +148,46 @@ object SimilarityOps {
       .where(col("cos") >= threshold)
   }
 
+  /** IVF-style ANN: the first `nCentroids` corpus vectors (by id) act
+    * as a deterministic coarse quantizer. Assignment is ONE map-side
+    * projection — the centroids are collected (bounded by
+    * `nCentroids`) and inlined as literals, so each row costs
+    * `nCentroids` kernel cosines and the corpus never shuffles for
+    * assignment. Queries probe their `nprobe` nearest cells;
+    * candidates = cell collisions; exact rounded-cosine re-rank.
+    *
+    * vs [[annTopK]] (random hyperplanes): IVF cells adapt to the data
+    * distribution — the classic trade is better recall per probe on
+    * clustered embeddings, at the cost of a (tiny) training/collect
+    * step. Ties and ranking use the same rounded-cosine + id ordering
+    * as the rest of the module, so the DuckDB oracle replicates cell
+    * assignment bit-for-bit.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 8, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val cents: Array[(Long, Seq[Double])] = c.orderBy("vec_id").limit(nCentroids)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def cellStructs(vec: Column) = array(cents.map { case (cid, cv) =>
+      struct((-cos4(vec, typedLit(cv))).as("nc"), lit(cid).as("cid"))
+    }: _*)
+    val assigned = c.select(col("vec_id"), col("v"),
+      element_at(array_sort(cellStructs(col("v"))), 1).getField("cid").as("cell"))
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(slice(array_sort(cellStructs(col("qv"))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cid").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cos4(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
   /** ANN top-k: LSH-bucket candidates (any of `tables` tables), exact
     * cosine re-rank. Recall < 1 by design; the oracle replicates the
     * same buckets so results still match exactly.

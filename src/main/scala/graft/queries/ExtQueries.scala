@@ -203,6 +203,38 @@ object ExtQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- q49: IVF ANN (data-dependent coarse quantizer) --------------------
+  private def q49(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    SimilarityOps.ivfTopK(emb, emb.where(col("vec_id") < 10), 3,
+        nCentroids = 8, nprobe = 2)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q49Oracle: String = {
+    val cs = OracleHelpers.n4(SimilarityOps.cosineSql("b.v", "cents.cv"))
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id LIMIT 8),
+       |ac AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+       |  FROM (SELECT b.vec_id, b.v, cents.cid, $cs AS cs
+       |        FROM c b CROSS JOIN cents) s),
+       |assign AS (SELECT vec_id, v, cid AS cell FROM ac WHERE rn = 1),
+       |qa AS (SELECT vec_id AS query_id, v AS qv, cid AS cell
+       |       FROM ac WHERE vec_id < 10 AND rn <= 2),
+       |cand AS (SELECT query_id, vec_id, qv, v
+       |         FROM assign JOIN qa USING(cell) WHERE vec_id != query_id),
+       |scored AS (SELECT query_id, vec_id,
+       |  ${OracleHelpers.n4(SimilarityOps.cosineSql("qv", "v"))} AS cos FROM cand),
+       |ranked AS (SELECT query_id, vec_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ===== multimodal ======================================================
 
   private def q24(spark: SparkSession, sfDir: String): DataFrame =
@@ -274,6 +306,7 @@ object ExtQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agged = EventOps.tumblingCounts(stream.withWatermark("ts", "2 hours"))
     val sink = "graft_q47_sink"
+    spark.catalog.dropTempView(sink) // re-runnable within one session
     val q = agged.writeStream.format("memory").queryName(sink)
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -600,6 +633,7 @@ object ExtQueries {
     QueryDef("q44_semi_anti", q44, Some(q44Oracle)),
     QueryDef("q45_cube", q45, Some(q45Oracle)),
     QueryDef("q47_stream_tumbling", q47, Some(EventOps.tumblingSql)),
+    QueryDef("q49_ann_ivf", q49, Some(q49Oracle)),
   )
 }
 

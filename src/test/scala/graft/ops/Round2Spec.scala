@@ -82,6 +82,20 @@ class Round2Spec extends EtlSpecBase {
     }
   }
 
+  test("ivfTopK: ranks are contiguous from 1 and the probe recalls near-identical vectors") {
+    val dims = 16
+    // 30 vectors; vec 25 is a near-copy of vec 20 (same cell, top hit)
+    val base = (0 until 30).map(s => (s.toLong, fakeVec(s, dims)))
+    val vecs = base.map { case (id, v) =>
+      if (id == 25L) (id, base(20)._2.map(_ * 1.001)) else (id, v)
+    }.toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfTopK(vecs, vecs.where($"vec_id" === 20), 3,
+      nCentroids = 4, nprobe = 2).orderBy("rank").collect()
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(out(0).getAs[Long]("vec_id") == 25L) // the planted near-dup
+    assert(out(0).getAs[Double]("cos") > 0.999)
+  }
+
   test("writeJdbc drives df.write.jdbc with the given url/table") {
     // no JDBC driver ships in this image: asserting the failure mode
     // proves url/table/mode flow into DataFrameWriter.jdbc
