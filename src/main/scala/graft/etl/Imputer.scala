@@ -69,19 +69,25 @@ object Imputer {
   def modes(df: DataFrame, cols: Seq[String]): Map[String, Any] = {
     if (cols.isEmpty) return Map.empty
     cols.groupBy(c => df.schema(c).dataType).toSeq.flatMap { case (_, cs) =>
-      val stacked = df
-        .select(explode(map(cs.flatMap(c => Seq(lit(c), col(c))): _*)).as(Seq("__c", "__v")))
-        .where(col("__v").isNotNull)
-      // Aggregate-only mode: min of struct(-count, value) == "highest
-      // count, then smallest value" — partial/final combinable, no
-      // single-partition window even for high-cardinality columns.
-      stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__n"))
-        .groupBy("__c")
-        .agg(min(struct((-col("__n")).as("negn"), col("__v").as("v"))).as("m"))
-        .select(col("__c"), col("m.v"))
-        .collect()
-        .map(r => r.getString(0) -> r.get(1))
+      modesFrame(df, cs).collect().map(r => r.getString(0) -> r.get(1))
     }.toMap
+  }
+
+  /** The per-type-group modes aggregation (one frame per distinct
+    * column TYPE — callers stack same-typed columns so the tie-break
+    * `value asc` runs on the native type). Aggregate-only: min of
+    * struct(-count, value) == "highest count, then smallest value" —
+    * partial/final combinable, no single-partition window even for
+    * high-cardinality columns (plan-asserted in PlanSpec).
+    */
+  def modesFrame(df: DataFrame, cs: Seq[String]): DataFrame = {
+    val stacked = df
+      .select(explode(map(cs.flatMap(c => Seq(lit(c), col(c))): _*)).as(Seq("__c", "__v")))
+      .where(col("__v").isNotNull)
+    stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__n"))
+      .groupBy("__c")
+      .agg(min(struct((-col("__n")).as("negn"), col("__v").as("v"))).as("m"))
+      .select(col("__c"), col("m.v"))
   }
 
   /** The imputation decision for one column. */

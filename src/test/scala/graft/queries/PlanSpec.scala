@@ -42,6 +42,35 @@ class PlanSpec extends EtlSpecBase {
     assert(plan.contains("partial_sum") || plan.contains("partial_count"))
   }
 
+  test("q18 exactDedup: the main dedup shuffle keys on the fingerprint alone") {
+    // hash-first dedup: the first-pass aggregate groups on fp only, so
+    // its exchange ships (fp, partial min, partial count) — never the
+    // document text. The residual regroup (fp, t) exchange exists too,
+    // but only multi-member groups reach it.
+    val plan = planOf("q18_dedup_docs")
+    val fpOnly = "Exchange hashpartitioning\\(fp#\\d+L?, \\d+\\)".r
+    assert(fpOnly.findFirstIn(plan).isDefined,
+      s"expected a fingerprint-only exchange:\n$plan")
+  }
+
+  test("VectorKernels expressions stay inside whole-stage codegen") {
+    val emb = Tables.read(spark, sf, "embeddings")
+    val df = emb.select(graft.ops.SimilarityOps.cosine(
+      graft.ops.SimilarityOps.asDouble(col("embedding")),
+      graft.ops.SimilarityOps.asDouble(reverse(col("embedding")))).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan) // WholeStageCodegen span marker
+    assert(plan.contains("static_invoke(graft.ops.VectorKernels.cosine"), plan)
+  }
+
+  test("Imputer.modes plans with no Window operator") {
+    val probe = graft.etl.Imputer.modesFrame(
+      Tables.read(spark, sf, "orders"), Seq("o_orderstatus", "o_orderpriority"))
+      .queryExecution.executedPlan.toString
+    assert(!probe.contains("Window"), probe)
+    assert(probe.contains("partial_min") || probe.contains("partial_count"), probe)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     // the 100 TB recipe for repeated fact-fact joins: bucket both sides
     // on the join key at write time; the join then needs no Exchange
