@@ -6,10 +6,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.graftbridge.RegistryBridge
-import org.apache.spark.sql.types.{DateType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, LongType, StringType}
 
 import graft.etl.{DateKernels, PyText}
-import graft.ops.TextKernels
+import graft.ops.{TextKernels, VectorKernels}
 
 /** SQL surface for the engine's kernel functions.
   *
@@ -39,6 +39,14 @@ object GraftFunctions {
       propagateNull = true, returnNullable = true)),
     "graft_pytitle" -> (c => StaticInvoke(
       PyText.getClass, StringType, "title", c, Seq(StringType),
+      propagateNull = true, returnNullable = true)),
+    "graft_dot" -> (c => StaticInvoke(
+      VectorKernels.getClass, DoubleType, "dot", c,
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
+      propagateNull = true, returnNullable = true)),
+    "graft_cosine" -> (c => StaticInvoke(
+      VectorKernels.getClass, DoubleType, "cosine", c,
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
       propagateNull = true, returnNullable = true)),
   )
 

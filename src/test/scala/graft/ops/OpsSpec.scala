@@ -236,6 +236,12 @@ class OpsSpec extends EtlSpecBase {
     assert(row.getDate(2).toString == "2023-03-15")
     assert(row.getLong(3) ==
       Seq("a b c").toDF("x").select(DedupOps.simhash32(col("x"))).as[Long].head())
+    val vec = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c
+        |""".stripMargin).collect()(0)
+    assert(vec.getDouble(0) == 11.0)
+    assert(vec.getDouble(1) == 1.0)
   }
 
   test("readStream file source: tumbling counts from a parquet directory") {
