@@ -77,23 +77,16 @@ object AutoEtl {
       }
 
     // -- stage 3: clean (single projection) -------------------------------
-    val cleanedCols: Seq[Column] = raw.columns.toSeq.map { c =>
-      val e = types(c) match {
-        case ColType.Numeric => Cleaners.cleanNumeric(col(c))
-        case ColType.Date    => Cleaners.cleanDate(col(c))
-        case ColType.Categorical =>
-          Cleaners.foldRare(Cleaners.cleanCategoricalBase(col(c)), rareSets(c))
-        case _ => // text AND unknown both text-clean (ETL_PROJECT.py:255-256)
-          Cleaners.cleanText(col(c), collapseWhitespace = prof.cols(c).avgTextCleanedLen > 20)
-      }
-      e.as(c)
-    }
+    val collapseWs: Map[String, Boolean] =
+      prof.cols.map { case (c, p) => c -> (p.avgTextCleanedLen > 20) }
     // localCheckpoint, not persist: stages 4-7 each submit a job whose
     // plan would otherwise re-analyze the full cleaning expression tree
     // (16-format date parse x columns — measured ~200 ms of driver-side
     // planning per job); the checkpoint truncates lineage to an RDD
     // scan. Blocks are MEMORY_AND_DISK and freed by ContextCleaner.
-    val cleaned = raw.select(cleanedCols: _*).localCheckpoint(true)
+    val cleaned = raw
+      .select(cleanedCols(raw.columns.toSeq, types, rareSets, collapseWs): _*)
+      .localCheckpoint(true)
 
     // -- stage 4: missing values ------------------------------------------
     val nulls = Imputer.nullCounts(cleaned)
@@ -157,7 +150,40 @@ object AutoEtl {
         if (n > 0) log(c, Action.OutliersClamped(n))
       }
     }
-    EtlResult(deduped, types, CleaningReport(report.toMap), summary)
+    EtlResult(deduped, types, CleaningReport(report.toMap), summary,
+      EtlModel(types, collapseWs, rareSets, decisions, wstats))
+  }
+
+  /** The stage-3 cleaning projection, shared by [[transform]] and
+    * [[EtlModel.apply]] (text AND unknown both text-clean,
+    * ETL_PROJECT.py:255-256).
+    */
+  def cleanedCols(
+      columns: Seq[String],
+      types: Map[String, ColType],
+      rareSets: Map[String, Seq[String]],
+      collapseWs: Map[String, Boolean]): Seq[Column] =
+    columns.map { c =>
+      val e = types(c) match {
+        case ColType.Numeric => Cleaners.cleanNumeric(col(c))
+        case ColType.Date    => Cleaners.cleanDate(col(c))
+        case ColType.Categorical =>
+          Cleaners.foldRare(Cleaners.cleanCategoricalBase(col(c)), rareSets(c))
+        case _ =>
+          Cleaners.cleanText(col(c),
+            collapseWhitespace = collapseWs.getOrElse(c, false))
+      }
+      e.as(c)
+    }
+
+  /** Fit-only facade: runs the full stats pipeline (on `df` — pass a
+    * sample at very large scale) and returns just the frozen
+    * [[EtlModel]]; the fitted frame's cache is released.
+    */
+  def fit(df: DataFrame, config: EtlConfig = EtlConfig.exact): EtlModel = {
+    val r = transform(df, config)
+    r.unpersist()
+    r.model
   }
 
   /** E1 — extract -> transform -> load (reference: ETL_PROJECT.py:326-349). */

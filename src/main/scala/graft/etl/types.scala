@@ -94,15 +94,41 @@ case class DataSummary(
     numericColumns: Map[String, NumericStats],
     dateColumns: Map[String, DateStats])
 
-/** Result of a full transform: cleaned frame + metadata. `data` is
-  * persisted (it fed the summary aggregates); call [[unpersist]] once
-  * consumed.
+/** Frozen per-column decisions of one fitted transform — the
+  * fit/apply split. Every field is a plain value (no DataFrames), so
+  * the model serializes trivially and [[apply]] is a STATELESS
+  * projection chain (clean -> impute -> winsorize): appliable to any
+  * frame with the fitted columns — a 100 TB batch partitioned freely,
+  * or every micro-batch of a stream (`readStream.transform(model.apply)`).
+  *
+  * Dedup is deliberately NOT part of the model: it is stateful. Batch
+  * callers get it from [[AutoEtl.transform]]; streams should use
+  * `dropDuplicates` within a watermark.
+  */
+case class EtlModel(
+    types: Map[String, ColType],
+    collapseWs: Map[String, Boolean],
+    rareSets: Map[String, Seq[String]],
+    decisions: Map[String, Imputer.Decision],
+    wstats: Map[String, Winsorizer.Stats]) {
+
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cleaned = df.select(AutoEtl.cleanedCols(df.columns.toSeq, types,
+      rareSets, collapseWs): _*)
+    Winsorizer.apply(Imputer.apply(cleaned, decisions), wstats)
+  }
+}
+
+/** Result of a full transform: cleaned frame + metadata + the frozen
+  * [[EtlModel]]. `data` is persisted (it fed the summary aggregates);
+  * call [[unpersist]] once consumed.
   */
 case class EtlResult(
     data: org.apache.spark.sql.DataFrame,
     columnTypes: Map[String, ColType],
     report: CleaningReport,
-    summary: DataSummary) {
+    summary: DataSummary,
+    model: EtlModel) {
   def unpersist(): Unit = { data.unpersist(); () }
 }
 

@@ -376,6 +376,17 @@ object EtlQueries {
     out
   }
 
+  // -- q50: fit/apply split ----------------------------------------------
+  // AutoEtl.fit freezes the demo's statistics into an EtlModel; the
+  // model's STATELESS projection (clean -> impute -> winsorize, no
+  // dedup — the demo has no duplicates) must reproduce the same golden
+  // VALUES as the full transform. This is the serve path a stream or a
+  // 100 TB batch applies without re-fitting.
+  private def q50(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = AutoEtl.fit(Demo.dirtyDemo(spark))
+    model(Demo.dirtyDemo(spark)).orderBy(col("id"))
+  }
+
   // -- q46: M8 cleaning-report counters as rows --------------------------
   // The report is driver-side metadata (bounded: columns x actions);
   // rendering it as rows lets the t2 oracle hash the counters against
@@ -436,5 +447,6 @@ object EtlQueries {
     QueryDef("q36_csv_roundtrip", q36, Some(q13Oracle)),
     QueryDef("q46_report_counters", q46, Some(q46Oracle)),
     QueryDef("q48_jsonl_roundtrip", q48, Some(q13Oracle)),
+    QueryDef("q50_model_apply", q50, Some(q13Oracle)),
   )
 }

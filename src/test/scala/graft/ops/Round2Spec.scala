@@ -96,6 +96,27 @@ class Round2Spec extends EtlSpecBase {
     assert(out(0).getAs[Double]("cos") > 0.999)
   }
 
+  test("EtlModel applies statelessly to a stream: micro-batch union == batch apply") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.etl.{AutoEtl, Demo}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val model = AutoEtl.fit(Demo.dirtyDemo(spark))
+    val stream = MemoryStream[(String, String, String, String, String, String)]
+    val streamDf = stream.toDS().toDF(Demo.columns: _*)
+    val sink = "graft_model_stream"
+    spark.catalog.dropTempView(sink)
+    val q = model(streamDf).writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val rows = Demo.rows.map(r => (r(0), r(1), r(2), r(3), r(4), r(5)))
+    stream.addData(rows.take(5)); q.processAllAvailable()
+    stream.addData(rows.drop(5)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(sink).orderBy("id").collect().toSeq
+    val batch = model(Demo.dirtyDemo(spark)).orderBy("id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 10)
+  }
+
   test("writeJdbc drives df.write.jdbc with the given url/table") {
     // no JDBC driver ships in this image: asserting the failure mode
     // proves url/table/mode flow into DataFrameWriter.jdbc
