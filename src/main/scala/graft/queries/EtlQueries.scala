@@ -26,11 +26,19 @@ object EtlQueries {
     "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
 
   private def q01(spark: SparkSession, sfDir: String): DataFrame = {
-    val rows = detectCols.flatMap { case (t, cols) =>
-      val df = Tables.read(spark, sfDir, t).select(cols.map(col): _*)
-      val types = TypeDetector.detect(df)
-      cols.map(c => (t, c, types(c).name))
+    // per-table profiles are independent jobs that each underutilize
+    // the cluster — submit them concurrently from the driver
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = detectCols.map { case (t, cols) =>
+      Future {
+        val df = Tables.read(spark, sfDir, t).select(cols.map(col): _*)
+        val types = TypeDetector.detect(df)
+        cols.map(c => (t, c, types(c).name))
+      }
     }
+    val rows = Await.result(Future.sequence(futures), 30.minutes).flatten
     spark.createDataFrame(rows)
       .toDF("table_name", "column_name", "detected")
       .orderBy("table_name", "column_name")
