@@ -117,6 +117,20 @@ class Round2Spec extends EtlSpecBase {
     assert(streamed.size == 10)
   }
 
+  test("EtlModel.apply drops the columns the fit decided to drop") {
+    import graft.etl.{AutoEtl, Imputer}
+    // 10 rows, one column 90% null -> Drop decision must survive the
+    // fit/apply round-trip
+    val df = (1 to 10).map(i =>
+      (i.toString, if (i == 1) "x" else null, s"v$i"))
+      .toDF("id", "mostly_null", "keep")
+    val model = AutoEtl.fit(df)
+    assert(model.decisions("mostly_null") == Imputer.Drop)
+    val out = model(df)
+    assert(out.columns.toSeq == Seq("id", "keep"))
+    assert(out.count() == 10)
+  }
+
   test("writeJdbc drives df.write.jdbc with the given url/table") {
     // no JDBC driver ships in this image: asserting the failure mode
     // proves url/table/mode flow into DataFrameWriter.jdbc
