@@ -51,7 +51,10 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Kernel-backed one-pass cosine. */
+  /** Kernel-backed one-pass cosine. Zero-norm inputs are outside the
+    * contract: the kernel's Java division yields NaN where the HOF
+    * spec form throws under ANSI mode.
+    */
   def cosine(a: Column, b: Column): Column = ExprBridge.column(StaticInvoke(
     VectorKernels.getClass, DoubleType, "cosine",
     Seq(ExprBridge.expression(a), ExprBridge.expression(b)),

@@ -133,6 +133,37 @@ class PropertiesSpec extends EtlSpecBase {
     }
   }
 
+  test("fuzz: vector kernels == HOF forms on arbitrary double vectors") {
+    import graft.ops.SimilarityOps
+    val vecGen: Gen[Seq[Double]] = for {
+      dims <- Gen.oneOf(1, 3, 8, 64)
+      v <- Gen.listOfN(dims, Gen.chooseNum(-1000000, 1000000)
+        .map(_.toDouble / 10007.0))
+    } yield v
+    // zero-norm vectors are outside the cosine contract (under ANSI the
+    // HOF divide throws where the kernel's Java division yields NaN)
+    val pairs = sample(vecGen, 300)
+      .map(v => if (v.forall(_ == 0.0)) 1.0 +: v.drop(1) else v)
+      .map(v => (v, v.reverse))
+    val rows = pairs.toDF("a", "b").select(
+      SimilarityOps.dot(col("a"), col("b")).as("kd"),
+      SimilarityOps.dotHof(col("a"), col("b")).as("hd"),
+      SimilarityOps.cosine(col("a"), col("b")).as("kc"),
+      SimilarityOps.cosineHof(col("a"), col("b")).as("hc")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bit-exact, no tolerance
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+    // bucket's dims parameter must equal the vector length (the plane
+    // table is indexed positionally) — fuzz it at fixed dims
+    val v64 = sample(Gen.listOfN(64,
+      Gen.chooseNum(-1000000, 1000000).map(_.toDouble / 10007.0)), 100)
+    val brows = v64.map(Tuple1(_)).toDF("a").select(
+      SimilarityOps.bucket(col("a"), 0, 64, 8).as("kb"),
+      SimilarityOps.bucketHof(col("a"), 0, 64, 8).as("hb")).collect()
+    brows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("approx scale mode: same types, near-identical winsorize stats at sf0.001") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_quantity").cast("string").as("q"),
