@@ -117,6 +117,22 @@ class Round2Spec extends EtlSpecBase {
     assert(streamed.size == 10)
   }
 
+  test("EtlModel round-trips through Java serialization (plain values only)") {
+    import graft.etl.{AutoEtl, Demo}
+    val model = AutoEtl.fit(Demo.dirtyDemo(spark))
+    val bytes = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bytes)
+    oos.writeObject(model); oos.close()
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+    val back = in.readObject().asInstanceOf[graft.etl.EtlModel]
+    assert(back == model)
+    // the deserialized model still cleans identically
+    val a = model(Demo.dirtyDemo(spark)).orderBy("id").collect().toSeq
+    val b = back(Demo.dirtyDemo(spark)).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("EtlModel.apply drops the columns the fit decided to drop") {
     import graft.etl.{AutoEtl, Imputer}
     // 10 rows, one column 90% null -> Drop decision must survive the
