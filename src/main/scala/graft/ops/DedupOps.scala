@@ -204,6 +204,49 @@ object DedupOps {
     checkpointed
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components by
+    * synchronous min-label propagation — every member labeled with the
+    * smallest id reachable through the pair graph.
+    *
+    * Scale shape: each iteration is one join + one aggregate (both
+    * partial/final combinable), and the label frame is
+    * `localCheckpoint`ed so lineage stays flat across iterations (the
+    * classic iterative-DataFrame trap). Converges in O(graph diameter)
+    * iterations; near-dup graphs are clique-like (diameter 1-2), so
+    * the 30-iteration cap is generous — hitting it logs a warning.
+    * Output: (member_id, cluster_rep) for every id appearing in a pair
+    * (singletons never enter the pair graph).
+    */
+  def dupClusters(pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+    val sym = edges
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint(true)
+    var changed = true
+    var iters = 0
+    while (changed && iters < 30) {
+      val nbr = sym
+        .join(labels.select(col("id").as("b"), col("rep").as("brep")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min("brep").as("nmin"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("rep").as("prev")), Seq("id"))
+        .where(col("rep") < col("prev")).limit(1).count() > 0
+      labels = next
+      iters += 1
+    }
+    if (changed)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"dupClusters: not converged after $iters iterations")
+    labels.select(col("id").as("member_id"), col("rep").as("cluster_rep"))
+  }
+
   private object Norm {
     def n4OfJaccard(a: Column, b: Column): Column =
       floor(jaccard(a, b) * lit(10000d) + lit(0.5d)).cast(DoubleType) / lit(10000d)

@@ -140,6 +140,36 @@ object ExtQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // -- q51: duplicate clusters over the LSH near-dup pairs ---------------
+  private def q51(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.dupClusters(
+      DedupOps.nearDupPairs(nearDupCorpus(spark, sfDir), "doc_id", "text",
+        MinHashes, Bands, JacThreshold))
+      .orderBy("member_id")
+
+  private val q51Oracle: String = {
+    val r = MinHashes / Bands
+    s"""WITH RECURSIVE corpus AS ($nearDupCorpusSql),
+       |hs AS (SELECT id, ${DedupOps.shingleHashesSql("text")} AS h FROM corpus),
+       |sigs AS (SELECT id, h, ${DedupOps.minhashSignatureSql("h", MinHashes)} AS sig
+       |         FROM hs WHERE len(h) > 0),
+       |bands AS (SELECT id, unnest(${DedupOps.bandKeysSql("sig", Bands, r)}) AS band FROM sigs),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+       |verified AS (SELECT id_a, id_b,
+       |  ${n4(DedupOps.jaccardSql("ha.h", "hb.h"))} AS jac
+       |  FROM cand JOIN sigs ha ON cand.id_a = ha.id JOIN sigs hb ON cand.id_b = hb.id),
+       |pairs AS (SELECT id_a, id_b FROM verified WHERE jac >= $JacThreshold),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, rep) AS (
+       |  SELECT DISTINCT a, a FROM sym
+       |  UNION
+       |  SELECT s.a, reach.rep FROM sym s JOIN reach ON s.b = reach.id)
+       |SELECT id AS member_id, min(rep) AS cluster_rep FROM reach
+       |GROUP BY id ORDER BY member_id""".stripMargin
+  }
+
   private def q21(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "documents")
       .select(col("doc_id"), DedupOps.simhash32(col("text")).as("sh"))
@@ -634,6 +664,7 @@ object ExtQueries {
     QueryDef("q45_cube", q45, Some(q45Oracle)),
     QueryDef("q47_stream_tumbling", q47, Some(EventOps.tumblingSql)),
     QueryDef("q49_ann_ivf", q49, Some(q49Oracle)),
+    QueryDef("q51_dup_clusters", q51, Some(q51Oracle)),
   )
 }
 

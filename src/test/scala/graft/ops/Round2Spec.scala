@@ -69,6 +69,16 @@ class Round2Spec extends EtlSpecBase {
     assert(uncapped.contains((1L, 2L)) && uncapped.contains((1001L, 1002L)))
   }
 
+  test("dupClusters: chains merge transitively, separate components stay apart") {
+    // 1-2, 2-3, 3-4 (a chain, diameter 3) plus the isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = DedupOps.dupClusters(pairs).orderBy("member_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
   test("asofJoin picks deterministically among duplicate right timestamps") {
     val left = Seq(("k", 10L, "L")).toDF("key", "ts", "tag")
     // three right rows at the same (key, ts) — the greatest payload
