@@ -66,4 +66,52 @@ object MultimodalOps {
     * in the projection layer — no decode needed).
     */
   def payloadBytes(payload: Column): Column = octet_length(payload)
+
+  /** Frame sampling (the video-pipeline shape): split a payload into
+    * `n` contiguous frames and compute one feature per frame — here a
+    * code-unit sum standing in for a real per-frame decode (the
+    * fixtures are ASCII, so code units == bytes == what a byte-range
+    * codec would see). Callers `posexplode` the result to scatter
+    * per-frame rows, process them, and re-aggregate — the
+    * scatter-gather every frame-level media pipeline needs.
+    */
+  def frameSums(textPayload: Column, n: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, ArrayType(LongType, containsNull = false),
+      "frameSums",
+      Seq(ExprBridge.expression(textPayload.cast(StringType)), Literal(n)),
+      Seq(StringType, IntegerType), propagateNull = true, returnNullable = true))
+  }
+}
+
+/** JVM kernel for the frame-sampling stub (StaticInvoke — same
+  * codegen-friendly pattern as [[TextKernels]]).
+  */
+object MultimodalKernels {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Frame i covers code units [i*len/n, (i+1)*len/n) (integer floor);
+    * the feature is the plain code-unit sum — 0 for empty frames,
+    * mirroring the oracle's coalesce(list_sum(...), 0).
+    */
+  def frameSums(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var j = i * len / n
+      val end = (i + 1) * len / n
+      var sum = 0L
+      while (j < end) { sum += str.charAt(j).toLong; j += 1 }
+      out(i) = sum
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -307,6 +307,24 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- q52: frame sampling (per-frame features via explode) --------------
+  private def q52(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(MultimodalOps.frameSums(col("text"), 4))
+          .as(Seq("frame_idx", "fsum")))
+      .orderBy("doc_id", "frame_idx")
+
+  private val q52Oracle: String = {
+    val cps = "list_transform(string_split(s, ''), c -> unicode(c))"
+    s"""WITH b AS (SELECT doc_id, CAST(text AS VARCHAR) AS s,
+       |  length(CAST(text AS VARCHAR)) AS len FROM documents)
+       |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |  CAST(coalesce(list_sum(($cps)[(i * len // 4) + 1 : ((i + 1) * len // 4)]), 0) AS BIGINT) AS fsum
+       |FROM b, unnest(range(0, 4)) AS u(i)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   // ===== event-time windows ==============================================
 
   private def q26(spark: SparkSession, sfDir: String): DataFrame =
@@ -665,6 +683,7 @@ object ExtQueries {
     QueryDef("q47_stream_tumbling", q47, Some(EventOps.tumblingSql)),
     QueryDef("q49_ann_ivf", q49, Some(q49Oracle)),
     QueryDef("q51_dup_clusters", q51, Some(q51Oracle)),
+    QueryDef("q52_frame_sample", q52, Some(q52Oracle)),
   )
 }
 
