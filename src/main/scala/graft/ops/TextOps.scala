@@ -167,6 +167,26 @@ object TextOps {
     * + 0.2·min(1, avgTokenLen/8) + 0.2·distinctRatio.
     * Same floating-op order in both renderings (parity).
     */
+  /** Gopher-style repetition ratio: the fraction of k-gram slots whose
+    * shingle repeats one seen earlier in the document
+    * (1 - distinct/total; 0 for docs shorter than k tokens). High
+    * values flag boilerplate — a standard training-data quality
+    * filter. Composes the existing shingle kernel; per-row projection,
+    * no shuffle.
+    */
+  def repetitionRatio(c: Column, k: Int = 3): Column = {
+    val total = greatest(size(tokens(c)) - (k - 1), lit(0)).cast(DoubleType)
+    val distinct = size(DedupOps.shingleHashes(c, k)).cast(DoubleType)
+    when(total > 0, lit(1.0) - distinct / total).otherwise(lit(0.0))
+  }
+
+  def repetitionRatioSql(e: String, k: Int = 3): String = {
+    val tok = tokensSql(e)
+    val total = s"CAST(greatest(len($tok) - ${k - 1}, 0) AS DOUBLE)"
+    val distinct = s"CAST(len(${DedupOps.shingleHashesSql(e, k)}) AS DOUBLE)"
+    s"(CASE WHEN $total > 0 THEN CAST(1.0 AS DOUBLE) - $distinct / $total ELSE CAST(0.0 AS DOUBLE) END)"
+  }
+
   def qualityScore(c: Column): Column = {
     val n = nTokens(c).cast(DoubleType)
     val lenScore = least(lit(1.0), n / lit(100.0))

@@ -50,6 +50,25 @@ object ExtQueries {
     s"""SELECT doc_id, ${n4(TextOps.qualityScoreSql("text"))} AS score
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- q53: repetition ratio (duplicate k-gram fraction) -----------------
+  private def q53(spark: SparkSession, sfDir: String): DataFrame = {
+    // doubled text guarantees a nonzero repeated-shingle band in the
+    // fixture domain (documents are mostly unique sentences)
+    val d = Tables.read(spark, sfDir, "documents")
+      .withColumn("rep_text", concat_ws(" ", col("text"), col("text")))
+    d.select(col("doc_id"),
+      Norm.n4(TextOps.repetitionRatio(col("text"))).as("rep"),
+      Norm.n4(TextOps.repetitionRatio(col("rep_text"))).as("rep_doubled"))
+      .orderBy("doc_id")
+  }
+
+  private val q53Oracle: String =
+    s"""WITH b AS (SELECT doc_id, text,
+       |  concat_ws(' ', text, text) AS rep_text FROM documents)
+       |SELECT doc_id, ${n4(TextOps.repetitionRatioSql("text"))} AS rep,
+       |  ${n4(TextOps.repetitionRatioSql("rep_text"))} AS rep_doubled
+       |FROM b ORDER BY doc_id""".stripMargin
+
   private def q17(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "documents").select(
       col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -684,6 +703,7 @@ object ExtQueries {
     QueryDef("q49_ann_ivf", q49, Some(q49Oracle)),
     QueryDef("q51_dup_clusters", q51, Some(q51Oracle)),
     QueryDef("q52_frame_sample", q52, Some(q52Oracle)),
+    QueryDef("q53_repetition", q53, Some(q53Oracle)),
   )
 }
 
