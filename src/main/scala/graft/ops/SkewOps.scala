@@ -28,4 +28,25 @@ object SkewOps {
       .agg(sum(col("__n")).as("n"),
         sums.map { case (_, as) => sum(col(s"__s_$as")).as(as) }: _*)
   }
+
+  /** Skew-safe equi-join: the manual salting recipe for when one join
+    * key owns a partition-breaking share of the big side. Big rows get
+    * a deterministic per-row salt; the small side is replicated once
+    * per salt value, so the hot key's rows spread over `salts` tasks
+    * while the join result is exactly the plain inner join (every big
+    * row finds its small-side match at its own salt). Cost: small side
+    * shuffles `salts` times — keep `salts` modest and the small side
+    * small. (AQE's skew-join split covers sort-merge cases at runtime;
+    * the explicit salt is the portable recipe and also works where AQE
+    * can't re-plan, e.g. under a required distribution.)
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val bigCols = big.columns.filterNot(_ == key)
+    val bigS = big.withColumn("__salt",
+      pmod(hash(bigCols.map(col).toSeq :+ col(key): _*), lit(salts)))
+    val smallR = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    bigS.join(smallR, Seq(key, "__salt")).drop("__salt")
+  }
 }

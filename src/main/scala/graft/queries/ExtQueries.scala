@@ -667,6 +667,23 @@ object ExtQueries {
        |  ${n2("sum(l_quantity)")} AS sum_qty, ${n2("sum(l_extendedprice)")} AS sum_price
        |FROM lineitem GROUP BY 1 ORDER BY rf""".stripMargin
 
+  // -- q54: salted skew-join == plain join -------------------------------
+  private def q54(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.read(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_linenumber"), col("l_quantity"))
+    val small = Tables.read(spark, sfDir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("ok"), col("o_orderpriority"))
+    SkewOps.saltedJoin(big, small, "ok", salts = 8)
+      .orderBy("ok", "l_linenumber")
+  }
+
+  private val q54Oracle: String =
+    """SELECT l_orderkey AS ok, l_linenumber, l_quantity, o_orderpriority
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY ok, l_linenumber""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q14_text_stats", q14, Some(q14Oracle)),
     QueryDef("q15_lang_id", q15, Some(q15Oracle)),
@@ -704,6 +721,7 @@ object ExtQueries {
     QueryDef("q51_dup_clusters", q51, Some(q51Oracle)),
     QueryDef("q52_frame_sample", q52, Some(q52Oracle)),
     QueryDef("q53_repetition", q53, Some(q53Oracle)),
+    QueryDef("q54_salted_join", q54, Some(q54Oracle)),
   )
 }
 

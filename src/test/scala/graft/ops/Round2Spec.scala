@@ -79,6 +79,19 @@ class Round2Spec extends EtlSpecBase {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("saltedJoin == plain inner join, including a planted hot key") {
+    val big = ((1L to 200L).map(i => (42L, i)) ++ // hot key
+      (1L to 50L).map(i => (i, i * 100))).toDF("k", "payload")
+    val small = Seq((42L, "hot"), (7L, "cold"), (99L, "unmatched"))
+      .toDF("k", "tag")
+    val salted = SkewOps.saltedJoin(big, small, "k", salts = 4)
+      .orderBy("k", "payload").collect().map(_.toSeq).toSeq
+    val plain = big.join(small, Seq("k"))
+      .orderBy("k", "payload").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+    assert(salted.count(_.head == 42L) == 201) // 200 hot + key 42 from the ramp
+  }
+
   test("asofJoin picks deterministically among duplicate right timestamps") {
     val left = Seq(("k", 10L, "L")).toDF("key", "ts", "tag")
     // three right rows at the same (key, ts) — the greatest payload
