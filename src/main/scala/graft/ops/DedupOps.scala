@@ -233,12 +233,11 @@ object DedupOps {
         .groupBy(col("a").as("id")).agg(min("brep").as("nmin"))
       val next = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
+          (col("nmin") < col("rep")).as("__chg"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("rep").as("prev")), Seq("id"))
-        .where(col("rep") < col("prev")).limit(1).count() > 0
-      labels = next
+      changed = next.where(col("__chg")).limit(1).count() > 0
+      labels = next.drop("__chg")
       iters += 1
     }
     if (changed)
