@@ -38,7 +38,13 @@ object AutoEtl {
     // -- stage 1: detect -------------------------------------------------
     // 100 TB mode: the detection ratios subsample well; total row count
     // stays exact (one cheap count scan vs the full stats pass)
-    val prof = config.detectionSample match {
+    val effectiveSample: Option[Double] = config.detectionSample.orElse {
+      config.autoSampleBytes.collect {
+        case limit if raw.queryExecution.optimizedPlan.stats.sizeInBytes > limit =>
+          0.01
+      }
+    }
+    val prof = effectiveSample match {
       case Some(f) =>
         val sampled = TypeDetector.profile(raw.sample(withReplacement = false, f, seed = 42L))
         sampled.copy(totalRows = raw.count())

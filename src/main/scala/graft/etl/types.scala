@@ -154,7 +154,14 @@ case class EtlResult(
 final case class EtlConfig(
     detectionSample: Option[Double] = None,
     approxPercentiles: Boolean = false,
-    approxAccuracy: Int = 10000)
+    approxAccuracy: Int = 10000,
+    /** When set, detection switches to `detectionSample` (or 1%)
+      * automatically once Catalyst's size estimate for the input
+      * exceeds this many bytes — a zero-cost trigger (plan statistics,
+      * no extra scan), so small inputs keep exact detection and a
+      * 100 TB input samples without the caller having to know.
+      */
+    autoSampleBytes: Option[Long] = None)
 
 object EtlConfig {
   /** t2 correctness mode: exact statistics everywhere. */
@@ -162,4 +169,9 @@ object EtlConfig {
   /** 100 TB mode: sampled detection + sketch percentiles. */
   val atScale: EtlConfig =
     EtlConfig(detectionSample = Some(0.01), approxPercentiles = true)
+  /** Exact until the input's size estimate crosses ~1 GiB, then
+    * sampled detection (percentiles stay exact — flip
+    * `approxPercentiles` separately when group cardinality demands).
+    */
+  val auto: EtlConfig = EtlConfig(autoSampleBytes = Some(1L << 30))
 }

@@ -140,6 +140,21 @@ class Round2Spec extends EtlSpecBase {
     assert(streamed.size == 10)
   }
 
+  test("EtlConfig.autoSampleBytes flips detection to sampled above the size estimate") {
+    import graft.etl.{AutoEtl, ColType, EtlConfig}
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    // threshold 1 byte -> always sampled; numeric/date columns must
+    // still be typed correctly from the 1% sample
+    val sampled = AutoEtl.transform(orders, EtlConfig(autoSampleBytes = Some(1L)))
+    sampled.unpersist()
+    assert(sampled.columnTypes("o_orderkey") == ColType.Numeric)
+    assert(sampled.summary.totalRows == orders.count()) // total stays exact
+    // threshold MaxValue -> never sampled; same code path as exact
+    val exact = AutoEtl.transform(orders, EtlConfig(autoSampleBytes = Some(Long.MaxValue)))
+    exact.unpersist()
+    assert(exact.columnTypes == AutoEtl.transform(orders).columnTypes)
+  }
+
   test("EtlModel round-trips through Java serialization (plain values only)") {
     import graft.etl.{AutoEtl, Demo}
     val model = AutoEtl.fit(Demo.dirtyDemo(spark))
