@@ -192,6 +192,24 @@ object AutoEtl {
     r.model
   }
 
+  /** Streaming ETL with drift adaptation: every micro-batch is cleaned
+    * by the current [[EtlModel]]; the model is re-fitted ON the batch
+    * itself at batch 0 and every `refitEvery` batches after (pass 0 to
+    * fit once and never again). `sink` receives each cleaned batch —
+    * the `foreachBatch` escape hatch, because a fit is a multi-job
+    * statistics pass that can't run inside a continuous plan. Empty
+    * batches never trigger a refit (there is nothing to fit on).
+    */
+  def streamWithRefit(stream: DataFrame, refitEvery: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    @volatile var model: Option[EtlModel] = None
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val due = model.isEmpty || (refitEvery > 0 && id % refitEvery == 0)
+      if (due && !batch.isEmpty) model = Some(fit(batch))
+      model.foreach(m => sink(m(batch), id))
+    }.start()
+  }
+
   /** E1 — extract -> transform -> load (reference: ETL_PROJECT.py:326-349). */
   def run(spark: SparkSession, sourcePath: String, sinkPath: Option[String] = None): EtlResult = {
     val raw = Io.read(spark, sourcePath)

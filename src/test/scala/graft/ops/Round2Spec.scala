@@ -140,6 +140,29 @@ class Round2Spec extends EtlSpecBase {
     assert(streamed.size == 10)
   }
 
+  test("streamWithRefit re-fits on drift: numeric batch then text batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.etl.AutoEtl
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[String]
+    val seen = scala.collection.mutable.Map[Long, Seq[org.apache.spark.sql.Row]]()
+    val q = AutoEtl.streamWithRefit(stream.toDS().toDF("c"), refitEvery = 1) {
+      (batch, id) => seen.synchronized { seen(id) = batch.orderBy("c").collect().toSeq }
+    }
+    // batch 0: clearly numeric -> model types c numeric, cleans to doubles
+    stream.addData((1 to 20).map(i => s"$i.5"))
+    q.processAllAvailable()
+    // batch 1: drifted to free text -> refit -> text cleaning (strings survive)
+    stream.addData(Seq("  hello world  ", "N/A", "some text value"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen(0L).map(_.getDouble(0)).sorted.head == 1.5)
+    // refit on the text batch: trimmed, 'N/A' null-mapped, then
+    // mode-imputed with the smallest tied value ('hello world')
+    val b1 = seen(1L).map(_.getString(0)).sorted
+    assert(b1 == Seq("hello world", "hello world", "some text value"))
+  }
+
   test("EtlConfig.autoSampleBytes flips detection to sampled above the size estimate") {
     import graft.etl.{AutoEtl, ColType, EtlConfig}
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
