@@ -49,8 +49,11 @@ object DedupOps {
     val byFp = withFp.select("fp", "id").groupBy("fp")
       .agg(min("id").as("rep"), count(lit(1)).as("n"))
     val singles = byFp.where(col("n") === 1).select("rep", "n")
+    // null-SAFE semi join: null texts have a null fingerprint, and a
+    // plain equi-join would silently drop that whole group
     val multis = withFp
-      .join(byFp.where(col("n") > 1).select("fp"), Seq("fp"), "left_semi")
+      .join(byFp.where(col("n") > 1).select(col("fp").as("__mfp")),
+        col("fp") <=> col("__mfp"), "left_semi")
       .groupBy("fp", "t").agg(min("id").as("rep"), count(lit(1)).as("n"))
       .select("rep", "n")
     singles.unionByName(multis)

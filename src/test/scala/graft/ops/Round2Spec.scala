@@ -50,6 +50,19 @@ class Round2Spec extends EtlSpecBase {
     assert(got.exists(_ == (101L, 10L))) // the planted cluster collapsed
   }
 
+  test("exactDedup groups null texts together, like groupBy(text)") {
+    val docs = Seq((1L, "a"), (2L, null), (3L, "a"), (4L, null), (5L, "b"))
+      .toDF("doc_id", "text")
+    val expected = docs.groupBy("text")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+      .select("rep", "n").orderBy("rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = DedupOps.exactDedup(docs).orderBy("rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    assert(got.contains((2L, 2L))) // both nulls collapse to rep=2
+  }
+
   test("nearDupPairs hot-band cap drops oversized bands instead of going quadratic") {
     // 300 identical docs: every band bucket has 300 members -> with a
     // cap of 50 all bands are skipped and no candidate explosion runs;
