@@ -44,12 +44,28 @@ object AutoEtl {
           0.01
       }
     }
+    // sampleTotal: the profile's OWN row count — under sampling the
+    // per-column stats are sample counts and must be ratioed against
+    // this, never against the exact totalRows (mixing the two made the
+    // stage-4 rawNull estimate ~= totalRows, i.e. garbage)
+    var sampleTotal: Long = 0L
     val prof = effectiveSample match {
       case Some(f) =>
         val sampled = TypeDetector.profile(raw.sample(withReplacement = false, f, seed = 42L))
+        sampleTotal = sampled.totalRows
         sampled.copy(totalRows = raw.count())
-      case None => TypeDetector.profile(raw)
+      case None =>
+        val p = TypeDetector.profile(raw)
+        sampleTotal = p.totalRows
+        p
     }
+    // raw (pre-clean) null count per column: exact when unsampled, a
+    // ratio-scaled estimate when detection sampled
+    def rawNullOf(c: String): Long =
+      if (sampleTotal == 0) 0L
+      else if (sampleTotal == prof.totalRows) prof.totalRows - prof.cols(c).nonNull
+      else math.round(
+        prof.totalRows * (1.0 - prof.cols(c).nonNull.toDouble / sampleTotal))
     val types: Map[String, ColType] =
       prof.cols.map { case (c, p) => c -> TypeDetector.decide(p) }
     raw.columns.foreach(c => log(c, Action.DetectedType(types(c))))
@@ -97,7 +113,7 @@ object AutoEtl {
     // -- stage 4: missing values ------------------------------------------
     val nulls = Imputer.nullCounts(cleaned)
     raw.columns.foreach { c =>
-      val rawNull = totalRows - prof.cols(c).nonNull
+      val rawNull = rawNullOf(c)
       types(c) match {
         case ColType.Numeric =>
           log(c, Action.NumericCleaned(nulls(c) - rawNull))
@@ -162,7 +178,9 @@ object AutoEtl {
 
   /** The stage-3 cleaning projection, shared by [[transform]] and
     * [[EtlModel.apply]] (text AND unknown both text-clean,
-    * ETL_PROJECT.py:255-256).
+    * ETL_PROJECT.py:255-256). A column the model never saw (schema
+    * drift on the serve path) is treated as Unknown — text-cleaned and
+    * passed through, never a crash.
     */
   def cleanedCols(
       columns: Seq[String],
@@ -170,7 +188,7 @@ object AutoEtl {
       rareSets: Map[String, Seq[String]],
       collapseWs: Map[String, Boolean]): Seq[Column] =
     columns.map { c =>
-      val e = types(c) match {
+      val e = types.getOrElse(c, ColType.Unknown) match {
         case ColType.Numeric => Cleaners.cleanNumeric(col(c))
         case ColType.Date    => Cleaners.cleanDate(col(c))
         case ColType.Categorical =>

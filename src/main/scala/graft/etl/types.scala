@@ -155,7 +155,8 @@ final case class EtlConfig(
     detectionSample: Option[Double] = None,
     approxPercentiles: Boolean = false,
     approxAccuracy: Int = 10000,
-    /** When set, detection switches to `detectionSample` (or 1%)
+    /** When set (and `detectionSample` is empty — an explicit sample
+      * fraction always wins), detection switches to a 1% sample
       * automatically once Catalyst's size estimate for the input
       * exceeds this many bytes — a zero-cost trigger (plan statistics,
       * no extra scan), so small inputs keep exact detection and a

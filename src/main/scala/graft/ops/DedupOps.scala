@@ -131,22 +131,26 @@ object DedupOps {
     s"list_transform(range(0, $bands), b -> " +
       s"CAST(b AS VARCHAR) || ':' || array_to_string(($sigE)[b*$rowsPerBand+1:b*$rowsPerBand+$rowsPerBand], '-'))"
 
-  /** Near-duplicate pairs via MinHash-LSH + exact-Jaccard verification.
-    *
-    * @param df        (id, text)
-    * @param threshold exact-Jaccard cutoff on shingle-hash sets
-    * @return (id_a, id_b, jac) with id_a < id_b
-    */
-  /** Band buckets larger than this are SKIPPED (with a warning): a
-    * degenerate band (boilerplate text, empty docs) with 10^6 members
-    * would emit a quadratic candidate set. Pairs appearing only in a
-    * skipped band are lost — acceptable for near-dup mining, where a
-    * hot band means the cluster is found by its other bands or is
-    * pathological boilerplate. `Int.MaxValue` disables the cap (the
-    * oracle-verified q20 path runs uncapped at test SF).
+  /** A production-reasonable `maxBandSize` (the parameter itself
+    * defaults to `Int.MaxValue` = cap disabled, which is what the
+    * uncapped q20 oracle verifies at test SF).
     */
   val defaultMaxBandSize: Int = 1 << 16
 
+  /** Near-duplicate pairs via MinHash-LSH + exact-Jaccard verification.
+    *
+    * @param df          (id, text)
+    * @param threshold   exact-Jaccard cutoff on shingle-hash sets
+    * @param maxBandSize band buckets larger than this are SKIPPED with
+    *                    a warning: a degenerate band (boilerplate,
+    *                    empty docs) with 10^6 members would emit a
+    *                    quadratic candidate set. Pairs appearing only
+    *                    in a skipped band are lost — acceptable for
+    *                    near-dup mining, where a hot band's cluster is
+    *                    found by its other bands or is pathological
+    *                    boilerplate. See [[defaultMaxBandSize]]
+    * @return (id_a, id_b, jac) with id_a < id_b
+    */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -173,8 +177,12 @@ object DedupOps {
     val bandsDf =
       if (maxBandSize == Int.MaxValue) allBands
       else {
+        // checkpoint: the hot-band aggregate feeds BOTH the warning
+        // probe and the anti-join — without it the full band count
+        // over allBands would run twice
         val hot = allBands.groupBy("band").agg(count(lit(1)).as("__bn"))
           .where(col("__bn") > maxBandSize)
+          .localCheckpoint(true)
         val hotRows = hot.limit(20).collect()
         if (hotRows.nonEmpty) {
           org.slf4j.LoggerFactory.getLogger(getClass).warn(

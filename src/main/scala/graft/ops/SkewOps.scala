@@ -42,9 +42,14 @@ object SkewOps {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
-    val bigCols = big.columns.filterNot(_ == key)
+    // position-based salt, NOT content-based: byte-identical rows (the
+    // classic skew case — repeated log/event rows) must still spread
+    // over `salts` tasks, and any salt value joins correctly because
+    // the small side carries all of them. monotonically_increasing_id
+    // is a pure function of (partition id, row position), so it is
+    // stable under task retry for a deterministic input partitioning.
     val bigS = big.withColumn("__salt",
-      pmod(hash(bigCols.map(col).toSeq :+ col(key): _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val smallR = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     bigS.join(smallR, Seq(key, "__salt")).drop("__salt")

@@ -327,8 +327,12 @@ object ExtQueries {
   }
 
   // -- q52: frame sampling (per-frame features via explode) --------------
+  // null texts are excluded on BOTH sides: posexplode would silently
+  // drop them (null array) while an unguarded oracle would emit 4
+  // zero-sum frames — an avoidable latent divergence
   private def q52(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "documents")
+      .where(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(MultimodalOps.frameSums(col("text"), 4))
           .as(Seq("frame_idx", "fsum")))
@@ -337,7 +341,8 @@ object ExtQueries {
   private val q52Oracle: String = {
     val cps = "list_transform(string_split(s, ''), c -> unicode(c))"
     s"""WITH b AS (SELECT doc_id, CAST(text AS VARCHAR) AS s,
-       |  length(CAST(text AS VARCHAR)) AS len FROM documents)
+       |  length(CAST(text AS VARCHAR)) AS len FROM documents
+       |  WHERE text IS NOT NULL)
        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
        |  CAST(coalesce(list_sum(($cps)[(i * len // 4) + 1 : ((i + 1) * len // 4)]), 0) AS BIGINT) AS fsum
        |FROM b, unnest(range(0, 4)) AS u(i)
