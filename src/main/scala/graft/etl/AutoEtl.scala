@@ -116,7 +116,9 @@ object AutoEtl {
       val rawNull = rawNullOf(c)
       types(c) match {
         case ColType.Numeric =>
-          log(c, Action.NumericCleaned(nulls(c) - rawNull))
+          // clamped: rawNull is an estimate under sampled detection,
+          // and cleaning can only ADD nulls — never report negative
+          log(c, Action.NumericCleaned(math.max(0L, nulls(c) - rawNull)))
         case ColType.Date =>
           log(c, Action.DateCleaned(totalRows - nulls(c), totalRows))
         case ColType.Categorical =>

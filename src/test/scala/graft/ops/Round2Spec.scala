@@ -191,6 +191,20 @@ class Round2Spec extends EtlSpecBase {
     assert(exact.columnTypes == AutoEtl.transform(orders).columnTypes)
   }
 
+  test("sampled detection (atScale) keeps report counters sane") {
+    import graft.etl.{Action, AutoEtl, EtlConfig}
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val r = AutoEtl.transform(orders, EtlConfig.atScale)
+    r.unpersist()
+    val total = r.summary.totalRows
+    assert(total == orders.count()) // exact even when detection sampled
+    r.report.actions.values.flatten.foreach {
+      case Action.NumericCleaned(n) => assert(n >= 0 && n <= total)
+      case Action.DateCleaned(p, t) => assert(p >= 0 && p <= t && t == total)
+      case _ =>
+    }
+  }
+
   test("EtlModel round-trips through Java serialization (plain values only)") {
     import graft.etl.{AutoEtl, Demo}
     val model = AutoEtl.fit(Demo.dirtyDemo(spark))
