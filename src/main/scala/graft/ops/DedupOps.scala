@@ -283,6 +283,33 @@ object DedupOps {
       Seq(ExprBridge.expression(textCol.cast(StringType))), Seq(StringType),
       propagateNull = true, returnNullable = true))
 
+  /** SimHash near-duplicate pairs within hamming distance `maxDist`
+    * over the 32-bit signature, found WITHOUT an all-pairs scan: the
+    * signature splits into `maxDist + 1` chunks, and by pigeonhole any
+    * pair within distance `maxDist` agrees on at least one chunk —
+    * candidates are chunk-bucket collisions (ONE shuffle on the chunk
+    * key), verified with an exact popcount on the XOR. Same bucketed
+    * scale shape as the MinHash path.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nChunks = maxDist + 1
+    val bits = 32 / nChunks
+    val sigs = df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))
+    val chunks = sigs.select(col("id"), col("sh"),
+      explode(array((0 until nChunks).map(c => struct(lit(c).as("c"),
+        shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("v"))): _*)).as("ck"))
+      .select(col("id"), col("sh"), col("ck.c").as("c"), col("ck.v").as("v"))
+    val cand = chunks.select(col("c"), col("v"), col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(chunks.select(col("c"), col("v"), col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("c", "v"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.select(col("id_a"), col("id_b"),
+      bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   def simhash32Sql(e: String): String = {
     val th = s"list_transform(${tokensSql(e)}, t -> ${tokenHashSql("t")})"
     s"(list_transform([$th], hs -> CAST(list_sum(list_transform(range(0, 32), b -> " +

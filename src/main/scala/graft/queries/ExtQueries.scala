@@ -189,6 +189,24 @@ object ExtQueries {
        |GROUP BY id ORDER BY member_id""".stripMargin
   }
 
+  // -- q55: SimHash near-dup pairs (chunk banding + popcount verify) -----
+  private def q55(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.simhashNearDups(nearDupCorpus(spark, sfDir), "doc_id", "text",
+        maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  private val q55Oracle: String =
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |sigs AS (SELECT id, ${DedupOps.simhash32Sql("text")} AS sh FROM corpus),
+       |chunks AS (SELECT id, sh, c, (sh >> (c * 8)) & 255 AS v
+       |           FROM sigs, unnest([0, 1, 2, 3]) AS u(c)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+       |         FROM chunks a JOIN chunks b
+       |         ON a.c = b.c AND a.v = b.v AND a.id < b.id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS dist
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
   private def q21(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "documents")
       .select(col("doc_id"), DedupOps.simhash32(col("text")).as("sh"))
@@ -727,6 +745,7 @@ object ExtQueries {
     QueryDef("q52_frame_sample", q52, Some(q52Oracle)),
     QueryDef("q53_repetition", q53, Some(q53Oracle)),
     QueryDef("q54_salted_join", q54, Some(q54Oracle)),
+    QueryDef("q55_simhash_neardup", q55, Some(q55Oracle)),
   )
 }
 

@@ -82,6 +82,18 @@ class Round2Spec extends EtlSpecBase {
     assert(uncapped.contains((1L, 2L)) && uncapped.contains((1001L, 1002L)))
   }
 
+  test("simhashNearDups: identical docs pair at distance 0, unrelated docs don't pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashNearDups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
   test("dupClusters: chains merge transitively, separate components stay apart") {
     // 1-2, 2-3, 3-4 (a chain, diameter 3) plus the isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
