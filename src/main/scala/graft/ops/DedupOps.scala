@@ -300,14 +300,19 @@ object DedupOps {
       explode(array((0 until nChunks).map(c => struct(lit(c).as("c"),
         shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("v"))): _*)).as("ck"))
       .select(col("id"), col("sh"), col("ck.c").as("c"), col("ck.v").as("v"))
-    val cand = chunks.select(col("c"), col("v"), col("id").as("id_a"), col("sh").as("sh_a"))
+    // verify BEFORE dedup: the popcount check needs no extra join (both
+    // signatures ride the candidate row), so it runs inside the join's
+    // codegen stage and the dropDuplicates shuffle only carries the
+    // small verified set — not the raw bucket-collision pairs, which
+    // a skewed chunk value can make orders of magnitude larger
+    chunks.select(col("c"), col("v"), col("id").as("id_a"), col("sh").as("sh_a"))
       .join(chunks.select(col("c"), col("v"), col("id").as("id_b"), col("sh").as("sh_b")),
         Seq("c", "v"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"),
-      bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("dist"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("dist"))
       .where(col("dist") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
   }
 
   def simhash32Sql(e: String): String = {
