@@ -66,8 +66,29 @@ object AutoEtl {
       else if (sampleTotal == prof.totalRows) prof.totalRows - prof.cols(c).nonNull
       else math.round(
         prof.totalRows * (1.0 - prof.cols(c).nonNull.toDouble / sampleTotal))
-    val types: Map[String, ColType] =
+    val sampledTypes: Map[String, ColType] =
       prof.cols.map { case (c, p) => c -> TypeDetector.decide(p) }
+    // Sampled-detection guard: the hard `< 50` categorical cutoff does
+    // NOT subsample (a 1% sample of a skewed high-cardinality column
+    // can show < 50 distinct values). Re-check every sampled-Categorical
+    // candidate with an EXACT distinct count over just those columns and
+    // demote failures — this also bounds stage 2's driver-side value
+    // collect, which would otherwise pull every distinct value of a
+    // mis-typed column.
+    val types: Map[String, ColType] =
+      if (effectiveSample.isEmpty) sampledTypes
+      else {
+        val cand = sampledTypes.collect { case (c, ColType.Categorical) => c }.toSeq
+        if (cand.isEmpty) sampledTypes
+        else {
+          val exactDistinct = TypeDetector.distinctCounts(raw, cand)
+          sampledTypes.map {
+            case (c, ColType.Categorical) if exactDistinct.getOrElse(c, 0L) >= 50 =>
+              c -> TypeDetector.decide(prof.cols(c), allowCategorical = false)
+            case kv => kv
+          }
+        }
+      }
     raw.columns.foreach(c => log(c, Action.DetectedType(types(c))))
     val totalRows = prof.totalRows
 

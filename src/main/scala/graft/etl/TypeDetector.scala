@@ -124,7 +124,7 @@ object TypeDetector {
     * the shuffle), count per ordinal. Array, not map: no per-row key
     * strings allocated.
     */
-  private def distinctCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
+  private[etl] def distinctCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
     val pairs = df.select(
       posexplode(array(cols.map(c => col(c).cast(StringType)): _*))
         .as(Seq("__i", "__v")))
@@ -137,12 +137,19 @@ object TypeDetector {
 
   /** The 5-way decision, in the reference's exact rule order
     * (reference: ETL_PROJECT.py:18-41).
+    *
+    * `allowCategorical = false` re-runs the decision with the
+    * Categorical rule disabled — used when sampled detection admitted
+    * a column whose EXACT distinct count fails the hard `< 50` gate
+    * (distinct counts don't subsample: a 1%-sample can miss the long
+    * tail of a high-cardinality skewed column).
     */
-  def decide(p: ColProfile): ColType =
+  def decide(p: ColProfile, allowCategorical: Boolean = true): ColType =
     if (p.nonNull == 0) ColType.Unknown
     else if (p.dateRatio > 0.7) ColType.Date
     else if (p.numericRatio > 0.7) ColType.Numeric
-    else if (p.uniqueRatio > 0 && p.uniqueRatio <= 0.3 && p.distinct < 50) ColType.Categorical
+    else if (allowCategorical && p.uniqueRatio > 0 && p.uniqueRatio <= 0.3 && p.distinct < 50)
+      ColType.Categorical
     else if (p.avgRawLen > 10 && p.uniqueRatio > 0.5) ColType.Text
     else ColType.Unknown
 

@@ -161,6 +161,9 @@ final case class EtlConfig(
       * exceeds this many bytes — a zero-cost trigger (plan statistics,
       * no extra scan), so small inputs keep exact detection and a
       * 100 TB input samples without the caller having to know.
+      * Under sampling, Categorical decisions are re-checked against an
+      * EXACT distinct count (the `< 50` gate doesn't subsample) and
+      * demoted when the full column fails it.
       */
     autoSampleBytes: Option[Long] = None)
 

@@ -219,17 +219,21 @@ object DedupOps {
     * synchronous min-label propagation — every member labeled with the
     * smallest id reachable through the pair graph.
     *
-    * Scale shape: each iteration is one join + one aggregate (both
-    * partial/final combinable), and the label frame is
+    * Scale shape: each iteration is one edge join + one aggregate (both
+    * partial/final combinable) plus a pointer-doubling shortcut
+    * (`rep := rep(rep)` — valid because reachability composes, so the
+    * label set stays within the component and is monotone), giving
+    * O(log diameter) convergence; the label frame is
     * `localCheckpoint`ed so lineage stays flat across iterations (the
-    * classic iterative-DataFrame trap). Converges in O(graph diameter)
-    * iterations; near-dup graphs are clique-like (diameter 1-2), so
-    * the 30-iteration cap is generous — hitting it logs a warning.
+    * classic iterative-DataFrame trap). `maxIters` (default 30 ≈
+    * diameter 2^30) is a safety valve: exceeding it THROWS rather than
+    * silently returning partially-merged clusters.
     * Output: (member_id, cluster_rep) for every id appearing in a pair
     * (singletons never enter the pair graph).
     */
   def dupClusters(pairs: DataFrame,
-      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+      idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 30): DataFrame = {
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
     val sym = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
@@ -238,22 +242,31 @@ object DedupOps {
       .withColumn("rep", col("id")).localCheckpoint(true)
     var changed = true
     var iters = 0
-    while (changed && iters < 30) {
+    while (changed && iters < maxIters) {
       val nbr = sym
         .join(labels.select(col("id").as("b"), col("rep").as("brep")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min("brep").as("nmin"))
-      val next = labels.join(nbr, Seq("id"), "left")
+      val prop = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
           (col("nmin") < col("rep")).as("__chg"))
+      // pointer doubling: follow the label one extra hop (rep(rep) <=
+      // rep always, since a node's own label only ever decreases)
+      val next = prop
+        .join(prop.select(col("id").as("rep"), col("rep").as("__rrep"))
+          .drop("__chg"), Seq("rep"), "left")
+        .select(col("id"),
+          coalesce(col("__rrep"), col("rep")).as("rep"),
+          (col("__chg") || col("__rrep") < col("rep")).as("__chg"))
         .localCheckpoint(true)
       changed = next.where(col("__chg")).limit(1).count() > 0
       labels = next.drop("__chg")
       iters += 1
     }
     if (changed)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"dupClusters: not converged after $iters iterations")
+      throw new IllegalStateException(
+        s"dupClusters: not converged after $iters iterations " +
+          "(raise maxIters; the pair graph is deeper than 2^maxIters)")
     labels.select(col("id").as("member_id"), col("rep").as("cluster_rep"))
   }
 
@@ -293,6 +306,14 @@ object DedupOps {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    // 32 % nChunks == 0 keeps every signature bit inside some chunk;
+    // otherwise the top 32 % nChunks bits join no bucket (recall still
+    // holds by pigeonhole but buckets are needlessly coarse), and
+    // maxDist >= 32 would give 0-bit chunks — ONE bucket, a quadratic
+    // all-pairs blowup. Valid maxDist: 0, 1, 3, 7, 15, 31.
+    require(maxDist >= 0 && maxDist < 32 && 32 % (maxDist + 1) == 0,
+      s"simhashNearDups: maxDist + 1 must divide 32 (got maxDist=$maxDist; " +
+        "valid: 0, 1, 3, 7, 15, 31)")
     val nChunks = maxDist + 1
     val bits = 32 / nChunks
     val sigs = df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))

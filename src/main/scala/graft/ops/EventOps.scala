@@ -100,22 +100,23 @@ object EventOps {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
     val payload = right.columns.filterNot(c => c == key || c == ts).toSeq
     val l = left.withColumn("__side", lit(1))
-    val r = right.withColumn("__side", lit(0)).withColumn("__rts", col(ts))
+    // The whole right row rides in ONE struct and is picked by ONE
+    // `last(ignoreNulls)`, so the result is row-ATOMIC: a null payload
+    // field in the picked row stays null instead of back-filling from
+    // an earlier right row (which per-column last() would do). Payload
+    // columns still break (key, ts) ties deterministically — the pick
+    // is the greatest payload tuple at the shared timestamp.
+    val r = right.withColumn("__side", lit(0))
+      .withColumn("__rrow", struct(col(ts).as("__ts") +: payload.map(col): _*))
     val u = l.unionByName(r, allowMissingColumns = true)
-    // Payload columns break (key, ts) ties among right rows: without
-    // them, `last(ignoreNulls)` over duplicate-timestamp right rows is
-    // pick-nondeterministic run-to-run. Deterministic pick = greatest
-    // payload tuple at the shared timestamp.
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc +: col("__side").asc +: payload.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(
-      u.withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))) {
-      (df, c) => df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__side") === 1)
+    u.withColumn("__asof", last(col("__rrow"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
       .select(left.columns.map(col).toSeq ++
-        payload.map(c => col(s"asof_$c")) :+ col("asof_ts"): _*)
+        payload.map(c => col(s"__asof.$c").as(s"asof_$c")) :+
+        col("__asof.__ts").as("asof_ts"): _*)
   }
 
   /** Range self-join: pairs of events of the same key with

@@ -16,9 +16,19 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object VectorKernels {
 
+  /** Malformed input must fail loudly: `ArrayData.getDouble` past the
+    * unsafe buffer's end returns garbage (or crashes), silently
+    * diverging from the HOF spec forms (which yield null on length
+    * mismatch). A ragged embedding column is a data bug — surface it.
+    */
+  private def requireSameLength(n: Int, m: Int): Unit =
+    if (n != m) throw new IllegalArgumentException(
+      s"VectorKernels: embedding length mismatch ($n vs $m)")
+
   /** Exact left-to-right dot product over double arrays. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    requireSameLength(n, b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -31,6 +41,7 @@ object VectorKernels {
     */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    requireSameLength(n, b.numElements())
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
@@ -58,6 +69,7 @@ object VectorKernels {
     * hyperplane (t, b); left-to-right summation per projection.
     */
   def bucket(v: ArrayData, t: Int, dims: Int, bits: Int): Long = {
+    requireSameLength(v.numElements(), dims)
     val p = planes(t, dims, bits)
     var sig = 0L
     var b = 0

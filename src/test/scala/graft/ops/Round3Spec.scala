@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.etl.EtlSpecBase
+import org.apache.spark.sql.functions._
+
+/** Round-3 hardening: loud kernel bounds, simhash chunk validation,
+  * row-atomic as-of payload, pointer-doubling cluster convergence, and
+  * the exact re-check of the sampled categorical gate.
+  */
+class Round3Spec extends EtlSpecBase {
+  import spark.implicits._
+
+  test("VectorKernels fail loudly on embedding length mismatch (no OOB garbage)") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(SimilarityOps.dot(col("a"), col("b"))).collect()
+    }
+    assert(e.toString.contains("length mismatch") ||
+      Option(e.getCause).exists(_.toString.contains("length mismatch")))
+    // equal lengths still work
+    val ok = df.select(SimilarityOps.dot(col("a"), col("a"))).collect()
+    assert(ok(0).getDouble(0) == 14.0)
+  }
+
+  test("simhashNearDups rejects maxDist values whose chunking would be degenerate") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // 32 % 5 != 0 -> some bits would fall outside every chunk
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashNearDups(docs, "doc_id", "text", maxDist = 4)
+    }
+    // maxDist >= 32 -> 0-bit chunks, one global bucket (quadratic)
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashNearDups(docs, "doc_id", "text", maxDist = 32)
+    }
+    // the full valid set still runs
+    Seq(0, 1, 3, 7, 15, 31).foreach { d =>
+      DedupOps.simhashNearDups(docs, "doc_id", "text", maxDist = d).collect()
+    }
+  }
+
+  test("asofJoin is row-atomic: a null field in the picked right row stays null") {
+    val left = Seq(("k", 10L, "L")).toDF("key", "ts", "tag")
+    // two right rows tie at ts=5; the pick (greatest payload tuple =
+    // px 'c') carries py = null, which must NOT back-fill from the
+    // ('a', 'x') row
+    val right = Seq(
+      ("k", 5L, "a", "x"),
+      ("k", 5L, "c", null.asInstanceOf[String])).toDF("key", "ts", "px", "py")
+    val out = EventOps.asofJoin(left, right, "key", "ts").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("asof_px") == "c")
+    assert(out(0).getAs[String]("asof_py") == null) // atomic, not blended
+    assert(out(0).getAs[Long]("asof_ts") == 5L)
+  }
+
+  test("dupClusters converges on a 100-node chain (diameter >> old 30-iter cap)") {
+    val pairs = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = DedupOps.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == 100)
+    assert(out.values.toSet == Set(1L)) // whole chain labeled with min id
+  }
+
+  test("dupClusters throws (not silently truncates) when maxIters is exhausted") {
+    val pairs = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      DedupOps.dupClusters(pairs, maxIters = 1)
+    }
+  }
+
+  test("sampled detection demotes a skewed high-cardinality column the sample saw as categorical") {
+    import graft.etl.{AutoEtl, ColType, EtlConfig}
+    // 5 hot values cover 99.4% of rows; 60 singletons in the tail.
+    // A 1% sample sees ~6 distinct (< 50 -> Categorical in-sample),
+    // but the exact count is 65 (>= 50) -> must demote.
+    val rows = (1 to 10000).map { i =>
+      if (i <= 9940) s"hot${i % 5}" else s"rare$i"
+    }
+    val df = rows.toDF("c")
+    val sampled = AutoEtl.transform(df, EtlConfig(detectionSample = Some(0.01)))
+    sampled.unpersist()
+    val exact = AutoEtl.transform(df)
+    exact.unpersist()
+    assert(exact.columnTypes("c") != ColType.Categorical) // ground truth
+    assert(sampled.columnTypes("c") == exact.columnTypes("c"))
+  }
+}
