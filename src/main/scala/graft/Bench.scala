@@ -22,13 +22,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // steady-state warmup: JIT + codegen + filesystem metadata, so the
-    // first measured query doesn't absorb session startup. The 10-row
-    // demo transform compiles the detector/cleaner/imputer codegen
-    // paths shared by the ETL queries (q01 runs first alphabetically
-    // and was absorbing ~6 s of one-time janino compilation).
+    // measured queries don't absorb session startup. One full pass at
+    // the smallest SF compiles every query's janino/codegen paths and
+    // touches every table's parquet footers (profiled: the first run of
+    // q01 pays ~9 s of one-time compilation that its steady state —
+    // ~2 s at sf0.1 — never sees again). Falls back to the demo-only
+    // warmup when no sibling sf0.001 directory exists.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     graft.etl.AutoEtl.transform(graft.etl.Demo.dirtyDemo(spark)).unpersist()
+    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (warmDir.isDirectory) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir.getPath).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // warmup is best-effort
+      }
+      // settle: drop warmup cache blocks and let ContextCleaner drain,
+      // so the first measured queries don't absorb warmup GC churn
+      spark.catalog.clearCache()
+      System.gc()
+      spark.range(1000000).selectExpr("sum(id)").collect()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -246,10 +246,14 @@ object DedupOps {
       val nbr = sym
         .join(labels.select(col("id").as("b"), col("rep").as("brep")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min("brep").as("nmin"))
+      // checkpointed: prop feeds BOTH sides of the doubling self-join
+      // below — without it the edge join + aggregate would evaluate
+      // twice per iteration
       val prop = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
           (col("nmin") < col("rep")).as("__chg"))
+        .localCheckpoint(true)
       // pointer doubling: follow the label one extra hop (rep(rep) <=
       // rep always, since a node's own label only ever decreases)
       val next = prop
