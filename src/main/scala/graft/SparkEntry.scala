@@ -7,7 +7,8 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md gates. */
 object SparkEntry {
 
-  private def allDefs: Seq[QueryDef] = EtlQueries.defs ++ ExtQueries.defs
+  private def allDefs: Seq[QueryDef] =
+    EtlQueries.defs ++ ExtQueries.defs ++ Round3Queries.defs
 
   /** Flagship: full auto-cleaning ETL of the sf0.001 events table
     * (driver smoke-checks rows > 0).

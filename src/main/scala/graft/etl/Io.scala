@@ -36,6 +36,8 @@ object Io {
       spark.read.json(path)
     case ".parquet" =>
       spark.read.parquet(path)
+    case ".orc" =>
+      spark.read.orc(path)
     case other =>
       throw new UnsupportedFormatException(other)
   }
@@ -47,6 +49,8 @@ object Io {
       df.write.mode("overwrite").json(path)
     case ".parquet" =>
       df.write.mode("overwrite").parquet(path)
+    case ".orc" =>
+      df.write.mode("overwrite").orc(path)
     case other =>
       throw new UnsupportedFormatException(other)
   }

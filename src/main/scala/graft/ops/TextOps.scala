@@ -197,6 +197,45 @@ object TextOps {
       lit(0.2) * wlenScore + lit(0.2) * distinctRatio
   }
 
+  // ---- PII redaction ----------------------------------------------------
+
+  /** RE2-safe patterns (no lookarounds/backreferences), so the Java
+    * regex and DuckDB/RE2 renderings match the exact same spans.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Scrub emails / phone numbers / IPv4 addresses with typed
+    * placeholders — the standard pre-training privacy pass. Email runs
+    * first (redacting it removes dotted digit runs that could
+    * otherwise be half-matched as IPs). Pure per-row projection,
+    * codegen'd regexp — embarrassingly parallel at any scale.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipPattern, "<IP>")
+
+  /** Matches per category are disjoint on any input (an email match
+    * consumes its dotted domain; phone uses dashes, IP dots), so the
+    * sum counts distinct redactions.
+    */
+  def piiCount(c: Column): Column =
+    (regexp_count(c, lit(emailPattern)) + regexp_count(c, lit(phonePattern)) +
+      regexp_count(c, lit(ipPattern))).cast(LongType)
+
+  def redactPiiSql(e: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($e, '$emailPattern', '<EMAIL>', 'g'), " +
+      s"'$phonePattern', '<PHONE>', 'g'), '$ipPattern', '<IP>', 'g')"
+
+  def piiCountSql(e: String): String =
+    s"(len(regexp_extract_all($e, '$emailPattern')) + " +
+      s"len(regexp_extract_all($e, '$phonePattern')) + " +
+      s"len(regexp_extract_all($e, '$ipPattern')))"
+
   def qualityScoreSql(e: String): String = {
     val n = s"CAST(${nTokensSql("s")} AS DOUBLE)"
     val en = langStopwords.toMap.apply("en")

@@ -384,6 +384,19 @@ object EtlQueries {
     out
   }
 
+  // -- q61: ORC sink + source round-trip (columnar alternative to
+  //         parquet; Spark-native reader/writer) — same golden contract
+  //         as q36/q48.
+  private def q61(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = s"/tmp/graft_q61_roundtrip.orc"
+    Io.write(Demo.dirtyDemo(spark), tmp)
+    val back = Io.read(spark, tmp).select(Demo.columns.map(col): _*)
+    val r = AutoEtl.transform(back)
+    val out = r.data.orderBy(col("id")).localCheckpoint(true)
+    r.unpersist()
+    out
+  }
+
   // -- q50: fit/apply split ----------------------------------------------
   // AutoEtl.fit freezes the demo's statistics into an EtlModel; the
   // model's STATELESS projection (clean -> impute -> winsorize, no
@@ -456,5 +469,6 @@ object EtlQueries {
     QueryDef("q46_report_counters", q46, Some(q46Oracle)),
     QueryDef("q48_jsonl_roundtrip", q48, Some(q13Oracle)),
     QueryDef("q50_model_apply", q50, Some(q13Oracle)),
+    QueryDef("q61_orc_roundtrip", q61, Some(q13Oracle)),
   )
 }

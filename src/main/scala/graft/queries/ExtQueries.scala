@@ -122,21 +122,21 @@ object ExtQueries {
        |ORDER BY id_a""".stripMargin
 
   /** documents plus NEAR-copies (3 appended tokens) of every 10th doc. */
-  private def nearDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def nearDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
     d.unionByName(d.where(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" qq zz vv")).as("text")))
   }
 
-  private val nearDupCorpusSql: String =
+  private[queries] val nearDupCorpusSql: String =
     """SELECT doc_id AS id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 1000000, text || ' qq zz vv' FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
-  private val MinHashes = 12
-  private val Bands = 4
-  private val JacThreshold = 0.6
+  private[queries] val MinHashes = 12
+  private[queries] val Bands = 4
+  private[queries] val JacThreshold = 0.6
 
   private def q20(spark: SparkSession, sfDir: String): DataFrame =
     DedupOps.nearDupPairs(nearDupCorpus(spark, sfDir), "doc_id", "text",
@@ -166,7 +166,12 @@ object ExtQueries {
         MinHashes, Bands, JacThreshold))
       .orderBy("member_id")
 
-  private val q51Oracle: String = {
+  /** Shared WITH-prefix: recursive-CTE connected components over the
+    * verified LSH near-dup pairs, ending in a `clusters(member_id,
+    * cluster_rep)` CTE. Reused by q51 and q58 (append further CTEs
+    * with a leading comma).
+    */
+  private[queries] val dupClustersCte: String = {
     val r = MinHashes / Bands
     s"""WITH RECURSIVE corpus AS ($nearDupCorpusSql),
        |hs AS (SELECT id, ${DedupOps.shingleHashesSql("text")} AS h FROM corpus),
@@ -184,10 +189,14 @@ object ExtQueries {
        |reach(id, rep) AS (
        |  SELECT DISTINCT a, a FROM sym
        |  UNION
-       |  SELECT s.a, reach.rep FROM sym s JOIN reach ON s.b = reach.id)
-       |SELECT id AS member_id, min(rep) AS cluster_rep FROM reach
-       |GROUP BY id ORDER BY member_id""".stripMargin
+       |  SELECT s.a, reach.rep FROM sym s JOIN reach ON s.b = reach.id),
+       |clusters AS (SELECT id AS member_id, min(rep) AS cluster_rep FROM reach
+       |             GROUP BY id)""".stripMargin
   }
+
+  private val q51Oracle: String =
+    s"""$dupClustersCte
+       |SELECT member_id, cluster_rep FROM clusters ORDER BY member_id""".stripMargin
 
   // -- q55: SimHash near-dup pairs (chunk banding + popcount verify) -----
   private def q55(spark: SparkSession, sfDir: String): DataFrame =

@@ -68,6 +68,61 @@ class Round3Spec extends EtlSpecBase {
     }
   }
 
+  test("redactPii scrubs emails, phones and IPv4s; counts match; clean text untouched") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.org or 555-123-4567"),
+      (2L, "server 10.0.255.7 rebooted"),
+      (3L, "no pii here at all")).toDF("id", "t")
+    val out = df.select($"id", TextOps.redactPii($"t").as("r"),
+        TextOps.piiCount($"t").as("n")).orderBy("id").collect()
+    assert(out(0).getString(1) == "reach me at <EMAIL> or <PHONE>")
+    assert(out(0).getLong(2) == 2L)
+    assert(out(1).getString(1) == "server <IP> rebooted")
+    assert(out(1).getLong(2) == 1L)
+    assert(out(2).getString(1) == "no pii here at all")
+    assert(out(2).getLong(2) == 0L)
+  }
+
+  test("stratified hash sampling is deterministic and tracks the target rates") {
+    val df = (1L to 4000L).map(i =>
+      (i, if (i % 2 == 0) "view" else "purchase")).toDF("event_id", "event_type")
+    def sample() = df.where(
+      TextOps.tokenHash($"event_id".cast("string")) % 100 <
+        when($"event_type" === "view", 10).otherwise(50))
+      .collect().map(_.getLong(0)).toSet
+    val s1 = sample()
+    assert(s1 == sample()) // same rows every run — no rand()
+    val views = s1.count(_ % 2 == 0) / 2000.0
+    val purchases = s1.count(_ % 2 == 1) / 2000.0
+    assert(math.abs(views - 0.10) < 0.03, s"view rate $views")
+    assert(math.abs(purchases - 0.50) < 0.05, s"purchase rate $purchases")
+  }
+
+  test("contamination join flags planted n-gram overlap only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "src0"),      // shares 3-grams with train doc 10
+      (2L, "totally disjoint words here", "src0"), // clean
+      (10L, "alpha beta gamma epsilon", "srcX"),
+      (11L, "unrelated training content four", "srcX")).toDF("doc_id", "text", "source")
+    val ev = docs.where($"source" === "src0")
+      .select($"doc_id", DedupOps.shingleHashes($"text").as("hs"))
+    val evx = ev.select($"doc_id", explode($"hs").as("h"))
+    val tr = docs.where($"source" =!= "src0")
+      .select(explode(DedupOps.shingleHashes($"text")).as("h")).distinct()
+    val hits = evx.join(tr, Seq("h")).groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L)) // exactly "alpha beta gamma"
+  }
+
+  test("ORC round-trip preserves the all-string demo frame") {
+    import graft.etl.{Demo, Io}
+    val tmp = "/tmp/graft_orc_spec.orc"
+    Io.write(Demo.dirtyDemo(spark), tmp)
+    val back = Io.read(spark, tmp).select(Demo.columns.map(col): _*)
+    assert(back.orderBy("id").collect().toSeq ==
+      Demo.dirtyDemo(spark).orderBy("id").collect().toSeq)
+  }
+
   test("sampled detection demotes a skewed high-cardinality column the sample saw as categorical") {
     import graft.etl.{AutoEtl, ColType, EtlConfig}
     // 5 hot values cover 99.4% of rows; 60 singletons in the tail.
