@@ -246,14 +246,17 @@ object DedupOps {
       val nbr = sym
         .join(labels.select(col("id").as("b"), col("rep").as("brep")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min("brep").as("nmin"))
-      // checkpointed: prop feeds BOTH sides of the doubling self-join
-      // below — without it the edge join + aggregate would evaluate
-      // twice per iteration
+      // LAZY checkpoints: both frames are marked, and the single
+      // convergence-probe action below materializes them — one Spark
+      // job per iteration instead of three. prop must be checkpointed
+      // because it feeds BOTH sides of the doubling self-join —
+      // otherwise the edge join + aggregate evaluates twice per
+      // iteration.
       val prop = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
           (col("nmin") < col("rep")).as("__chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // pointer doubling: follow the label one extra hop (rep(rep) <=
       // rep always, since a node's own label only ever decreases)
       val next = prop
@@ -262,7 +265,7 @@ object DedupOps {
         .select(col("id"),
           coalesce(col("__rrep"), col("rep")).as("rep"),
           (col("__chg") || col("__rrep") < col("rep")).as("__chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.where(col("__chg")).limit(1).count() > 0
       labels = next.drop("__chg")
       iters += 1

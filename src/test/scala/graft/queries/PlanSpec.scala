@@ -71,6 +71,33 @@ class PlanSpec extends EtlSpecBase {
     assert(probe.contains("partial_min") || probe.contains("partial_count"), probe)
   }
 
+  test("q57 stratified-sample filter evaluates scan-side (no shuffle, no Window)") {
+    val plan = planOf("q57_stratified_sample")
+    assert(!plan.contains("Exchange hashpartitioning"), plan) // pure filter projection
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q60 contamination joins on the hash only — no cartesian, no text shuffle") {
+    val plan = planOf("q60_contamination")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val hashKey = "Exchange hashpartitioning\\(h#\\d+L?, \\d+\\)".r
+    assert(hashKey.findFirstIn(plan).isDefined ||
+      plan.contains("BroadcastHashJoin"), s"expected a hash-keyed join:\n$plan")
+  }
+
+  test("q62 sketch/exact split plans with no Expand") {
+    val plan = planOf("q62_approx_distinct")
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("q56 PII redaction stays inside whole-stage codegen") {
+    val df = Tables.read(spark, sf, "documents")
+      .select(graft.ops.TextOps.redactPii(col("text")).as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     // the 100 TB recipe for repeated fact-fact joins: bucket both sides
     // on the join key at write time; the join then needs no Exchange
