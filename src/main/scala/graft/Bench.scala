@@ -38,9 +38,12 @@ object Bench {
     graft.etl.AutoEtl.transform(graft.etl.Demo.dirtyDemo(spark)).unpersist()
     val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
     if (warmDir.isDirectory) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        // best-effort, but never silent, and fatal errors still escape
         try fn(spark, warmDir.getPath).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () } // warmup is best-effort
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
       }
       // settle: drop warmup cache blocks and let ContextCleaner drain,
       // so the first measured queries don't absorb warmup GC churn

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.ExprBridge
+import org.apache.spark.sql.graftbridge.{ExprBridge, RddBridge}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 
 /** Deduplication operators for training-data pipelines: exact
@@ -260,20 +260,35 @@ object DedupOps {
       // pointer doubling: follow the label one extra hop (rep(rep) <=
       // rep always, since a node's own label only ever decreases)
       val next = prop
-        .join(prop.select(col("id").as("rep"), col("rep").as("__rrep"))
-          .drop("__chg"), Seq("rep"), "left")
+        .join(prop.select(col("id").as("rep"), col("rep").as("__rrep")),
+          Seq("rep"), "left")
         .select(col("id"),
           coalesce(col("__rrep"), col("rep")).as("rep"),
           (col("__chg") || col("__rrep") < col("rep")).as("__chg"))
         .localCheckpoint(false)
       changed = next.where(col("__chg")).limit(1).count() > 0
+      // the probe action above finalized next's checkpoint, so the
+      // previous labels and prop blocks are dead — release them now
+      // instead of waiting for a driver GC (O(1) block debt)
+      RddBridge.unpersistCheckpoint(prop)
+      RddBridge.unpersistCheckpoint(labels)
       labels = next.drop("__chg")
       iters += 1
     }
-    if (changed)
-      throw new IllegalStateException(
-        s"dupClusters: not converged after $iters iterations " +
-          "(raise maxIters; the pair graph is deeper than 2^maxIters)")
+    if (changed) {
+      // `changed` only says the LAST iteration wrote something — the
+      // labels may have converged exactly on the wire. One extra probe
+      // distinguishes that from a genuinely unfinished propagation.
+      val probe = sym
+        .join(labels.select(col("id").as("b"), col("rep").as("brep")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min("brep").as("nmin"))
+      val unfinished = labels.join(probe, Seq("id"), "left")
+        .where(col("nmin") < col("rep")).limit(1).count() > 0
+      if (unfinished)
+        throw new IllegalStateException(
+          s"dupClusters: not converged after $iters iterations " +
+            "(raise maxIters; the pair graph is deeper than 2^maxIters)")
+    }
     labels.select(col("id").as("member_id"), col("rep").as("cluster_rep"))
   }
 
@@ -313,14 +328,15 @@ object DedupOps {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    // 32 % nChunks == 0 keeps every signature bit inside some chunk;
-    // otherwise the top 32 % nChunks bits join no bucket (recall still
-    // holds by pigeonhole but buckets are needlessly coarse), and
-    // maxDist >= 32 would give 0-bit chunks — ONE bucket, a quadratic
-    // all-pairs blowup. Valid maxDist: 0, 1, 3, 7, 15, 31.
-    require(maxDist >= 0 && maxDist < 32 && 32 % (maxDist + 1) == 0,
-      s"simhashNearDups: maxDist + 1 must divide 32 (got maxDist=$maxDist; " +
-        "valid: 0, 1, 3, 7, 15, 31)")
+    // Only maxDist >= 32 is degenerate (0-bit chunks -> ONE global
+    // bucket, a quadratic all-pairs blowup). When maxDist + 1 doesn't
+    // divide 32 the top 32 % (maxDist+1) bits fall outside every chunk:
+    // recall still holds by pigeonhole (uncovered-bit diffs only add
+    // candidates, which the exact popcount verify rejects), buckets
+    // are just coarser. Divisors (0, 1, 3, 7, 15, 31) bucket tightest.
+    require(maxDist >= 0 && maxDist < 32,
+      s"simhashNearDups: maxDist must be in [0, 31] (got $maxDist); " +
+        "values where maxDist + 1 divides 32 give the tightest buckets")
     val nChunks = maxDist + 1
     val bits = 32 / nChunks
     val sigs = df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))

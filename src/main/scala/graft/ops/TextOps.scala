@@ -219,22 +219,31 @@ object TextOps {
         phonePattern, "<PHONE>"),
       ipPattern, "<IP>")
 
-  /** Matches per category are disjoint on any input (an email match
-    * consumes its dotted domain; phone uses dashes, IP dots), so the
-    * sum counts distinct redactions.
+  /** Number of placeholders [[redactPii]] inserts — EXACTLY: each
+    * category is counted on the string the corresponding redaction
+    * stage actually sees (counting all three on the raw string can
+    * disagree, e.g. "1.2.3.4@example.com" is one email redaction but
+    * would raw-count as email + IP).
     */
-  def piiCount(c: Column): Column =
-    (regexp_count(c, lit(emailPattern)) + regexp_count(c, lit(phonePattern)) +
-      regexp_count(c, lit(ipPattern))).cast(LongType)
+  def piiCount(c: Column): Column = {
+    val afterEmail = regexp_replace(c, emailPattern, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phonePattern, "<PHONE>")
+    (regexp_count(c, lit(emailPattern)) +
+      regexp_count(afterEmail, lit(phonePattern)) +
+      regexp_count(afterPhone, lit(ipPattern))).cast(LongType)
+  }
 
   def redactPiiSql(e: String): String =
     s"regexp_replace(regexp_replace(regexp_replace($e, '$emailPattern', '<EMAIL>', 'g'), " +
       s"'$phonePattern', '<PHONE>', 'g'), '$ipPattern', '<IP>', 'g')"
 
-  def piiCountSql(e: String): String =
+  def piiCountSql(e: String): String = {
+    val afterEmail = s"regexp_replace($e, '$emailPattern', '<EMAIL>', 'g')"
+    val afterPhone = s"regexp_replace($afterEmail, '$phonePattern', '<PHONE>', 'g')"
     s"(len(regexp_extract_all($e, '$emailPattern')) + " +
-      s"len(regexp_extract_all($e, '$phonePattern')) + " +
-      s"len(regexp_extract_all($e, '$ipPattern')))"
+      s"len(regexp_extract_all($afterEmail, '$phonePattern')) + " +
+      s"len(regexp_extract_all($afterPhone, '$ipPattern')))"
+  }
 
   def qualityScoreSql(e: String): String = {
     val n = s"CAST(${nTokensSql("s")} AS DOUBLE)"

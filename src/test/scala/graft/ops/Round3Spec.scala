@@ -22,18 +22,17 @@ class Round3Spec extends EtlSpecBase {
     assert(ok(0).getDouble(0) == 14.0)
   }
 
-  test("simhashNearDups rejects maxDist values whose chunking would be degenerate") {
+  test("simhashNearDups rejects only the degenerate maxDist range") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
-    // 32 % 5 != 0 -> some bits would fall outside every chunk
-    intercept[IllegalArgumentException] {
-      DedupOps.simhashNearDups(docs, "doc_id", "text", maxDist = 4)
-    }
     // maxDist >= 32 -> 0-bit chunks, one global bucket (quadratic)
     intercept[IllegalArgumentException] {
       DedupOps.simhashNearDups(docs, "doc_id", "text", maxDist = 32)
     }
-    // the full valid set still runs
-    Seq(0, 1, 3, 7, 15, 31).foreach { d =>
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashNearDups(docs, "doc_id", "text", maxDist = -1)
+    }
+    // non-divisor values are coarser but valid (recall by pigeonhole)
+    Seq(0, 2, 3, 4, 6, 31).foreach { d =>
       DedupOps.simhashNearDups(docs, "doc_id", "text", maxDist = d).collect()
     }
   }
@@ -66,6 +65,38 @@ class Round3Spec extends EtlSpecBase {
     intercept[IllegalStateException] {
       DedupOps.dupClusters(pairs, maxIters = 1)
     }
+  }
+
+  test("dupClusters does NOT throw when labels converge exactly on the last iteration") {
+    // a single edge converges in one write iteration: maxIters = 1 must
+    // return the fixpoint, not mistake "last iteration wrote" for
+    // "not converged"
+    val out = DedupOps.dupClusters(Seq((1L, 2L)).toDF("id_a", "id_b"), maxIters = 1)
+      .orderBy("member_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("dupClusters releases its per-iteration checkpoint blocks eagerly") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    DedupOps.dupClusters(pairs).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // sym + final labels (+ the last prop at worst) may remain; the
+    // O(iterations) intermediate label/prop frames must not
+    assert(after - before <= 3, s"leaked checkpoint blocks: $before -> $after")
+  }
+
+  test("piiCount equals the number of placeholders redactPii inserts on overlapping PII") {
+    val df = Seq(
+      (1L, "ping 1.2.3.4@example.com"),       // ONE email redaction, not email+IP
+      (2L, "a@b.com and 9.9.9.9 and 555-123-4567")) // three distinct
+      .toDF("id", "t")
+    val out = df.select($"id", TextOps.redactPii($"t").as("r"),
+        TextOps.piiCount($"t").as("n")).orderBy("id").collect()
+    assert(out(0).getString(1) == "ping <EMAIL>")
+    assert(out(0).getLong(2) == 1L)
+    assert(out(1).getString(1) == "<EMAIL> and <IP> and <PHONE>")
+    assert(out(1).getLong(2) == 3L)
   }
 
   test("redactPii scrubs emails, phones and IPv4s; counts match; clean text untouched") {
