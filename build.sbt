@@ -15,6 +15,13 @@ run / fork := true
 // parses a bare JSON line, and sbt's default logged strategy prefixes
 // every line with [info] (round-2 BENCH parsed:null).
 outputStrategy := Some(StdoutOutput)
+// ...and it must be the LAST stdout line: round-3 BENCH was still
+// parsed:null because sbt appends "[success] Total time: ..." after the
+// forked JSON line and the driver reads the final line.
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not a task — exempt it
+// from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

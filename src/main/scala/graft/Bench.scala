@@ -46,8 +46,11 @@ object Bench {
         }
       }
       // settle: drop warmup cache blocks and let ContextCleaner drain,
-      // so the first measured queries don't absorb warmup GC churn
+      // so the first measured queries don't absorb warmup GC churn.
+      // clearCache alone misses localCheckpoint RDD blocks (q48/q61,
+      // AutoEtl, dupClusters) — release those explicitly (ADVICE r3).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
       spark.range(1000000).selectExpr("sum(id)").collect()
     }

@@ -81,7 +81,21 @@ object AutoEtl {
         val cand = sampledTypes.collect { case (c, ColType.Categorical) => c }.toSeq
         if (cand.isEmpty) sampledTypes
         else {
-          val exactDistinct = TypeDetector.distinctCounts(raw, cand)
+          // HLL gate before the exact pass (ADVICE r3): an unconditional
+          // exact distinct over the FULL raw frame negates autoSampleBytes
+          // whenever the sample admits any categorical candidate. The
+          // estimate (rsd 5%) decides clear cases; only candidates near
+          // the hard 50 cutoff (>= 40, a >5-sigma margin) pay the exact
+          // Expand-free distinct pass. Same string-cast value space as
+          // distinctCounts.
+          val approxRow = raw.select(cand.zipWithIndex.map { case (c, i) =>
+            approx_count_distinct(col(c).cast("string")).as(s"__acd_$i") }: _*).head()
+          val near = cand.zipWithIndex.collect {
+            case (c, i) if approxRow.getLong(i) >= 40 => c
+          }
+          val exactDistinct =
+            if (near.isEmpty) Map.empty[String, Long]
+            else TypeDetector.distinctCounts(raw, near)
           sampledTypes.map {
             case (c, ColType.Categorical) if exactDistinct.getOrElse(c, 0L) >= 50 =>
               c -> TypeDetector.decide(prof.cols(c), allowCategorical = false)

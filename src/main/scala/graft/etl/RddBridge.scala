@@ -14,9 +14,16 @@ import org.apache.spark.sql.execution.LogicalRDD
   * the debt O(1) instead of O(iterations).
   */
 object RddBridge {
-  def unpersistCheckpoint(df: DataFrame, blocking: Boolean = false): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking)
-      case _ => ()
-    }
+  /** Contract: `df` must plan to EXACTLY ONE `LogicalRDD` leaf (i.e. it
+    * is a checkpointed frame, not something derived from several
+    * checkpointed inputs) — unpersisting every leaf of, say, a join of
+    * two checkpoints would release blocks of a frame still live
+    * elsewhere. Asserted, not assumed.
+    */
+  def unpersistCheckpoint(df: DataFrame, blocking: Boolean = false): Unit = {
+    val leaves = df.queryExecution.analyzed.collect { case l: LogicalRDD => l }
+    require(leaves.size == 1,
+      s"unpersistCheckpoint expects exactly one LogicalRDD leaf, found ${leaves.size}")
+    leaves.head.rdd.unpersist(blocking)
+  }
 }

@@ -99,6 +99,8 @@ object EventOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
     val payload = right.columns.filterNot(c => c == key || c == ts).toSeq
+    require(!payload.contains("__ts"),
+      "asofJoin: right payload column named __ts collides with the struct's timestamp field")
     val l = left.withColumn("__side", lit(1))
     // The whole right row rides in ONE struct and is picked by ONE
     // `last(ignoreNulls)`, so the result is row-ATOMIC: a null payload
@@ -115,8 +117,10 @@ object EventOps {
     u.withColumn("__asof", last(col("__rrow"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(left.columns.map(col).toSeq ++
-        payload.map(c => col(s"__asof.$c").as(s"asof_$c")) :+
-        col("__asof.__ts").as("asof_ts"): _*)
+        // getField, not a "__asof.<c>" string path: a payload name
+        // containing a dot would break dotted-path resolution
+        payload.map(c => col("__asof").getField(c).as(s"asof_$c")) :+
+        col("__asof").getField("__ts").as("asof_ts"): _*)
   }
 
   /** Range self-join: pairs of events of the same key with

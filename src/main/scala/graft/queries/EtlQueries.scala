@@ -375,7 +375,9 @@ object EtlQueries {
   // frame is all-string, so JSON round-trips values verbatim; JSON
   // read returns columns alphabetically, re-selected to demo order.
   private def q48(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = s"/tmp/graft_q48_roundtrip.jsonl"
+    // per-session path: two concurrent runs on one host must not
+    // clobber each other's round-trip data mid-read (ADVICE r3)
+    val tmp = s"/tmp/graft_q48_${spark.sparkContext.applicationId}.jsonl"
     Io.write(Demo.dirtyDemo(spark), tmp)
     val back = Io.read(spark, tmp).select(Demo.columns.map(col): _*)
     val r = AutoEtl.transform(back)
@@ -388,7 +390,7 @@ object EtlQueries {
   //         parquet; Spark-native reader/writer) — same golden contract
   //         as q36/q48.
   private def q61(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = s"/tmp/graft_q61_roundtrip.orc"
+    val tmp = s"/tmp/graft_q61_${spark.sparkContext.applicationId}.orc"
     Io.write(Demo.dirtyDemo(spark), tmp)
     val back = Io.read(spark, tmp).select(Demo.columns.map(col): _*)
     val r = AutoEtl.transform(back)
