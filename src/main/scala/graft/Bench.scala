@@ -73,15 +73,20 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json =
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    // Bare line on stdout for the driver's parser, AND a file copy —
-    // sbt [info] decoration buried the round-1 line (parsed:null).
+    // Compact total-only line LAST: the full per-query line is ~4 KB and
+    // overflows the driver's stdout tail-capture window (BENCH_r04
+    // parsed:null started mid-line). The detailed line goes first (and
+    // to the BENCH.json file); the final stdout line fits any window.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
+    println(compact)
     System.out.flush()
     spark.stop()
   }

@@ -65,12 +65,48 @@ object Io {
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").saveAsTable(table)
 
-  /** K4 — generic JDBC sink standing in for the reference's SQLite
-    * `to_sql("cleaned_data", if_exists="replace")` (ETL_PROJECT.py:318-322).
-    * No JDBC driver jar ships in this environment, so this is exercised
-    * through the interface in tests with a parquet stand-in.
+  // Derby (the embedded JDBC database shipped in /opt/spark/jars)
+  // writes its derby.log relative to derby.system.home, which defaults
+  // to the process cwd — point it at tmp before the first connection.
+  private lazy val derbyHome: Unit =
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+
+  /** K4 — JDBC sink standing in for the reference's SQLite
+    * `to_sql("cleaned_data", if_exists="replace")` (ETL_PROJECT.py:318-322);
+    * `mode("overwrite")` is the `if_exists="replace"` semantics. Executed
+    * for real against embedded Derby (jars ship with Spark) in q65 and
+    * IoSpec; any server-side JDBC url works the same way at scale.
     */
   def writeJdbc(df: DataFrame, url: String, table: String = "cleaned_data",
-      properties: java.util.Properties = new java.util.Properties): Unit =
+      properties: java.util.Properties = new java.util.Properties): Unit = {
+    derbyHome
     df.write.mode("overwrite").jdbc(url, table, properties)
+  }
+
+  /** JDBC source — the warehouse-ingest shape. `partitionColumn =
+    * Some((col, lower, upper, n))` issues n range-predicate queries in
+    * parallel (one per task) instead of one single-connection scan; at
+    * 100 TB an unpartitioned JDBC read is a one-task bottleneck, so the
+    * partitioned form is the default recommendation.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None,
+      properties: java.util.Properties = new java.util.Properties): DataFrame = {
+    derbyHome
+    partitionColumn match {
+      case Some((c, lo, hi, n)) => spark.read.jdbc(url, table, c, lo, hi, n, properties)
+      case None                 => spark.read.jdbc(url, table, properties)
+    }
+  }
+
+  /** Release an in-memory Derby database. Derby signals a successful
+    * drop by THROWING 08006 (non-transient connection exception) — the
+    * one expected outcome; anything else propagates.
+    */
+  def dropDerbyInMemory(db: String): Unit =
+    try {
+      java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      ()
+    } catch { case _: java.sql.SQLNonTransientConnectionException => () }
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-mixing operators for training pipelines: deterministic, seeded
+  * global shuffle + sharding, so example order is reproducible across
+  * runs, engines, and cluster sizes (the property TPU/GPU input
+  * pipelines need — re-running the job must re-create byte-identical
+  * shards).
+  *
+  * The hash is a two-round Lehmer/MCG permutation over the Mersenne
+  * prime 2^31-1 rather than xxhash64: every intermediate product stays
+  * under 2^48, so ANY engine with 64-bit integers (Spark, DuckDB, a
+  * trainer's data loader in Python) reproduces the exact same shard
+  * assignment and order — portability the oracle compare also relies
+  * on. Multipliers are the classic MINSTD pair (48271, 69621).
+  */
+object MixOps {
+
+  val P: Long = 2147483647L // 2^31 - 1
+
+  /** Round-1 hash: seed-offset Lehmer step. Uniform over [0, P). */
+  def portableHash(id: Column, seed: Long): Column =
+    ((id % P + lit(seed)) * lit(48271L)) % P
+
+  /** Round-2 hash, decorrelated from round 1 by the +1 offset and a
+    * different multiplier — used as the intra-shard order key.
+    */
+  def portableHash2(id: Column, seed: Long): Column =
+    ((portableHash(id, seed) + lit(1L)) * lit(69621L)) % P
+
+  /** Seeded deterministic shuffle+shard: assigns each row a `shard` in
+    * [0, nShards) and a dense 1-based `pos` within its shard, both pure
+    * functions of (idCol, seed).
+    *
+    * Physical shape at scale: the window partitioned by `shard` is ONE
+    * hash-partition shuffle + a per-shard sort — exactly the layout a
+    * sharded training-data write wants (one sorted shard per output
+    * file; follow with `.repartition(nShards, col("shard"))` and a
+    * partitioned write). Choose nShards so a shard fits an executor
+    * (e.g. 100 TB / 256 MB ≈ 400k shards); the sort is per-shard, never
+    * global.
+    */
+  def shuffleShard(df: DataFrame, idCol: String, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val shard = (portableHash(col(idCol), seed) % nShards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("__ord", portableHash2(col(idCol), seed))
+      .withColumn("pos", row_number().over(w))
+      .drop("__ord")
+  }
+}

@@ -399,6 +399,28 @@ object EtlQueries {
     out
   }
 
+  // -- q65: JDBC sink + partitioned source round-trip (K4) ---------------
+  // The reference's SQLite `to_sql("cleaned_data", if_exists="replace")`
+  // (ETL_PROJECT.py:318-322) executed for REAL against embedded Derby:
+  // write the cleaned demo, read it back through a 3-partition range
+  // read (the warehouse-ingest shape — an unpartitioned JDBC read is a
+  // one-task bottleneck at scale), same golden contract as q36/q48/q61.
+  // localCheckpoint materializes eagerly so the in-memory database can
+  // be dropped before returning.
+  private def q65(spark: SparkSession, sfDir: String): DataFrame = {
+    val db = s"graft_q65_${spark.sparkContext.applicationId}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val r = AutoEtl.transform(Demo.dirtyDemo(spark))
+    Io.writeJdbc(r.data, url, "cleaned_data")
+    r.unpersist()
+    val back = Io.readJdbc(spark, url, "cleaned_data",
+      partitionColumn = Some(("id", 1L, 10L, 3)))
+    val out = back.select(Demo.columns.map(col): _*).orderBy(col("id"))
+      .localCheckpoint(true)
+    Io.dropDerbyInMemory(db)
+    out
+  }
+
   // -- q50: fit/apply split ----------------------------------------------
   // AutoEtl.fit freezes the demo's statistics into an EtlModel; the
   // model's STATELESS projection (clean -> impute -> winsorize, no
@@ -472,5 +494,6 @@ object EtlQueries {
     QueryDef("q48_jsonl_roundtrip", q48, Some(q13Oracle)),
     QueryDef("q50_model_apply", q50, Some(q13Oracle)),
     QueryDef("q61_orc_roundtrip", q61, Some(q13Oracle)),
+    QueryDef("q65_jdbc_roundtrip", q65, Some(q13Oracle)),
   )
 }

@@ -247,9 +247,38 @@ class Round2Spec extends EtlSpecBase {
     assert(out.count() == 10)
   }
 
-  test("writeJdbc drives df.write.jdbc with the given url/table") {
-    // no JDBC driver ships in this image: asserting the failure mode
-    // proves url/table/mode flow into DataFrameWriter.jdbc
+  test("writeJdbc executes a real JDBC write + readback (embedded Derby)") {
+    import graft.etl.Io
+    val db = "graft_spec_jdbc"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, null: String, 3.5))
+      .toDF("id", "v", "score")
+    Io.writeJdbc(df, url, "cleaned_data")
+    // overwrite semantics = the reference's if_exists="replace": a second
+    // write must replace, not append or fail
+    Io.writeJdbc(df, url, "cleaned_data")
+    val back = Io.readJdbc(spark, url, "cleaned_data")
+      .select("id", "v", "score").orderBy("id")
+    assert(back.collect().map(r => (r.get(0), r.get(1), r.get(2))).toSeq ==
+      Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, null, 3.5)))
+    Io.dropDerbyInMemory(db)
+  }
+
+  test("readJdbc partitioned read issues one range query per partition") {
+    import graft.etl.Io
+    val db = "graft_spec_jdbc_part"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    Io.writeJdbc(df, url, "t")
+    val back = Io.readJdbc(spark, url, "t", Some(("id", 1L, 100L, 4)))
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 100)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 5050L)
+    Io.dropDerbyInMemory(db)
+  }
+
+  test("writeJdbc against an unreachable driver still surfaces the JDBC error") {
+    // the non-Derby path: url/table/mode flow into DataFrameWriter.jdbc
     val df = Seq((1, "x")).toDF("id", "v")
     val e = intercept[Exception] {
       graft.etl.Io.writeJdbc(df, "jdbc:sqlite:/tmp/graft_t.db", "cleaned_data")

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.etl.EtlSpecBase
+
+/** Partition-count invariance: a result that changes with
+  * `spark.sql.shuffle.partitions` depends on physical data layout —
+  * the bug class (hash-order mode ties, per-partition sampling, LSH
+  * bucket iteration order) that passes every fixed-config test locally
+  * and silently breaks on a 1000-executor cluster. Representative
+  * layout-sensitive queries must produce byte-identical ordered results
+  * at 1, 7, and 32 shuffle partitions.
+  */
+class PartitionInvarianceSpec extends EtlSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // one per risk class: categorical rare-fold collect (q05), mode
+  // tie-break (q07), LSH banding + hot-band handling (q20), iterative
+  // cluster label propagation (q51), hash-gated sampling (q57),
+  // seeded shuffle-shard (q66)
+  private val queries = Seq("q05_clean_categorical", "q07_impute_mode",
+    "q20_minhash_lsh", "q51_dup_clusters", "q57_stratified_sample",
+    "q66_shuffle_shard")
+
+  private def fingerprint(name: String): Seq[String] = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    // queries end in a total ORDER BY -> the collected row sequence is
+    // the canonical result; toString flattens nested arrays/structs
+    df.collect().toSeq.map(_.toString)
+  }
+
+  for (name <- queries) test(s"$name is invariant under shuffle.partitions in {1, 7, 32}") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "32")
+      val at32 = fingerprint(name)
+      assert(at32.nonEmpty)
+      for (n <- Seq(1, 7)) {
+        spark.conf.set(key, n.toString)
+        val atN = fingerprint(name)
+        assert(atN == at32,
+          s"$name result depends on shuffle partition count ($n vs 32)")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+}
