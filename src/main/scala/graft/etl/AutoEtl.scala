@@ -84,14 +84,19 @@ object AutoEtl {
           // HLL gate before the exact pass (ADVICE r3): an unconditional
           // exact distinct over the FULL raw frame negates autoSampleBytes
           // whenever the sample admits any categorical candidate. The
-          // estimate (rsd 5%) decides clear cases; only candidates near
-          // the hard 50 cutoff (>= 40, a >5-sigma margin) pay the exact
-          // Expand-free distinct pass. Same string-cast value space as
-          // distinctCounts.
+          // estimate decides clear cases; only candidates near the hard
+          // 50 cutoff pay the exact Expand-free distinct pass. The
+          // near-band lower edge is derived from the sketch's rsd
+          // (50*(1-6*rsd), a 6-sigma margin — ADVICE r4), and a gate
+          // miss is non-fatal regardless: stage 2's value collect is
+          // rank-capped at 50 rows per column. Same string-cast value
+          // space as distinctCounts.
+          val rsd = 0.05
+          val gateLo = math.ceil(50 * (1 - 6 * rsd)).toLong // = 35
           val approxRow = raw.select(cand.zipWithIndex.map { case (c, i) =>
-            approx_count_distinct(col(c).cast("string")).as(s"__acd_$i") }: _*).head()
+            approx_count_distinct(col(c).cast("string"), rsd).as(s"__acd_$i") }: _*).head()
           val near = cand.zipWithIndex.collect {
-            case (c, i) if approxRow.getLong(i) >= 40 => c
+            case (c, i) if approxRow.getLong(i) >= gateLo => c
           }
           val exactDistinct =
             if (near.isEmpty) Map.empty[String, Long]
@@ -121,7 +126,17 @@ object AutoEtl {
           explode(map(catCols.flatMap(c =>
             Seq(lit(c), Cleaners.cleanCategoricalBase(col(c)))): _*)).as(Seq("__c", "__v")))
           .where(col("__v").isNotNull)
+        // rank-capped at 50 rows per column: detection admits only
+        // <50-distinct columns, but under SAMPLED detection the HLL gate
+        // has a small miss probability — the cap turns that miss into
+        // "rare set skipped" (the >=50 branch below) instead of an
+        // unbounded driver collect. The rank filter plans as a
+        // WindowGroupLimit, so the cap applies below the final shuffle.
+        import org.apache.spark.sql.expressions.Window
         val counts = stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__n"))
+          .withColumn("__r",
+            row_number().over(Window.partitionBy("__c").orderBy("__v")))
+          .where(col("__r") <= 50).drop("__r")
           .collect().groupBy(_.getString(0))
         val thr = rareThreshold(totalRows)
         catCols.map { c =>
@@ -146,7 +161,9 @@ object AutoEtl {
       .localCheckpoint(true)
 
     // -- stage 4: missing values ------------------------------------------
-    val nulls = Imputer.nullCounts(cleaned)
+    // one fused aggregate: null counts + numeric medians (separate
+    // nullCounts and medians jobs were two full scans of the same frame)
+    val (nulls, med) = Imputer.nullsAndMedians(cleaned, types, config)
     raw.columns.foreach { c =>
       val rawNull = rawNullOf(c)
       types(c) match {
@@ -163,7 +180,7 @@ object AutoEtl {
           log(c, Action.TextCleaned)
       }
     }
-    val decisions = Imputer.decide(cleaned, types, nulls, totalRows, config)
+    val decisions = Imputer.decideWith(cleaned, types, nulls, totalRows, med)
     decisions.toSeq.sortBy(_._1).foreach {
       case (c, Imputer.Drop) =>
         log(c, Action.DroppedHighNull(nulls(c).toDouble / math.max(totalRows, 1)))

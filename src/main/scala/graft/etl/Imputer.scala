@@ -51,6 +51,44 @@ object Imputer {
     }.toMap
   }
 
+  /** Stage-4 statistics fused into ONE aggregate pass: per-column null
+    * counts plus medians for every numeric-typed column. The median of
+    * a column's non-null values is the same whether or not the column
+    * turns out to need imputation, so computing it unconditionally is
+    * safe — and one fused scan replaces the separate nullCounts +
+    * medians jobs (percentile is a TypedImperative aggregate, counts
+    * are declarative; they share one ObjectHashAggregate pass with no
+    * Expand).
+    */
+  def nullsAndMedians(df: DataFrame, types: Map[String, ColType],
+      config: EtlConfig = EtlConfig.exact): (Map[String, Long], Map[String, Double]) = {
+    val numCols = df.columns.filter(c => types.get(c).contains(ColType.Numeric)).toSeq
+    val nullAggs = df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val miss = f.dataType match {
+        case DoubleType => c.isNull || isnan(c)
+        case _          => c.isNull
+      }
+      count(when(miss, 1)).as(s"__n::${f.name}")
+    }
+    val medAggs = numCols.map { c =>
+      val p =
+        if (config.approxPercentiles)
+          percentile_approx(col(c), lit(0.5), lit(config.approxAccuracy))
+        else percentile(col(c), lit(0.5))
+      p.as(s"__m::$c")
+    }
+    val aggs = nullAggs ++ medAggs
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nulls = df.schema.fields.map(f =>
+      f.name -> row.getLong(row.fieldIndex(s"__n::${f.name}"))).toMap
+    val med = numCols.flatMap { c =>
+      val i = row.fieldIndex(s"__m::$c")
+      if (row.isNullAt(i)) None else Some(c -> row.getDouble(i))
+    }.toMap
+    (nulls, med)
+  }
+
   /** Deterministic mode: the SMALLEST value among the most frequent,
     * matching pandas `mode()[0]` which sorts (reference:
     * ETL_PROJECT.py:152; trap P5 — Spark's own `mode()` ties are
@@ -68,9 +106,17 @@ object Imputer {
     */
   def modes(df: DataFrame, cols: Seq[String]): Map[String, Any] = {
     if (cols.isEmpty) return Map.empty
-    cols.groupBy(c => df.schema(c).dataType).toSeq.flatMap { case (_, cs) =>
-      modesFrame(df, cs).collect().map(r => r.getString(0) -> r.get(1))
-    }.toMap
+    // the per-type jobs are independent — submit them concurrently from
+    // the driver (each alone underutilizes the cluster on small frames)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = cols.groupBy(c => df.schema(c).dataType).toSeq.map {
+      case (_, cs) => Future {
+        modesFrame(df, cs).collect().map(r => r.getString(0) -> r.get(1))
+      }
+    }
+    Await.result(Future.sequence(futures), 30.minutes).flatten.toMap
   }
 
   /** The per-type-group modes aggregation (one frame per distinct
@@ -106,13 +152,23 @@ object Imputer {
       nulls: Map[String, Long],
       totalRows: Long,
       config: EtlConfig = EtlConfig.exact): Map[String, Decision] = {
+    val needMedian = df.columns.filter(c =>
+      types.get(c).contains(ColType.Numeric)).toSeq
+    decideWith(df, types, nulls, totalRows,
+      medians(df, needMedian, config.approxPercentiles, config.approxAccuracy))
+  }
+
+  /** [[decide]] with the medians already computed (by the fused
+    * [[nullsAndMedians]] pass); runs only the mode jobs.
+    */
+  def decideWith(
+      df: DataFrame,
+      types: Map[String, ColType],
+      nulls: Map[String, Long],
+      totalRows: Long,
+      med: Map[String, Double]): Map[String, Decision] = {
     val ratios = nulls.view.mapValues(n =>
       if (totalRows == 0) 0.0 else n.toDouble / totalRows).toMap
-    val needMedian = df.columns.filter { c =>
-      ratios(c) <= dropThreshold && ratios(c) > 0 &&
-        types.get(c).contains(ColType.Numeric)
-    }.toSeq
-    val med = medians(df, needMedian, config.approxPercentiles, config.approxAccuracy)
     val needMode = df.columns.filter { c =>
       ratios(c) <= dropThreshold && ratios(c) > 0 &&
         !types.get(c).contains(ColType.Numeric)

@@ -100,6 +100,24 @@ object Io {
     }
   }
 
+  /** Recursively delete a LOCAL staging path (round-trip queries write
+    * per-session files under java.io.tmpdir; without cleanup repeated
+    * sessions accumulate directories). Safety: refuses anything outside
+    * the system tmp directory — this is a staging-file janitor, not a
+    * general delete.
+    */
+  def deleteLocalTmp(path: String): Unit = {
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      .toAbsolutePath.normalize
+    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    require(p.startsWith(tmpRoot) && p != tmpRoot, s"refusing to delete $p")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Release an in-memory Derby database. Derby signals a successful
     * drop by THROWING 08006 (non-transient connection exception) — the
     * one expected outcome; anything else propagates.

@@ -383,6 +383,7 @@ object EtlQueries {
     val r = AutoEtl.transform(back)
     val out = r.data.orderBy(col("id")).localCheckpoint(true)
     r.unpersist()
+    Io.deleteLocalTmp(tmp) // checkpoint is eager — safe to clean now
     out
   }
 
@@ -396,6 +397,7 @@ object EtlQueries {
     val r = AutoEtl.transform(back)
     val out = r.data.orderBy(col("id")).localCheckpoint(true)
     r.unpersist()
+    Io.deleteLocalTmp(tmp) // checkpoint is eager — safe to clean now
     out
   }
 
