@@ -137,6 +137,15 @@ object DedupOps {
     */
   val defaultMaxBandSize: Int = 1 << 16
 
+  /** [[nearDupPairsWithStats]] result: the verified near-dup pairs plus
+    * the recall diagnostics as DATA — every band bucket the hot-band cap
+    * dropped, with its member count (empty when nothing was skipped).
+    * At 100 TB the skipped-band frame is what tells an operator how much
+    * recall the cap cost (and which boilerplate caused it); a log line
+    * can't be joined, aggregated, or alerted on.
+    */
+  final case class NearDupResult(pairs: DataFrame, skippedBands: DataFrame)
+
   /** Near-duplicate pairs via MinHash-LSH + exact-Jaccard verification.
     *
     * @param df          (id, text)
@@ -148,7 +157,9 @@ object DedupOps {
     *                    in a skipped band are lost — acceptable for
     *                    near-dup mining, where a hot band's cluster is
     *                    found by its other bands or is pathological
-    *                    boilerplate. See [[defaultMaxBandSize]]
+    *                    boilerplate. See [[defaultMaxBandSize]];
+    *                    [[nearDupPairsWithStats]] reports what was
+    *                    dropped
     * @return (id_a, id_b, jac) with id_a < id_b
     */
   def nearDupPairs(
@@ -159,7 +170,22 @@ object DedupOps {
       bands: Int = 4,
       threshold: Double = 0.6,
       k: Int = 3,
-      maxBandSize: Int = Int.MaxValue): DataFrame = {
+      maxBandSize: Int = Int.MaxValue): DataFrame =
+    nearDupPairsWithStats(df, idCol, textCol, numHashes, bands, threshold,
+      k, maxBandSize).pairs
+
+  /** [[nearDupPairs]] plus the skipped-hot-band counts as a queryable
+    * `(band, n)` DataFrame (see [[NearDupResult]]).
+    */
+  def nearDupPairsWithStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.6,
+      k: Int = 3,
+      maxBandSize: Int = Int.MaxValue): NearDupResult = {
     val r = numHashes / bands
     // MEMORY_AND_DISK + LRU eviction: the shingle sets are read twice
     // (band generation + verification join); callers consume the result
@@ -174,14 +200,21 @@ object DedupOps {
       .select(col("id"), explode(bandKeys(col("sig"), bands, r)).as("band"))
     // hot-band cap: drop oversized buckets before the quadratic
     // self-join (see defaultMaxBandSize)
-    val bandsDf =
-      if (maxBandSize == Int.MaxValue) allBands
-      else {
-        // checkpoint: the hot-band aggregate feeds BOTH the warning
-        // probe and the anti-join — without it the full band count
-        // over allBands would run twice
-        val hot = allBands.groupBy("band").agg(count(lit(1)).as("__bn"))
-          .where(col("__bn") > maxBandSize)
+    val (bandsDf, skipped) =
+      if (maxBandSize == Int.MaxValue) {
+        val spark = df.sparkSession
+        val none = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("band", StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("n", LongType, nullable = false))))
+        (allBands, none)
+      } else {
+        // checkpoint: the hot-band aggregate feeds the warning probe,
+        // the anti-join, AND the returned skipped-band frame — without
+        // it the full band count over allBands would run per consumer
+        val hot = allBands.groupBy("band").agg(count(lit(1)).as("n"))
+          .where(col("n") > maxBandSize)
           .localCheckpoint(true)
         val hotRows = hot.limit(20).collect()
         if (hotRows.nonEmpty) {
@@ -191,7 +224,7 @@ object DedupOps {
               hotRows.take(3).map(r => s"${r.get(0)}(n=${r.getLong(1)})")
                 .mkString(", "))
         }
-        allBands.join(hot.select("band"), Seq("band"), "left_anti")
+        (allBands.join(hot.select("band"), Seq("band"), "left_anti"), hot)
       }
     // ONE shuffle on the band key; candidates reduced to DISTINCT id
     // pairs BEFORE the (expensive) set-jaccard join, so a pair colliding
@@ -212,7 +245,7 @@ object DedupOps {
     // and accumulates across repeated invocations in one session.
     val checkpointed = out.localCheckpoint(true)
     withSets.unpersist()
-    checkpointed
+    NearDupResult(checkpointed, skipped)
   }
 
   /** Duplicate CLUSTERS from near-dup pairs: connected components by
@@ -295,6 +328,32 @@ object DedupOps {
   private object Norm {
     def n4OfJaccard(a: Column, b: Column): Column =
       floor(jaccard(a, b) * lit(10000d) + lit(0.5d)).cast(DoubleType) / lit(10000d)
+  }
+
+  // ---- streaming ---------------------------------------------------------
+
+  /** Streaming variants — the LLM-ingest shape: suppress duplicate
+    * documents as they ARRIVE, keyed on the content fingerprint, with
+    * watermark-bounded state.
+    */
+  object streaming {
+
+    /** Drop documents whose [[TextOps.fingerprint]] was already seen
+      * within the watermark horizon (`dropDuplicatesWithinWatermark`,
+      * so the dedup state is evicted once the watermark passes — the
+      * property that keeps state bounded on an unbounded stream; a
+      * plain `dropDuplicates(fp)` would grow state forever).
+      *
+      * Exactly-once within the horizon: a re-crawled page arriving
+      * inside `watermark` of its first sighting is suppressed; one
+      * arriving later is admitted again (acceptable for ingest dedup,
+      * where a global exact pass — [[exactDedup]] — runs downstream).
+      */
+    def dedupByFingerprint(docs: DataFrame, textCol: String = "text",
+        tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+      docs.withColumn("fp", TextOps.fingerprint(col(textCol)))
+        .withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("fp")
   }
 
   // ---- SimHash ----------------------------------------------------------
