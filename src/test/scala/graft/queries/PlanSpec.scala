@@ -122,4 +122,23 @@ class PlanSpec extends EtlSpecBase {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("readJdbc pushes filters into the JDBC relation (not a post-scan Filter)") {
+    import graft.etl.Io
+    import spark.implicits._
+    val db = "graft_planspec_jdbc"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    try {
+      Io.writeJdbc((1L to 50L).map(i => (i, i * 2.0)).toDF("id", "score"), url, "t")
+      val filtered = Io.readJdbc(spark, url, "t", Some(("id", 1L, 50L, 4)))
+        .where(col("score") > 40.0).select("id")
+      val plan = filtered.queryExecution.executedPlan.toString
+      // the predicate must reach the JDBC scan itself — at 100 TB a
+      // post-scan Filter means the database ships every row over the wire
+      assert(plan.contains("JDBCRelation"), s"expected a JDBC scan:\n$plan")
+      assert(plan.contains("PushedFilters: [*IsNotNull(score), *GreaterThan(score,40.0)]"),
+        s"filter not pushed into the JDBC source:\n$plan")
+      assert(filtered.count() == 30)
+    } finally Io.dropDerbyInMemory(db)
+  }
 }
