@@ -202,12 +202,11 @@ object DedupOps {
     // self-join (see defaultMaxBandSize)
     val (bandsDf, skipped) =
       if (maxBandSize == Int.MaxValue) {
-        val spark = df.sparkSession
-        val none = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("band", StringType, nullable = true),
-            org.apache.spark.sql.types.StructField("n", LongType, nullable = false))))
+        // empty frame derived from the SAME aggregate expression as the
+        // capped branch, so the two can never drift in schema/nullability;
+        // Filter(false) folds to an empty LocalRelation — zero execution
+        val none = allBands.groupBy("band").agg(count(lit(1)).as("n"))
+          .where(lit(false))
         (allBands, none)
       } else {
         // checkpoint: the hot-band aggregate feeds the warning probe,

@@ -120,11 +120,17 @@ object Round6Queries {
         TextOps.piiCount(col("raw")).as("n_pii"),
         TextOps.fingerprint(TextOps.redactPii(col("raw"))).as("redacted_fp"))
 
-    // 5. reproducible mix
-    MixOps.shuffleShard(s4, "id", Seed, NShards)
+    // 5. reproducible mix. Materialize the (narrow, survivor-only) final
+    // frame so s1's full-text checkpoint blocks can be released NOW
+    // instead of living until session end (ADVICE r6) — repeated q67
+    // invocations in one session no longer accumulate full-corpus blocks
+    val out = MixOps.shuffleShard(s4, "id", Seed, NShards)
       .select(col("id").as("doc_id"), col("shard"), col("pos"),
         col("n_pii"), col("redacted_fp"))
       .orderBy("shard", "pos")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.RddBridge.unpersistCheckpoint(s1)
+    out
   }
 
   private val q67Oracle: String = {

@@ -134,10 +134,17 @@ class PlanSpec extends EtlSpecBase {
         .where(col("score") > 40.0).select("id")
       val plan = filtered.queryExecution.executedPlan.toString
       // the predicate must reach the JDBC scan itself — at 100 TB a
-      // post-scan Filter means the database ships every row over the wire
+      // post-scan Filter means the database ships every row over the wire.
+      // Matched loosely (predicate inside a PushedFilters clause, no
+      // residual Filter node on score) so Spark-version formatting or
+      // filter-ordering changes don't break a still-correct pushdown
       assert(plan.contains("JDBCRelation"), s"expected a JDBC scan:\n$plan")
-      assert(plan.contains("PushedFilters: [*IsNotNull(score), *GreaterThan(score,40.0)]"),
+      val pushedClauses = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+      assert(pushedClauses.contains("GreaterThan(score,40.0)"),
         s"filter not pushed into the JDBC source:\n$plan")
+      val residualFilter = plan.linesIterator.exists(l =>
+        l.contains("Filter ") && l.contains("score") && !l.contains("PushedFilters"))
+      assert(!residualFilter, s"residual post-scan Filter on score:\n$plan")
       assert(filtered.count() == 30)
     } finally Io.dropDerbyInMemory(db)
   }
