@@ -36,9 +36,16 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     graft.etl.AutoEtl.transform(graft.etl.Demo.dirtyDemo(spark)).unpersist()
+    // comma-separated query-name filter for isolating one query's
+    // steady-state time from positional effects (GC landing, listener
+    // backlog) in the full run; unset = the full driver-contract set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
     if (warmDir.isDirectory) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .foreach { case (name, fn) =>
         // best-effort, but never silent, and fatal errors still escape
         try fn(spark, warmDir.getPath).write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(e) =>
@@ -61,11 +68,16 @@ object Bench {
     // (max-min) is the observed noise floor — a regression is real only
     // when it exceeds the spread.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }.zipWithIndex.map {
       case ((name, fn), i) =>
         // pay GC in small, untimed installments between queries instead
-        // of one large collection inside a measured one
-        if (i % 16 == 0) System.gc()
+        // of one large collection inside a measured one (every 8: at 16
+        // a sustained ~10 s stall was observed landing on the query
+        // farthest from the last installment — q46 measured 10.1 s
+        // in-sequence vs 1.1 s isolated, BOTH reps, so best-of-N alone
+        // can't dodge a backlog that outlives the query)
+        if (i % 8 == 0) System.gc()
         val runs = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           val ok =

@@ -329,6 +329,89 @@ object DedupOps {
       floor(jaccard(a, b) * lit(10000d) + lit(0.5d)).cast(DoubleType) / lit(10000d)
   }
 
+  // ---- incremental (day-2) dedup ----------------------------------------
+
+  /** Admit only the new-batch documents whose TEXT is unseen — in the
+    * existing corpus AND earlier in the batch (min-id representative
+    * within the batch, matching [[exactDedup]]'s keep-first contract).
+    * This is the day-2 ingest shape: the corpus is re-scanned but never
+    * re-deduplicated, and — like [[exactDedup]] — fingerprint equality
+    * is only a CANDIDATE signal, verified by exact text compare (the
+    * position-weighted hash is linear in code points, so structured
+    * near-anagram tokens like "11"/"30" genuinely collide).
+    *
+    * Scale shape: the batch (the day-2 increment, small next to the
+    * corpus) pays the only payload shuffle (its in-batch text
+    * dedup). The corpus side is a fingerprint-column scan filtered
+    * map-side against the broadcast batch fingerprint set — only
+    * fp-colliding corpus rows (true duplicates + rare hash collisions)
+    * surface, and only THEY carry text into the verify join.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val brep = batch.select(col(idCol).as("id"), col(textCol).as("t"))
+      .groupBy("t").agg(min("id").as("id"))
+      .select(col("id"), col("t"), TextOps.fingerprint(col("t")).as("fp"))
+    val batchFps = brep.select("fp").distinct()
+    val corpusHits = corpus
+      .select(TextOps.fingerprint(col(textCol)).as("fp"),
+        col(textCol).as("__ct"))
+      .join(broadcast(batchFps), Seq("fp"), "left_semi")
+    brep.join(corpusHits, brep("t") === corpusHits("__ct"), "left_anti")
+      .select(col("id"), col("fp"))
+  }
+
+  // ---- blocklist filter (Bloom prefilter + exact verify) -----------------
+
+  /** Remove every document whose TEXT appears in a blocklist
+    * (takedowns, opt-outs, eval-set blacklists), EXACTLY, without
+    * shuffling the corpus: a Bloom filter over the blocklist
+    * fingerprints is built with Spark's native `BloomFilterAggregate`
+    * (one aggregate job over the small side), inlined as a literal, and
+    * probed per-row with the codegen'd `BloomFilterMightContain` — the
+    * same expression pair Spark's own runtime row-level filtering
+    * injects. Bloom-negative rows (the overwhelming majority) are
+    * admitted with ZERO shuffle; only the positive sliver — true
+    * matches, Bloom false positives (rate `fpp`), and genuine
+    * fingerprint collisions — pays an exact TEXT anti join against the
+    * blocklist, so the result is exact regardless of `fpp` and of hash
+    * collisions (fingerprint equality is a candidate signal, never the
+    * verdict — same policy as [[exactDedup]]/[[incrementalDedup]]).
+    *
+    * Scale shape: a 100 M-entry blocklist at 3% fpp is a ~90 MB bitmap
+    * — broadcastable; the corpus-side cost is one codegen'd probe per
+    * row, and the verify join shuffles ~fpp of the corpus instead of
+    * all of it.
+    */
+  def blocklistFilter(corpus: DataFrame, blocklist: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bfps = blocklist
+      .select(TextOps.fingerprint(col(textCol)).as("fp"))
+      .where(col("fp").isNotNull)
+    val nItems = math.max(bfps.count(), 1L)
+    // optimal bit count for the target fpp: -n·ln(p)/ln(2)^2
+    val nBits = math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = ExprBridge.column(
+      new BloomFilterAggregate(
+        ExprBridge.expression(xxhash64(col("fp"))),
+        Literal(nItems), Literal(nBits)).toAggregateExpression())
+    val bloomBin = bfps.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    val withFp = corpus.withColumn("fp", TextOps.fingerprint(col(textCol)))
+    val might = ExprBridge.column(BloomFilterMightContain(
+      ExprBridge.expression(lit(bloomBin)),
+      ExprBridge.expression(xxhash64(col("fp")))))
+    val negatives = withFp.where(col("fp").isNull || !might)
+    val blTexts = blocklist.select(col(textCol).as("__bl_t"))
+      .where(col("__bl_t").isNotNull).distinct()
+    val candidates = withFp.where(col("fp").isNotNull && might)
+      .join(blTexts, col(textCol) === col("__bl_t"), "left_anti")
+    negatives.unionByName(candidates)
+  }
+
   // ---- streaming ---------------------------------------------------------
 
   /** Streaming variants — the LLM-ingest shape: suppress duplicate

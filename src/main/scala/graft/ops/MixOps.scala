@@ -53,4 +53,40 @@ object MixOps {
       .withColumn("pos", row_number().over(w))
       .drop("__ord")
   }
+
+  /** Token-budget sequence packing (GPT-style): documents are laid out
+    * in the seeded deterministic mix order, their token counts prefix-
+    * summed, and the concatenated token stream cut every `budget`
+    * tokens. Each doc gets the pack it STARTS in (`pack`) and its token
+    * offset within that pack (`off`) — a doc may straddle a pack
+    * boundary, exactly like fixed-context pre-training packing. The
+    * assignment is a pure function of (id, seed, nTok), so a re-run —
+    * on any engine or cluster layout — rebuilds byte-identical packs.
+    *
+    * Physical shape at scale: identical to [[shuffleShard]] — ONE hash
+    * shuffle on `shard` + a per-shard sort; the prefix sum and the
+    * budget cut are window/projection work inside each shard, never a
+    * global sort. Packs are local to a shard, so `nShards` sized for
+    * executor memory bounds every sort and makes the layout
+    * cluster-size-independent.
+    *
+    * `nTokCol` must be a non-null integral token count (e.g.
+    * [[TextOps.nBpeTokens]]).
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+      budget: Long, seed: Long, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    require(budget > 0, s"budget must be positive: $budget")
+    val shard = (portableHash(col(idCol), seed) % nShards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", shard)
+      .withColumn("__ord", portableHash2(col(idCol), seed))
+      .withColumn("__start",
+        coalesce(sum(col(nTokCol).cast("long")).over(w), lit(0L)))
+      .withColumn("pack", (col("__start") - (col("__start") % budget)) / budget)
+      .withColumn("pack", col("pack").cast("long"))
+      .withColumn("off", col("__start") % budget)
+      .drop("__ord", "__start")
+  }
 }

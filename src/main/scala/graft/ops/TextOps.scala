@@ -117,6 +117,47 @@ object TextOps {
   def nBpeTokensSql(e: String): String =
     s"len(regexp_extract_all($e, '$bpePattern'))"
 
+  // ---- context-window chunking ------------------------------------------
+
+  /** Split each document into fixed-size overlapping character chunks —
+    * the RAG/context-window prep stage: chunk i covers
+    * [i·stride, i·stride + size), i ranging until the starts pass the
+    * end of the text. Returns one row per (doc, chunk) with the chunk's
+    * index, length, and content fingerprint (the fingerprint keeps the
+    * output narrow — downstream near-dup or embedding stages re-derive
+    * the text from (doc_id, chunk_idx) when they need it).
+    *
+    * Scale shape: a generator (posexplode) over a per-row sequence —
+    * embarrassingly parallel, no shuffle; output row count is
+    * len/stride per doc, so partition sizing follows directly from
+    * `maxPartitionBytes` on the scan.
+    */
+  def charChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0, s"size/stride must be positive: $size/$stride")
+    val t = col(textCol)
+    val nChunksMinus1 = ((length(t) - 1) / lit(stride)).cast("int")
+    val exploded = df.where(length(t) > 0)
+      .select(col(idCol), t.as("__t"),
+        posexplode(sequence(lit(0), nChunksMinus1)).as(Seq("chunk_idx", "__i")))
+    val chunk = col("__t").substr(col("chunk_idx") * stride + 1, lit(size))
+    exploded.select(col(idCol), col("chunk_idx"),
+      length(chunk).as("chunk_len"),
+      fingerprint(chunk).as("chunk_fp"))
+  }
+
+  /** [[charChunks]] oracle rendering: the chunk-exploding CTE body
+    * (callers wrap it and apply [[fingerprintSql]] on the `chunk`
+    * column it emits).
+    */
+  def charChunksSql(table: String, idCol: String, textCol: String,
+      size: Int, stride: Int): String =
+    s"""SELECT $idCol, CAST(i AS INTEGER) AS chunk_idx,
+       |  substr($textCol, CAST(i * $stride + 1 AS INTEGER), $size) AS chunk
+       |FROM (SELECT $idCol, $textCol,
+       |        unnest(range(0, (length($textCol) - 1) // $stride + 1)) AS i
+       |      FROM $table WHERE length($textCol) > 0)""".stripMargin
+
   // ---- language ID (stopword-count heuristic) ---------------------------
 
   /** Tiny per-language stopword lists (public common words). Order is

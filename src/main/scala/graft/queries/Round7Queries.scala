@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-7: the remaining standard training-data curation primitives —
+  * context-window chunking, token-budget sequence packing, day-2
+  * incremental ingest dedup, and an exact blocklist filter with a
+  * native Bloom prefilter. Each is beyond the reference surface
+  * (SURVEY.md §7.5 north-star scope) with a full DuckDB oracle.
+  */
+object Round7Queries {
+
+  // -- q70: overlapping context-window chunking ----------------------------
+  // RAG/context prep: 200-char chunks every 150 chars (50-char overlap).
+  // Pure generator projection — no shuffle; verified per (doc, chunk)
+  // by index, length, and content fingerprint.
+  private val ChunkSize = 200
+  private val Stride = 150
+
+  private def q70(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.charChunks(
+        Tables.read(spark, sfDir, "documents"), "doc_id", "text",
+        ChunkSize, Stride)
+      .orderBy("doc_id", "chunk_idx")
+
+  private val q70Oracle: String =
+    s"""WITH ch AS (${TextOps.charChunksSql("documents", "doc_id", "text", ChunkSize, Stride)})
+       |SELECT doc_id, chunk_idx,
+       |  CAST(length(chunk) AS INTEGER) AS chunk_len,
+       |  ${TextOps.fingerprintSql("chunk")} AS chunk_fp
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -- q71: token-budget sequence packing ----------------------------------
+  // The pre-training batch layout: docs in seeded mix order, BPE token
+  // counts prefix-summed per shard, stream cut every Budget tokens.
+  // (doc_id, shard, pack, off) is a pure function of (id, seed) — the
+  // reproducible-pack contract a trainer restart depends on.
+  private val PackSeed = 7L
+  private val PackShards = 4
+  private val PackBudget = 512L
+
+  private def q71(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), TextOps.nBpeTokens(col("text")).as("n_tok"))
+    MixOps.packSequences(docs, "doc_id", "n_tok", PackBudget, PackSeed, PackShards)
+      .select("doc_id", "shard", "pack", "off", "n_tok")
+      .orderBy("shard", "pack", "off", "doc_id")
+  }
+
+  private val q71Oracle: String =
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.nBpeTokensSql("text")} AS n_tok
+       |              FROM documents),
+       |h1 AS (SELECT *, ((doc_id % ${MixOps.P} + $PackSeed) * 48271) % ${MixOps.P} AS h1
+       |       FROM toks),
+       |sh AS (SELECT doc_id, n_tok,
+       |         CAST(h1 % $PackShards AS INTEGER) AS shard,
+       |         ((h1 + 1) * 69621) % ${MixOps.P} AS h2 FROM h1),
+       |cum AS (SELECT doc_id, shard, n_tok,
+       |          CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+       |            ORDER BY h2, doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |            AS strt
+       |        FROM sh)
+       |SELECT doc_id, shard, strt // $PackBudget AS pack, strt % $PackBudget AS "off",
+       |  n_tok
+       |FROM cum ORDER BY shard, pack, "off", doc_id""".stripMargin
+
+  // -- q72: incremental (day-2) ingest dedup -------------------------------
+  // Existing corpus = sources != src0; the arriving batch = src0 plus
+  // planted re-crawls of corpus docs (doc_id % 7) and an in-batch
+  // double-submission (doc_id % 9 of src0). Admitted = batch docs whose
+  // fingerprint is new to BOTH the corpus and the earlier batch.
+  private def q72(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents")
+    val corpus = d.where(col("source") =!= "src0")
+    val fresh = d.where(col("source") === "src0")
+    val batch = fresh.select("doc_id", "text")
+      .unionByName(corpus.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      .unionByName(fresh.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
+    DedupOps.incrementalDedup(batch, corpus, "doc_id", "text")
+      .orderBy("id")
+  }
+
+  private val q72Oracle: String =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE source = 'src0'
+       |  UNION ALL
+       |  SELECT doc_id + 5000000, text FROM corpus WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, text FROM documents
+       |  WHERE source = 'src0' AND doc_id % 9 = 0),
+       |brep AS (SELECT min(doc_id) AS id, text FROM batch GROUP BY text)
+       |SELECT id, ${TextOps.fingerprintSql("text")} AS fp FROM brep
+       |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = brep.text)
+       |ORDER BY id""".stripMargin
+
+  // -- q73: exact blocklist filter via native Bloom prefilter --------------
+  // Blocklist = the text of every doc_id % 5 = 0 doc (a takedown
+  // list). The Spark plan probes a BloomFilterAggregate-built bitmap
+  // per row (no shuffle for the ~97% negatives) and text-verifies only
+  // the positive sliver; the oracle states the exact text-level
+  // semantics directly.
+  private def q73(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents")
+    DedupOps.blocklistFilter(
+        d.select("doc_id", "text"),
+        d.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
+  private val q73Oracle: String =
+    s"""WITH fps AS (SELECT doc_id, text, ${TextOps.fingerprintSql("text")} AS fp
+       |             FROM documents),
+       |blocked AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 = 0)
+       |SELECT doc_id, fp FROM fps
+       |WHERE NOT EXISTS (SELECT 1 FROM blocked b WHERE b.text = fps.text)
+       |ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q70_doc_chunks", q70, Some(q70Oracle)),
+    QueryDef("q71_pack_sequences", q71, Some(q71Oracle)),
+    QueryDef("q72_incremental_dedup", q72, Some(q72Oracle)),
+    QueryDef("q73_blocklist_filter", q73, Some(q73Oracle)),
+  )
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.etl.EtlSpecBase
+import org.apache.spark.sql.functions._
+
+/** Round-7 units: context-window chunking, token-budget sequence
+  * packing, incremental ingest dedup, and the Bloom-prefiltered exact
+  * blocklist filter.
+  */
+class Round7Spec extends EtlSpecBase {
+
+  import spark.implicits._
+
+  // ---- charChunks --------------------------------------------------------
+
+  test("charChunks: sliding starts, clipped tail, overlap region identity") {
+    // 10-char alphabet prefix, size 4 / stride 3 -> starts 0,3,6,9
+    val df = Seq((1L, "abcdefghij")).toDF("id", "text")
+    val got = TextOps.charChunks(df, "id", "text", size = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_len").as[(Int, Int)].collect().toSeq
+    assert(got == Seq((0, 4), (1, 4), (2, 4), (3, 1)),
+      s"starts 0/3/6/9 with the last chunk clipped to 1 char: $got")
+    // adjacent chunks overlap by size - stride chars: recompute the
+    // chunk text independently and compare fingerprints
+    val fps = TextOps.charChunks(df, "id", "text", 4, 3)
+      .orderBy("chunk_idx").select("chunk_fp").as[Long].collect().toSeq
+    val expect = Seq("abcd", "defg", "ghij", "j").map(s =>
+      Seq(s).toDF("t").select(TextOps.fingerprint(col("t"))).as[Long].head())
+    assert(fps == expect)
+  }
+
+  test("charChunks: empty and null texts produce no chunks; short text one chunk") {
+    val df = Seq((1L, ""), (2L, null: String), (3L, "ab")).toDF("id", "text")
+    val got = TextOps.charChunks(df, "id", "text", 200, 150)
+      .select("id", "chunk_idx", "chunk_len").as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((3L, 0, 2)), s"only the non-empty doc chunks: $got")
+  }
+
+  // ---- packSequences -----------------------------------------------------
+
+  test("packSequences: prefix-sum identity, straddling docs, determinism") {
+    val docs = (1L to 200L).map(i => (i, 30L + i % 50)).toDF("id", "n_tok")
+    val packed = MixOps.packSequences(docs, "id", "n_tok",
+      budget = 256L, seed = 11L, nShards = 3)
+    val rows = packed.select("id", "shard", "pack", "off", "n_tok")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    // totality: every doc placed exactly once
+    assert(rows.map(_._1).sorted == (1L to 200L))
+    // per shard, in mix order: off/pack are exactly the running token
+    // count split by the budget — including docs straddling boundaries
+    rows.groupBy(_._2).foreach { case (_, inShard) =>
+      val inOrder = inShard.sortBy(r => (r._3, r._4, r._1)) // (pack, off, id)
+      var cum = 0L
+      inOrder.foreach { case (id, _, pack, off, nTok) =>
+        assert(pack == cum / 256 && off == cum % 256,
+          s"doc $id expected start $cum -> (${cum / 256}, ${cum % 256}), got ($pack, $off)")
+        cum += nTok
+      }
+    }
+    // a different seed produces a different layout; the same seed is stable
+    val again = MixOps.packSequences(docs, "id", "n_tok", 256L, 11L, 3)
+      .select("id", "shard", "pack", "off", "n_tok")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(again.sortBy(_._1) == rows.sortBy(_._1))
+    val reseeded = MixOps.packSequences(docs, "id", "n_tok", 256L, 12L, 3)
+      .select("id", "shard", "pack", "off", "n_tok")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(reseeded.sortBy(_._1) != rows.sortBy(_._1))
+  }
+
+  // ---- incrementalDedup --------------------------------------------------
+
+  test("incrementalDedup: corpus hits dropped, in-batch dup keeps min id") {
+    val corpus = Seq((1L, "seen text one"), (2L, "seen text two")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "brand new text"),   // admitted
+      (11L, "seen text one"),    // in corpus -> dropped
+      (12L, "brand new text"),   // in-batch dup of 10 -> dropped
+      (13L, "another new text")  // admitted
+    ).toDF("id", "text")
+    val got = DedupOps.incrementalDedup(batch, corpus, "id", "text")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(10L, 13L), s"admitted: $got")
+  }
+
+  // ---- blocklistFilter ---------------------------------------------------
+
+  test("blocklistFilter: exact even at absurd fpp (every false positive verified)") {
+    val corpus = (1L to 100L).map(i => (i, s"document number $i body")).toDF("id", "text")
+    val blocklist = corpus.where($"id" % 10 === 0)
+    // fpp 0.5: the Bloom passes ~half the corpus as candidates; the
+    // anti-join verify must still produce the exact complement
+    val got = DedupOps.blocklistFilter(corpus, blocklist, "id", "text", fpp = 0.5)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got == (1L to 100L).filter(_ % 10 != 0))
+    // and text-level blocking, not id-level: a doc whose TEXT matches a
+    // blocklisted text is removed even with a different id
+    val corpus2 = corpus.unionByName(Seq((999L, "document number 10 body")).toDF("id", "text"))
+    val got2 = DedupOps.blocklistFilter(corpus2, blocklist, "id", "text")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(!got2.contains(999L))
+  }
+}
