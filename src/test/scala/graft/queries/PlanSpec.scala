@@ -123,6 +123,47 @@ class PlanSpec extends EtlSpecBase {
     }
   }
 
+  test("charChunks plans as a pure generator projection: no Exchange") {
+    val plan = graft.ops.TextOps.charChunks(
+        Tables.read(spark, sf, "documents"), "doc_id", "text", 200, 150)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("packSequences plans ONE hash shuffle on shard (no global window, no range sort)") {
+    import spark.implicits._
+    val docs = (1L to 1000L).map(i => (i, 40L + i % 60)).toDF("doc_id", "n_tok")
+    val plan = graft.ops.MixOps.packSequences(docs, "doc_id", "n_tok", 512L, 7L, 4)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one shard shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("incrementalDedup filters the corpus map-side (broadcast semi join, corpus never hash-shuffled)") {
+    val d = Tables.read(spark, sf, "documents")
+    val plan = graft.ops.DedupOps.incrementalDedup(
+        d.where(col("source") === "src0"), d.where(col("source") =!= "src0"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"corpus-side fingerprint filter must broadcast:\n$plan")
+  }
+
+  test("blocklistFilter probes the native bloom expression; negatives branch has no Exchange") {
+    val d = Tables.read(spark, sf, "documents")
+    val out = graft.ops.DedupOps.blocklistFilter(d, d.where(col("doc_id") % 5 === 0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected BloomFilterMightContain probe:\n$plan")
+    // the CORPUS must never hash-shuffle; the only allowed exchange is
+    // the (small) blocklist side's own distinct before its broadcast
+    val exchanged = "Exchange hashpartitioning\\(([^,#]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchanged.subsetOf(Set("__bl_t")),
+      s"corpus-side shuffle detected (exchanges on $exchanged):\n$plan")
+  }
+
   test("readJdbc pushes filters into the JDBC relation (not a post-scan Filter)") {
     import graft.etl.Io
     import spark.implicits._
