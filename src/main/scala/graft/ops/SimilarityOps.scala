@@ -191,6 +191,96 @@ object SimilarityOps {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  // ---- k-means (Lloyd) --------------------------------------------------
+
+  /** Round-half-up to 4 decimals, driver-side — MUST stay the exact
+    * formula of `Norm.n4`/`OracleSql.n4` (floor(x·10⁴ + 0.5)/10⁴): the
+    * k-means parity contract is that both engines round centroids and
+    * distances to the same rationals at every step.
+    */
+  private def n4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
+  /** Lloyd's k-means over an embedding column — the training step that
+    * PRODUCES the coarse quantizer [[ivfTopK]] consumes. Deterministic
+    * end-to-end: init = the `k` lowest-id vectors; every centroid
+    * coordinate and every assignment distance is rounded to 4 decimals
+    * with a cell-index tiebreak, so any IEEE engine (and the DuckDB
+    * oracle) reproduces identical cells at every iteration. `iters` is
+    * the number of ASSIGNMENT passes (iters-1 centroid updates).
+    *
+    * Scale shape: assignment is a pure map-side projection against
+    * k·d inlined centroid literals (the corpus never shuffles); each
+    * update is ONE partial+final aggregate over (cell, dim) — k·d
+    * groups — whose k·d means flow driver-ward and come back as next
+    * round's literals. The classic distributed-k-means layout: per-
+    * iteration cost is one scan, driver state is O(k·d), independent
+    * of corpus size. Squared-L2 argmin drops the per-row ‖v‖² term
+    * (constant within a row), so each distance is one kernel dot.
+    *
+    * An empty cell is dropped (its index simply stops being assigned)
+    * — mirrored by the oracle, which re-derives surviving cells per
+    * round.
+    */
+  def kmeansAssign(df: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters > 0, s"k/iters must be positive: $k/$iters")
+    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    def assign(cents: Seq[(Int, Array[Double])]): DataFrame = {
+      val scored = cents.map { case (j, c) =>
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        val s = floor((lit(cc) - lit(2.0) * dot(col("v"), typedLit(c.toSeq)))
+          * lit(10000d) + lit(0.5d)).cast(DoubleType) / lit(10000d)
+        struct(s.as("s"), lit(j).as("j"))
+      }
+      base.withColumn("cell", array_min(array(scored: _*)).getField("j"))
+    }
+    var cents: Seq[(Int, Array[Double])] = base.orderBy("id").limit(k).collect()
+      .toSeq.zipWithIndex.map { case (r, j) =>
+        j -> r.getSeq[Double](1).map(n4d).toArray }
+    for (_ <- 1 until iters)
+      cents = assign(cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .collect().groupBy(_.getInt(0))
+        .toSeq.map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(r => n4d(r.getDouble(2))).toArray
+        }.sortBy(_._1)
+    assign(cents).select(col("id").as(idCol), col("cell"))
+  }
+
+  /** [[kmeansAssign]] oracle rendering (same init, rounding, and
+    * tiebreak; one CTE pair per round).
+    */
+  def kmeansSql(table: String, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    def n4(e: String) = s"(floor(($e) * 10000 + 0.5) / 10000.0)"
+    val init =
+      s"""c0 AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS j,
+         |  list_transform(v, x -> ${n4("x")}) AS c
+         |  FROM e ORDER BY $idCol LIMIT $k)""".stripMargin
+    val rounds = (1 to iters).flatMap { i =>
+      val assign =
+        s"""a$i AS (SELECT $idCol, v, j AS cell FROM (
+           |  SELECT e.$idCol, e.v, cw.j,
+           |    row_number() OVER (PARTITION BY e.$idCol
+           |      ORDER BY ${n4(s"cw.cc - 2 * ${dotSql("e.v", "cw.c")}")}, cw.j) AS rn
+           |  FROM e CROSS JOIN (SELECT j, c, ${dotSql("c", "c")} AS cc FROM c${i - 1}) cw) t
+           |  WHERE rn = 1)""".stripMargin
+      val update =
+        if (i == iters) None
+        else Some(
+          s"""c$i AS (SELECT cell AS j, list(m ORDER BY dim) AS c FROM (
+             |  SELECT cell, u.i AS dim, ${n4("avg(u.x)")} AS m FROM (
+             |    SELECT cell, unnest(list_transform(range(1, len(v) + 1),
+             |      i -> {'i': i, 'x': v[i]})) AS u
+             |    FROM a$i) GROUP BY cell, u.i) GROUP BY cell)""".stripMargin)
+      Seq(assign) ++ update
+    }
+    (s"WITH e AS (SELECT $idCol, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v FROM $table),\n" +
+      (Seq(init) ++ rounds).mkString(",\n") +
+      s"\nSELECT $idCol, CAST(cell AS INTEGER) AS cell FROM a$iters ORDER BY $idCol")
+  }
+
   /** ANN top-k: LSH-bucket candidates (any of `tables` tables), exact
     * cosine re-rank. Recall < 1 by design; the oracle replicates the
     * same buckets so results still match exactly.

@@ -238,6 +238,46 @@ object TextOps {
       lit(0.2) * wlenScore + lit(0.2) * distinctRatio
   }
 
+  // ---- unigram log-probability scoring ----------------------------------
+
+  /** Perplexity-style quality statistic: each document's mean negative
+    * log-probability under the corpus's own add-one-smoothed unigram
+    * model, `nll(d) = -avg_t ln((count(t)+1)/(N+V))` — the standard
+    * "train a cheap LM on the corpus, drop the surprising tail" filter
+    * (high nll = rare-token soup, low = common-token boilerplate).
+    * Returns (idCol, n_tok, nll).
+    *
+    * Scale shape: ONE token-keyed shuffle builds the vocabulary
+    * counts; the scoring join re-uses that same token partitioning
+    * (exchange reuse, no second vocab shuffle) and one doc-keyed
+    * aggregate folds scores. Corpus totals (N, V) are two scalars
+    * collected driver-side and injected as literals — the same
+    * stats-flow-driver-ward pattern as the cleaners. Nothing
+    * broadcasts the (unbounded) vocabulary.
+    */
+  def unigramLogprob(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").as("n"), count(lit(1)).as("v")).head()
+    val denom = (tot.getLong(0) + tot.getLong(1)).toDouble
+    toks.join(counts, "tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"),
+        (-avg(log((col("c") + lit(1)).cast(DoubleType) / lit(denom)))).as("nll"))
+  }
+
+  /** [[unigramLogprob]] oracle rendering over a one-table corpus. */
+  def unigramLogprobSql(table: String, idCol: String, textCol: String): String =
+    s"""WITH toks AS (SELECT $idCol, unnest(${tokensSql(textCol)}) AS tok
+       |              FROM $table),
+       |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM counts)
+       |SELECT $idCol, count(*) AS n_tok,
+       |  -avg(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))) AS nll
+       |FROM toks JOIN counts USING (tok) CROSS JOIN tot
+       |GROUP BY $idCol""".stripMargin
+
   // ---- PII redaction ----------------------------------------------------
 
   /** RE2-safe patterns (no lookarounds/backreferences), so the Java

@@ -122,10 +122,64 @@ object Round7Queries {
        |WHERE NOT EXISTS (SELECT 1 FROM blocked b WHERE b.text = fps.text)
        |ORDER BY doc_id""".stripMargin
 
+  // -- q74: unigram-logprob (perplexity-style) quality filter --------------
+  // The corpus trains its own add-one unigram model; each doc scores
+  // its mean token surprisal. One token shuffle + one doc aggregate;
+  // (N, V) are driver literals. nll is n4-normalized on both engines.
+  private def q74(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.unigramLogprob(
+        Tables.read(spark, sfDir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tok"), Norm.n4(col("nll")).as("nll"))
+      .orderBy("doc_id")
+
+  private val q74Oracle: String =
+    s"""SELECT doc_id, n_tok, ${OracleHelpers.n4("nll")} AS nll
+       |FROM (${TextOps.unigramLogprobSql("documents", "doc_id", "text")}) t
+       |ORDER BY doc_id""".stripMargin
+
+  // -- q75: streaming session windows, oracle-hashed -----------------------
+  // Completes the streaming portfolio's oracle coverage (q47 tumbling,
+  // q69 dedup, q75 sessions): the same session_window aggregation as
+  // batch q28, executed as a stream (file source, AvailableNow) into a
+  // memory sink. Complete output mode emits every merged session
+  // regardless of the final watermark position, so streaming == batch
+  // == the gaps-and-islands oracle.
+  private def q75(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sess = EventOps.streaming.sessionize(stream)
+    val sink = "graft_q75_sink"
+    spark.catalog.dropTempView(sink) // re-runnable within one session
+    val q = sess.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("user_id", "session_start")
+  }
+
+  // -- q76: k-means over embeddings (Lloyd, deterministic) -----------------
+  // The trainer for q49's IVF quantizer: 2 assignment passes / 1
+  // centroid update, k = 4, everything rounded to the shared n4 grid
+  // with cell-index tiebreaks so DuckDB replays the identical
+  // trajectory. Assignment is map-side (centroid literals); each
+  // update is one (cell, dim) aggregate.
+  private def q76(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.kmeansAssign(
+        Tables.read(spark, sfDir, "embeddings"), k = 4, iters = 2)
+      .orderBy("vec_id")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q70_doc_chunks", q70, Some(q70Oracle)),
     QueryDef("q71_pack_sequences", q71, Some(q71Oracle)),
     QueryDef("q72_incremental_dedup", q72, Some(q72Oracle)),
     QueryDef("q73_blocklist_filter", q73, Some(q73Oracle)),
+    QueryDef("q74_unigram_logprob", q74, Some(q74Oracle)),
+    QueryDef("q75_stream_sessions", q75, Some(EventOps.sessionizeSql)),
+    QueryDef("q76_kmeans_embed", q76,
+      Some(SimilarityOps.kmeansSql("embeddings", 4, 2))),
   )
 }

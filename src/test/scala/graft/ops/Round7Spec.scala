@@ -84,6 +84,53 @@ class Round7Spec extends EtlSpecBase {
     assert(got == Seq(10L, 13L), s"admitted: $got")
   }
 
+  // ---- unigramLogprob ----------------------------------------------------
+
+  test("unigramLogprob: common-token docs score lower surprisal than rare-token docs") {
+    val docs = Seq(
+      (1L, "the the the the"), // all corpus-common tokens
+      (2L, "qqq www eee rrr"), // all singletons
+      (3L, "the the zzz yyy")  // mixed
+    ).toDF("id", "text")
+    val got = TextOps.unigramLogprob(docs, "id", "text")
+      .select("id", "n_tok", "nll").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall(_._1 == 4L))
+    // N = 12 tokens, V = 7 distinct, denom 19: "the" (c=6) -> -ln(7/19),
+    // singletons -> -ln(2/19); mixed sits strictly between
+    assert(got(1L)._2 < got(3L)._2 && got(3L)._2 < got(2L)._2, got.toString)
+    val expect1 = -math.log(7.0 / 19.0)
+    assert(math.abs(got(1L)._2 - expect1) < 1e-12, s"${got(1L)._2} vs $expect1")
+  }
+
+  // ---- kmeansAssign ------------------------------------------------------
+
+  test("kmeansAssign: planted clusters recovered; deterministic across runs") {
+    // 3 tight clusters at distant centers; ids 1/2/3 (the init seeds)
+    // are planted one per cluster so Lloyd's can separate them
+    val centers = Map(0 -> 0f, 1 -> 10f, 2 -> -10f)
+    val rows = (1L to 30L).map { i =>
+      val cl = ((i - 1) % 3).toInt
+      val c = centers(cl)
+      val jitter = (i % 7).toFloat * 0.01f
+      (i, Array(c + jitter, c - jitter, c, jitter))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.kmeansAssign(df, k = 3, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got.size == 30)
+    // every member of a planted cluster shares its seed's cell
+    rows.foreach { case (i, _) =>
+      val cl = ((i - 1) % 3).toInt
+      assert(got(i) == got(cl + 1L), s"vec $i not with its planted cluster seed")
+    }
+    assert(got.values.toSet.size == 3)
+    val again = SimilarityOps.kmeansAssign(df, k = 3, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(again == got)
+  }
+
   // ---- blocklistFilter ---------------------------------------------------
 
   test("blocklistFilter: exact even at absurd fpp (every false positive verified)") {

@@ -164,6 +164,14 @@ class PlanSpec extends EtlSpecBase {
       s"corpus-side shuffle detected (exchanges on $exchanged):\n$plan")
   }
 
+  test("kmeansAssign assignment pass is map-side only (centroid literals, no Exchange)") {
+    val plan = graft.ops.SimilarityOps.kmeansAssign(
+        Tables.read(spark, sf, "embeddings"), k = 4, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle the corpus:\n$plan")
+    assert(plan.contains("static_invoke(graft.ops.VectorKernels.dot"), plan)
+  }
+
   test("readJdbc pushes filters into the JDBC relation (not a post-scan Filter)") {
     import graft.etl.Io
     import spark.implicits._
