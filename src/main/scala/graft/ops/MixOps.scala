@@ -54,6 +54,52 @@ object MixOps {
       .drop("__ord")
   }
 
+  /** Temperature-weighted source mixing: keep each source at a
+    * deterministic rate so the sampled corpus follows the
+    * temperature-flattened source distribution `p_s ∝ (n_s/N)^(1/τ)`
+    * (τ > 1 upweights small sources — the standard multi-source
+    * pre-training mix), targeting ≈ `N·targetNum/targetDen` kept rows
+    * overall (per-source rates capped at 1). Selection is the q57-style
+    * integer hash gate — `portableHash2(id, seed) < floor(rate·P)` —
+    * so membership is a pure function of (id, seed) and any engine
+    * that reproduces the rate doubles reproduces the exact row set.
+    * The TWO-round hash is load-bearing here: one Lehmer round of a
+    * small sequential id stays small (id·48271 never wraps P), which
+    * is fine for `% nShards` sharding but biased for a magnitude
+    * threshold — round two wraps the modulus and uniformizes.
+    *
+    * Cross-engine float discipline: per-source weights are summed in
+    * sorted-source order (never reduce-order-dependent), the rate
+    * expression is evaluated in one fixed parenthesization, and rates
+    * are n4-rounded BEFORE the threshold multiply — the oracle mirrors
+    * each step, so thresholds agree exactly (modulo a ~1-ulp `pow`
+    * divergence that n4 absorbs).
+    *
+    * Scale shape: one (small) source-count aggregate flows driver-ward;
+    * the sample itself is a map-side filter with per-source literal
+    * thresholds — no shuffle, no per-row randomness.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, srcCol: String,
+      tau: Double, targetNum: Long, targetDen: Long, seed: Long): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    val counts = df.groupBy(srcCol).count().collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val target = total * targetNum / targetDen
+    val ws = counts.map { case (_, n) => math.pow(n.toDouble / total, 1.0 / tau) }
+    val sumw = ws.foldLeft(0.0)(_ + _)
+    val thresholds = counts.zip(ws).map { case ((s, n), w) =>
+      val rate = math.min(1.0, (target * (w / sumw)) / n)
+      val rate4 = math.floor(rate * 10000 + 0.5) / 10000
+      s -> math.floor(rate4 * P).toLong
+    }
+    val thr = thresholds.foldLeft(lit(null).cast("long")) { case (els, (s, t)) =>
+      when(col(srcCol) === s, lit(t)).otherwise(els)
+    }
+    df.where(portableHash2(col(idCol), seed) < thr)
+  }
+
   /** Token-budget sequence packing (GPT-style): documents are laid out
     * in the seeded deterministic mix order, their token counts prefix-
     * summed, and the concatenated token stream cut every `budget`

@@ -172,6 +172,40 @@ object Round7Queries {
         Tables.read(spark, sfDir, "embeddings"), k = 4, iters = 2)
       .orderBy("vec_id")
 
+  // -- q77: temperature-weighted source mixing -----------------------------
+  // The multi-source pre-training mix: τ = 2 flattens the source
+  // distribution, targeting ~30% of the corpus; membership is the
+  // integer hash gate on per-source thresholds computed driver-side.
+  // The oracle replays the whole rate computation step for step
+  // (sorted-source weight sum, fixed parenthesization, n4 before the
+  // threshold multiply).
+  private val MixTau = 2.0
+  private val MixSeed = 5L
+
+  private def q77(spark: SparkSession, sfDir: String): DataFrame =
+    MixOps.temperatureSample(
+        Tables.read(spark, sfDir, "documents"), "doc_id", "source",
+        MixTau, targetNum = 3, targetDen = 10, seed = MixSeed)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  private val q77Oracle: String =
+    s"""WITH counts AS (SELECT source, count(*) AS n FROM documents
+       |                WHERE source IS NOT NULL GROUP BY source),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM counts),
+       |w AS (SELECT source, n, pow(CAST(n AS DOUBLE) / nn, 1.0 / $MixTau) AS w
+       |      FROM counts CROSS JOIN tot),
+       |sw AS (SELECT list_sum(list(w ORDER BY source)) AS sumw FROM w),
+       |thr AS (SELECT source,
+       |  CAST(floor((floor(least(CAST(1.0 AS DOUBLE),
+       |      ((nn * 3 // 10) * (w / sumw)) / n) * 10000 + 0.5) / 10000.0)
+       |    * ${MixOps.P}) AS BIGINT) AS t
+       |  FROM w CROSS JOIN sw CROSS JOIN tot)
+       |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+       |WHERE ((((d.doc_id % ${MixOps.P} + $MixSeed) * 48271) % ${MixOps.P} + 1)
+       |       * 69621) % ${MixOps.P} < thr.t
+       |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q70_doc_chunks", q70, Some(q70Oracle)),
     QueryDef("q71_pack_sequences", q71, Some(q71Oracle)),
@@ -181,5 +215,6 @@ object Round7Queries {
     QueryDef("q75_stream_sessions", q75, Some(EventOps.sessionizeSql)),
     QueryDef("q76_kmeans_embed", q76,
       Some(SimilarityOps.kmeansSql("embeddings", 4, 2))),
+    QueryDef("q77_temperature_mix", q77, Some(q77Oracle)),
   )
 }

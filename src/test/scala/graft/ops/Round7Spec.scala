@@ -37,6 +37,51 @@ class Round7Spec extends EtlSpecBase {
     assert(got == Seq((3L, 0, 2)), s"only the non-empty doc chunks: $got")
   }
 
+  test("charChunks: fingerprints match independently-derived chunk texts (unicode + long)") {
+    val cases = Seq("ab", "abcdefghijklmnopqrstuvwxyz0123456789",
+      "αβγδε ζηθικ λμνξο πρστυ φχψω", "xy " * 400)
+    val size = 7; val stride = 5
+    cases.zipWithIndex.foreach { case (s, i) =>
+      val df = Seq((i.toLong, s)).toDF("id", "text")
+      val got = TextOps.charChunks(df, "id", "text", size, stride)
+        .orderBy("chunk_idx").select("chunk_len", "chunk_fp")
+        .as[(Int, Long)].collect().toSeq
+      // independent derivation on code points (Spark substr counts
+      // code points, not UTF-16 units)
+      val cps = s.codePoints().toArray
+      val starts = 0 to ((cps.length - 1) / stride)
+      val expect = starts.map { j =>
+        val chunk = new String(cps, j * stride, math.min(size, cps.length - j * stride))
+        (chunk.codePointCount(0, chunk.length),
+          Seq(chunk).toDF("t").select(TextOps.fingerprint(col("t"))).as[Long].head())
+      }
+      assert(got == expect, s"case $i: $got vs $expect")
+    }
+  }
+
+  // ---- temperatureSample -------------------------------------------------
+
+  test("temperatureSample: flattens the source distribution, deterministic") {
+    val df = ((1L to 1000L).map(i => (i, "A")) ++
+      (1001L to 1100L).map(i => (i, "B")) ++
+      (1101L to 1110L).map(i => (i, "C"))).toDF("id", "src")
+    val sample = MixOps.temperatureSample(df, "id", "src",
+      tau = 2.0, targetNum = 3, targetDen = 10, seed = 1L)
+    val kept = sample.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tau=2 rates: A ~0.235, B ~0.744, C capped at 1.0 — the keep RATE
+    // must grow as the source shrinks (the whole point of temperature)
+    assert(kept("C") == 10L, s"capped source keeps everything: $kept")
+    val rateA = kept("A").toDouble / 1000
+    val rateB = kept("B").toDouble / 100
+    assert(rateA < rateB && rateB < 1.0, s"rates not flattened: $kept")
+    // hash-gate sanity: close to the analytic rates
+    assert(math.abs(rateA - 0.235) < 0.08 && math.abs(rateB - 0.744) < 0.15, kept.toString)
+    val again = MixOps.temperatureSample(df, "id", "src", 2.0, 3, 10, 1L)
+      .select("id").as[Long].collect().toSet
+    assert(again == sample.select("id").as[Long].collect().toSet)
+  }
+
   // ---- packSequences -----------------------------------------------------
 
   test("packSequences: prefix-sum identity, straddling docs, determinism") {
