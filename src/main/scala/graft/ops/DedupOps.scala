@@ -61,22 +61,15 @@ object DedupOps {
 
   // ---- shingles ---------------------------------------------------------
 
-  /** Distinct token k-grams as strings ("w1 w2 w3"). Guarded for short
-    * docs: Spark's `sequence(1, 0)` counts DOWN (unlike DuckDB's
-    * end-exclusive empty `range`), so the < k case must short-circuit.
+  /** Distinct token k-grams as strings ("w1 w2 w3") — the set form for
+    * Jaccard/MinHash ([[TextOps.ngrams]] is the with-multiplicity
+    * counting form both derive from).
     */
   def shingles(textCol: Column, k: Int = 3): Column =
-    when(size(tokens(textCol)) >= k,
-      array_distinct(transform(
-        sequence(lit(1), size(tokens(textCol)) - (k - 1)),
-        i => concat_ws(" ", slice(tokens(textCol), i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    array_distinct(TextOps.ngrams(textCol, k))
 
-  def shinglesSql(e: String, k: Int = 3): String = {
-    val tok = tokensSql(e)
-    s"list_distinct(list_transform(range(1, greatest(len($tok) - ${k - 1}, 0) + 1), " +
-      s"i -> array_to_string(($tok)[i:i+${k - 1}], ' ')))"
-  }
+  def shinglesSql(e: String, k: Int = 3): String =
+    s"list_distinct(${TextOps.ngramsSql(e, k)})"
 
   /** Distinct shingle hashes (the set MinHash/Jaccard operate on).
     * Kernel-backed ([[TextKernels.shingleHashes]] — one JVM loop

@@ -100,6 +100,53 @@ object MixOps {
     df.where(portableHash2(col(idCol), seed) < thr)
   }
 
+  /** Deterministic train/val/test split: each row is assigned the
+    * first split whose cumulative-fraction threshold its hash falls
+    * under — a pure function of (idCol, seed), so the split survives
+    * re-runs, engine swaps, and cluster-layout changes (the property
+    * an eval set MUST have: a re-ingest that reshuffles rows between
+    * splits silently contaminates every benchmark downstream).
+    *
+    * Thresholds are exact integers (`floor(cumFrac · P)` against the
+    * uniform round-2 hash — see [[temperatureSample]] for why round 2),
+    * so membership is integer comparison, no float boundary anywhere.
+    *
+    * Scale shape: a map-side projection with literal thresholds — no
+    * shuffle, no per-row randomness, no driver state.
+    */
+  def assignSplit(df: DataFrame, idCol: String, seed: Long,
+      fracs: Seq[(String, Double)]): DataFrame = {
+    require(fracs.nonEmpty, "fracs must be non-empty")
+    require(fracs.forall(_._2 > 0), s"fractions must be positive: $fracs")
+    require(fracs.map(_._1).distinct.size == fracs.size,
+      s"split names must be distinct: $fracs")
+    require(math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fracs")
+    val cuts = fracs.init.scanLeft(("", 0.0)) {
+      case ((_, cum), (name, f)) => (name, cum + f)
+    }.tail.map { case (name, cum) => (name, math.floor(cum * P).toLong) }
+    val h = portableHash2(col(idCol), seed)
+    val split = cuts.foldRight(lit(fracs.last._1)) {
+      case ((name, t), els) => when(h < t, lit(name)).otherwise(els)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** [[assignSplit]]'s CASE expression rendered for the oracle (same
+    * integer thresholds, same first-match-wins order).
+    */
+  def assignSplitSql(idE: String, seed: Long,
+      fracs: Seq[(String, Double)]): String = {
+    val cuts = fracs.init.scanLeft(("", 0.0)) {
+      case ((_, cum), (name, f)) => (name, cum + f)
+    }.tail.map { case (name, cum) => (name, math.floor(cum * P).toLong) }
+    val h = s"(((($idE % $P + $seed) * 48271) % $P + 1) * 69621) % $P"
+    val branches = cuts.map { case (name, t) =>
+      s"WHEN $h < $t THEN '$name'"
+    }.mkString(" ")
+    s"(CASE $branches ELSE '${fracs.last._1}' END)"
+  }
+
   /** Token-budget sequence packing (GPT-style): documents are laid out
     * in the seeded deterministic mix order, their token counts prefix-
     * summed, and the concatenated token stream cut every `budget`

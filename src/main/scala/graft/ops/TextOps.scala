@@ -158,6 +158,27 @@ object TextOps {
        |        unnest(range(0, (length($textCol) - 1) // $stride + 1)) AS i
        |      FROM $table WHERE length($textCol) > 0)""".stripMargin
 
+  // ---- token n-grams (with multiplicity) ---------------------------------
+
+  /** Token k-grams as strings ("w1 w2 w3"), WITH multiplicity — the
+    * counting form ([[graft.ops.DedupOps.shingles]] is the distinct-set
+    * form for Jaccard/MinHash). Guarded for short docs: Spark's
+    * `sequence(1, 0)` counts DOWN (unlike DuckDB's end-exclusive empty
+    * `range`), so the < k case must short-circuit.
+    */
+  def ngrams(c: Column, k: Int): Column =
+    when(size(tokens(c)) >= k,
+      transform(
+        sequence(lit(1), size(tokens(c)) - (k - 1)),
+        i => concat_ws(" ", slice(tokens(c), i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  def ngramsSql(e: String, k: Int): String = {
+    val tok = tokensSql(e)
+    s"list_transform(range(1, greatest(len($tok) - ${k - 1}, 0) + 1), " +
+      s"i -> array_to_string(($tok)[i:i+${k - 1}], ' '))"
+  }
+
   // ---- language ID (stopword-count heuristic) ---------------------------
 
   /** Tiny per-language stopword lists (public common words). Order is
@@ -236,6 +257,203 @@ object TextOps {
     val distinctRatio = nDistinctTokens(c).cast(DoubleType) / n
     lit(0.3) * lenScore + lit(0.3) * stopRatio +
       lit(0.2) * wlenScore + lit(0.2) * distinctRatio
+  }
+
+  // ---- Gopher-style rule filter ------------------------------------------
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1,
+    * adapted to the fixture's whitespace soup): per-doc boolean flags
+    * plus the conjunction, so a curation pipeline can both FILTER on
+    * `pass` and AUDIT which rule rejected what (per-rule reject counts
+    * are one groupBy away — at 100 TB you alert on a rule's reject
+    * rate drifting, not on individual docs).
+    *
+    *   r_ntok  token count within [minTok, maxTok]
+    *   r_wlen  mean token length within [minWlen, maxWlen]
+    *   r_alpha fraction of tokens containing a letter >= minAlphaFrac
+    *   r_stop  at least minStopDistinct DISTINCT English stopwords
+    *   r_rep   3-gram repetition ratio <= maxRep (boilerplate gate)
+    *
+    * All comparisons are on exact IEEE results of integer-derived
+    * divisions — identical in any engine, so the flags need no
+    * rounding. Pure per-row projection: no shuffle, embarrassingly
+    * parallel.
+    */
+  def gopherFlags(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minTok: Int = 50, maxTok: Int = 100000,
+      minWlen: Double = 3.0, maxWlen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopDistinct: Int = 2,
+      maxRep: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val c = col(textCol)
+    val n = nTokens(c)
+    val nD = n.cast(DoubleType)
+    val wlen = avgTokenLen(c)
+    val alphaFrac =
+      size(filter(tokens(c), t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nD
+    val stopDistinct = size(array_intersect(
+      array_distinct(tokens(c)),
+      array(langStopwords.toMap.apply("en").map(lit): _*)))
+    def safe(flag: Column): Column = coalesce(flag, lit(false))
+    df.select(col(idCol), n.as("n_tok"),
+      safe(n >= minTok && n <= maxTok).as("r_ntok"),
+      safe(wlen >= minWlen && wlen <= maxWlen).as("r_wlen"),
+      safe(alphaFrac >= minAlphaFrac).as("r_alpha"),
+      safe(stopDistinct >= minStopDistinct).as("r_stop"),
+      safe(repetitionRatio(c) <= maxRep).as("r_rep"))
+      .withColumn("pass",
+        col("r_ntok") && col("r_wlen") && col("r_alpha") &&
+          col("r_stop") && col("r_rep"))
+  }
+
+  /** [[gopherFlags]] oracle rendering. */
+  def gopherFlagsSql(table: String, idCol: String, textCol: String,
+      minTok: Int = 50, maxTok: Int = 100000,
+      minWlen: Double = 3.0, maxWlen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopDistinct: Int = 2,
+      maxRep: Double = 0.2): String = {
+    val en = langStopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    val tok = tokensSql(textCol)
+    val n = nTokensSql(textCol)
+    val nD = s"CAST($n AS DOUBLE)"
+    val wlen = avgTokenLenSql(textCol)
+    val alphaFrac =
+      s"(CAST(len(list_filter($tok, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / $nD)"
+    val stopDistinct = s"len(list_intersect(list_distinct($tok), [$en]))"
+    val rep = repetitionRatioSql(textCol)
+    s"""SELECT $idCol, $n AS n_tok,
+       |  coalesce($n >= $minTok AND $n <= $maxTok, false) AS r_ntok,
+       |  coalesce($wlen >= $minWlen AND $wlen <= $maxWlen, false) AS r_wlen,
+       |  coalesce($alphaFrac >= $minAlphaFrac, false) AS r_alpha,
+       |  coalesce($stopDistinct >= $minStopDistinct, false) AS r_stop,
+       |  coalesce($rep <= $maxRep, false) AS r_rep,
+       |  coalesce($n >= $minTok AND $n <= $maxTok, false)
+       |    AND coalesce($wlen >= $minWlen AND $wlen <= $maxWlen, false)
+       |    AND coalesce($alphaFrac >= $minAlphaFrac, false)
+       |    AND coalesce($stopDistinct >= $minStopDistinct, false)
+       |    AND coalesce($rep <= $maxRep, false) AS pass
+       |FROM $table""".stripMargin
+  }
+
+  // ---- TF-IDF top terms ---------------------------------------------------
+
+  /** Top-k TF-IDF terms per document — the classic keyword/feature
+    * extractor (`tfidf = tf · ln(N/df)`). Scores are n4-rounded BEFORE
+    * ranking so both engines rank on the same grid; ties break on the
+    * term string. Returns (idCol, term, tf, df, tfidf, rank).
+    *
+    * Scale shape: one token-keyed shuffle builds per-(doc, term)
+    * counts; document frequency is a partial-aggregable rollup of that
+    * frame; the scoring join is term-keyed; the final top-k is a
+    * per-doc window that Spark executes as WindowGroupLimit (rank
+    * pushdown — no full sort of the scored frame). N is one driver
+    * scalar. Nothing collects or broadcasts the vocabulary.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, kTop: Int): org.apache.spark.sql.DataFrame = {
+    require(kTop > 0, s"kTop must be positive: $kTop")
+    val nDocs = df.count()
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        floor(col("tf").cast(DoubleType) *
+          log(lit(nDocs.toDouble) / col("df").cast(DoubleType)) *
+          lit(10000d) + lit(0.5d)).cast(DoubleType) / lit(10000d))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kTop)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
+  /** [[tfidfTopTerms]] oracle rendering. */
+  def tfidfTopTermsSql(table: String, idCol: String, textCol: String,
+      kTop: Int): String =
+    s"""WITH toks AS (SELECT $idCol, unnest(${tokensSql(textCol)}) AS term
+       |              FROM $table),
+       |tf AS (SELECT $idCol, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM $table),
+       |scored AS (SELECT $idCol, term, tf, df,
+       |    ${graft.etl.OracleSql.n4("CAST(tf AS DOUBLE) * ln(n / CAST(df AS DOUBLE))")} AS tfidf
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot),
+       |ranked AS (SELECT *, row_number() OVER
+       |    (PARTITION BY $idCol ORDER BY tfidf DESC, term) AS rank
+       |  FROM scored)
+       |SELECT $idCol, term, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $kTop""".stripMargin
+
+  // ---- BM25 keyword search -------------------------------------------------
+
+  /** BM25 top-k retrieval for a fixed term set (Robertson/Spärck Jones;
+    * the Lucene-default `ln(1 + (N - df + 0.5)/(df + 0.5))` idf, so
+    * scores are always positive). Cross-engine float discipline:
+    * per-term scores are evaluated in ONE fixed parenthesization and
+    * floored onto a 1e-6 grid as integer micro-scores; the per-doc
+    * score is then an ORDER-INDEPENDENT integer sum — exact on any
+    * engine, no float-reduction drift. Returns (idCol, score_u)
+    * descending, doc-id tiebreak.
+    *
+    * Scale shape: the term filter runs map-side BEFORE the (doc, term)
+    * aggregate, so only matching postings shuffle (a handful of terms,
+    * not the corpus vocabulary); (N, avgdl) are one driver scalar pair;
+    * the final top-k is a k-row TakeOrdered, never a global sort
+    * materialization.
+    */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], kTop: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(kTop > 0, s"kTop must be positive: $kTop")
+    val docs = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast(LongType))
+    val stats = docs.agg(count(lit(1)), sum("dl")).head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val tf = docs.select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfD = col("df").cast(DoubleType)
+    val tfD = col("tf").cast(DoubleType)
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val denom = tfD + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl").cast(DoubleType) / lit(avgdl))
+    val termScore = idf * (tfD * lit(k1 + 1.0)) / denom
+    tf.join(tf.groupBy("term").agg(count(lit(1)).as("df")), "term")
+      .select(col(idCol),
+        floor(termScore * lit(1000000.0) + lit(0.5)).cast(LongType).as("s_u"))
+      .groupBy(idCol).agg(sum("s_u").as("score_u"))
+      .orderBy(col("score_u").desc, col(idCol))
+      .limit(kTop)
+  }
+
+  /** [[bm25TopK]] oracle rendering. Float literals are injected via
+    * `Double.toString` (shortest round-trip repr), so DuckDB parses the
+    * EXACT same doubles Spark's `lit` embeds.
+    */
+  def bm25TopKSql(table: String, idCol: String, textCol: String,
+      terms: Seq[String], kTop: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val idf = s"ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    val denom = s"CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE) / avgdl)"
+    val termScore = s"$idf * (CAST(tf AS DOUBLE) * ${k1 + 1.0}) / ($denom)"
+    s"""WITH dld AS (SELECT $idCol, ${tokensSql(textCol)} AS toks,
+       |    CAST(${nTokensSql(textCol)} AS BIGINT) AS dl FROM $table),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dld),
+       |tf AS (SELECT $idCol, dl, term, count(*) AS tf
+       |  FROM (SELECT $idCol, dl, unnest(toks) AS term FROM dld)
+       |  WHERE term IN ($termList) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT $idCol,
+       |    CAST(floor(($termScore) * 1000000.0 + 0.5) AS BIGINT) AS s_u
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN tot)
+       |SELECT $idCol, CAST(sum(s_u) AS BIGINT) AS score_u FROM scored
+       |GROUP BY $idCol ORDER BY score_u DESC, $idCol LIMIT $kTop""".stripMargin
   }
 
   // ---- unigram log-probability scoring ----------------------------------

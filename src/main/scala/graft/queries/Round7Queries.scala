@@ -206,6 +206,147 @@ object Round7Queries {
        |       * 69621) % ${MixOps.P} < thr.t
        |ORDER BY d.doc_id""".stripMargin
 
+  // -- q78: Gopher-rule quality flags ---------------------------------------
+  // Per-doc boolean audit of the five adapted Gopher rules plus the
+  // conjunction; flags surface as 0/1 INTs (engine-portable hashing).
+  // Pure projection — no shuffle.
+  private def q78(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = TextOps.gopherFlags(
+      Tables.read(spark, sfDir, "documents"), "doc_id", "text")
+    f.select((Seq(col("doc_id"), col("n_tok")) ++
+        Seq("r_ntok", "r_wlen", "r_alpha", "r_stop", "r_rep", "pass")
+          .map(c => col(c).cast("int").as(c))): _*)
+      .orderBy("doc_id")
+  }
+
+  private val q78Oracle: String =
+    s"""SELECT doc_id, n_tok,
+       |  CAST(r_ntok AS INTEGER) AS r_ntok, CAST(r_wlen AS INTEGER) AS r_wlen,
+       |  CAST(r_alpha AS INTEGER) AS r_alpha, CAST(r_stop AS INTEGER) AS r_stop,
+       |  CAST(r_rep AS INTEGER) AS r_rep, CAST(pass AS INTEGER) AS pass
+       |FROM (${TextOps.gopherFlagsSql("documents", "doc_id", "text")}) g
+       |ORDER BY doc_id""".stripMargin
+
+  // -- q79: TF-IDF top terms per document -----------------------------------
+  private val TfidfK = 3
+
+  private def q79(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.tfidfTopTerms(
+        Tables.read(spark, sfDir, "documents"), "doc_id", "text", TfidfK)
+      .orderBy("doc_id", "rank")
+
+  private val q79Oracle: String =
+    s"""SELECT * FROM (${TextOps.tfidfTopTermsSql("documents", "doc_id", "text", TfidfK)}) t
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // -- q80: deterministic train/val/test split ------------------------------
+  // The 80/10/10 split as a pure function of (doc_id, seed): integer
+  // hash-threshold membership, so a re-ingest on any engine or cluster
+  // layout rebuilds the exact same eval set (no leakage drift).
+  private val SplitSeed = 13L
+  private val SplitFracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  private def q80(spark: SparkSession, sfDir: String): DataFrame =
+    MixOps.assignSplit(
+        Tables.read(spark, sfDir, "documents"), "doc_id", SplitSeed, SplitFracs)
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  private val q80Oracle: String =
+    s"""SELECT doc_id,
+       |  ${MixOps.assignSplitSql("doc_id", SplitSeed, SplitFracs)} AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- q81: BM25 keyword search top-k ---------------------------------------
+  // Integer micro-score BM25 (order-independent exact sum; see
+  // TextOps.bm25TopK) over four common fixture terms.
+  private val Bm25Terms = Seq("hash", "join", "spark", "window")
+  private val Bm25K = 20
+
+  private def q81(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.bm25TopK(
+      Tables.read(spark, sfDir, "documents"), "doc_id", "text",
+      Bm25Terms, Bm25K)
+
+  private val q81Oracle: String =
+    TextOps.bm25TopKSql("documents", "doc_id", "text", Bm25Terms, Bm25K)
+
+  // -- q82: cross-source near-dup leakage matrix ----------------------------
+  // The contamination dashboard between ingest sources: near-dup pairs
+  // (q20's verified MinHash-LSH pipeline) labeled with each side's
+  // source and rolled up per unordered source pair. Planted recrawls
+  // (every 10th doc re-ingested under source 'recrawl' with a 3-token
+  // suffix) guarantee signal on the synthetic fixture, exactly like
+  // q20's corpus.
+  private def leakCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents")
+    d.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" qq zz vv")).as("text"),
+          lit("recrawl").as("source")))
+  }
+
+  private val leakCorpusSql: String =
+    """SELECT doc_id AS id, text, source FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text || ' qq zz vv', 'recrawl'
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  private def q82(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = leakCorpus(spark, sfDir)
+    val pairs = DedupOps.nearDupPairs(corpus, "doc_id", "text",
+      ExtQueries.MinHashes, ExtQueries.Bands, ExtQueries.JacThreshold)
+    val srcs = corpus.select(col("doc_id").as("id"), col("source"))
+    pairs
+      .join(srcs.select(col("id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(srcs.select(col("id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val q82Oracle: String = {
+    val r = ExtQueries.MinHashes / ExtQueries.Bands
+    s"""WITH corpus AS ($leakCorpusSql),
+       |hs AS (SELECT id, source, ${DedupOps.shingleHashesSql("text")} AS h FROM corpus),
+       |sigs AS (SELECT id, h, ${DedupOps.minhashSignatureSql("h", ExtQueries.MinHashes)} AS sig
+       |         FROM hs WHERE len(h) > 0),
+       |bands AS (SELECT id, unnest(${DedupOps.bandKeysSql("sig", ExtQueries.Bands, r)}) AS band FROM sigs),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+       |verified AS (SELECT id_a, id_b,
+       |  ${OracleHelpers.n4(DedupOps.jaccardSql("ha.h", "hb.h"))} AS jac
+       |  FROM cand JOIN sigs ha ON cand.id_a = ha.id JOIN sigs hb ON cand.id_b = hb.id),
+       |pairs AS (SELECT id_a, id_b FROM verified WHERE jac >= ${ExtQueries.JacThreshold}),
+       |lab AS (SELECT least(sa.source, sb.source) AS src_a,
+       |               greatest(sa.source, sb.source) AS src_b
+       |        FROM pairs JOIN hs sa ON pairs.id_a = sa.id
+       |                   JOIN hs sb ON pairs.id_b = sb.id)
+       |SELECT src_a, src_b, count(*) AS n_pairs FROM lab
+       |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+  }
+
+  // -- q83: corpus-wide top-k trigrams --------------------------------------
+  // N-gram census (with multiplicity — the counting form the repeated-
+  // boilerplate detectors rank on). One partial-aggregable shuffle +
+  // a k-row TakeOrdered.
+  private val TrigramK = 25
+
+  private def q83(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents")
+      .select(explode(TextOps.ngrams(col("text"), 3)).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram"))
+      .limit(TrigramK)
+
+  private val q83Oracle: String =
+    s"""SELECT trigram, count(*) AS n
+       |FROM (SELECT unnest(${TextOps.ngramsSql("text", 3)}) AS trigram
+       |      FROM documents) t
+       |GROUP BY trigram ORDER BY n DESC, trigram LIMIT $TrigramK""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q70_doc_chunks", q70, Some(q70Oracle)),
     QueryDef("q71_pack_sequences", q71, Some(q71Oracle)),
@@ -216,5 +357,11 @@ object Round7Queries {
     QueryDef("q76_kmeans_embed", q76,
       Some(SimilarityOps.kmeansSql("embeddings", 4, 2))),
     QueryDef("q77_temperature_mix", q77, Some(q77Oracle)),
+    QueryDef("q78_gopher_rules", q78, Some(q78Oracle)),
+    QueryDef("q79_tfidf_topk", q79, Some(q79Oracle)),
+    QueryDef("q80_split_assign", q80, Some(q80Oracle)),
+    QueryDef("q81_bm25_search", q81, Some(q81Oracle)),
+    QueryDef("q82_source_leakage", q82, Some(q82Oracle)),
+    QueryDef("q83_trigram_topk", q83, Some(q83Oracle)),
   )
 }

@@ -176,6 +176,136 @@ class Round7Spec extends EtlSpecBase {
     assert(again == got)
   }
 
+  // ---- gopherFlags -------------------------------------------------------
+
+  test("gopherFlags: each rule rejects its planted violation; clean doc passes") {
+    // 60 tokens, all distinct (zero trigram repetition), mean length in
+    // [3, 10], two distinct stopwords, all-alphanumeric
+    val good = ("the of " + (1 to 58).map(i => s"word$i").mkString(" ")).trim
+    val docs = Seq(
+      (1L, good),                              // passes all
+      (2L, "short doc only four"),             // r_ntok: 4 < 50
+      (3L, ("a " * 60).trim),                  // r_wlen: mean len 1 < 3
+      (4L, (("the of " + "12 34 56 78 " * 2) * 8).trim), // r_alpha: 2/26 words alphabetic... adjusted below
+      (5L, ("alpha beta gamma delta " * 15).trim),  // r_stop: zero English stopwords
+      (6L, ("the of and x y z " * 12).trim)    // r_rep: same 6-gram repeated -> high trigram repetition
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherFlags(docs, "doc_id", "text", minTok = 4)
+      .select("doc_id", "r_ntok", "r_wlen", "r_alpha", "r_stop", "r_rep", "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, true, true, true, true, true, true)), got(1L).toString)
+    assert(!got(3L)._3 && !got(3L)._7, s"mean-wlen rule: ${got(3L)}")
+    assert(!got(4L)._4 && !got(4L)._7, s"alpha-frac rule: ${got(4L)}")
+    assert(!got(5L)._5 && !got(5L)._7, s"stopword rule: ${got(5L)}")
+    assert(!got(6L)._6 && !got(6L)._7, s"repetition rule: ${got(6L)}")
+    // and with the default minTok=50, the short doc fails r_ntok
+    val strict = TextOps.gopherFlags(docs, "doc_id", "text")
+      .where($"doc_id" === 2L).select("r_ntok", "pass")
+      .as[(Boolean, Boolean)].head()
+    assert(strict == ((false, false)))
+  }
+
+  test("gopherFlags: null/empty text fails closed on every rule") {
+    val docs = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.gopherFlags(docs, "doc_id", "text")
+      .select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> false))
+  }
+
+  // ---- tfidfTopTerms -----------------------------------------------------
+
+  test("tfidfTopTerms: corpus-wide terms score zero, rare repeated terms rank first") {
+    val docs = Seq(
+      (1L, "common common rare rare rare common"),
+      (2L, "common other other"),
+      (3L, "common third")
+    ).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(docs, "doc_id", "text", kTop = 2)
+      .select("doc_id", "term", "rank").as[(Long, String, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // "common" appears in all 3 docs -> idf = ln(1) = 0: never top-ranked
+    // over a doc-local term; doc 1's top term is "rare" (tf 3, df 1)
+    assert(got(1L).head == "rare", got.toString)
+    assert(got(2L).head == "other", got.toString)
+    // doc 3: only "third" has positive score; "common" fills rank 2 at 0.0
+    assert(got(3L) == Seq("third", "common"), got.toString)
+  }
+
+  // ---- assignSplit -------------------------------------------------------
+
+  test("assignSplit: exhaustive, deterministic, fractions honored, eval set stable") {
+    val df = (1L to 10000L).toDF("id")
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = MixOps.assignSplit(df, "id", seed = 13L, fracs)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("train", "val", "test"))
+    assert(got.values.sum == 10000L)
+    assert(math.abs(got("train") - 8000L) < 200, got.toString)
+    assert(math.abs(got("val") - 1000L) < 100, got.toString)
+    // determinism: the test-set membership is identical across runs
+    def testIds() = MixOps.assignSplit(df, "id", 13L, fracs)
+      .where($"split" === "test").select("id").as[Long].collect().toSet
+    assert(testIds() == testIds())
+    // a different seed reassigns
+    val other = MixOps.assignSplit(df, "id", 14L, fracs)
+      .where($"split" === "test").select("id").as[Long].collect().toSet
+    assert(other != testIds())
+  }
+
+  test("assignSplit: rejects bad fraction specs") {
+    val df = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      MixOps.assignSplit(df, "id", 1L, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      MixOps.assignSplit(df, "id", 1L, Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
+  // ---- bm25TopK ----------------------------------------------------------
+
+  test("bm25TopK: tf raises score with saturation, shorter docs win ties, rare terms worth more") {
+    val filler = "xx yy zz " * 10
+    val docs = Seq(
+      (1L, "needle " + filler),                   // 1 hit, long doc
+      (2L, "needle needle needle " + filler),     // 3 hits, long doc
+      (3L, "needle"),                             // 1 hit, minimal doc
+      (4L, filler.trim),                          // no hits
+      (5L, "haystack " + filler)                  // hits only the COMMON term
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, "doc_id", "text",
+        terms = Seq("needle", "haystack"), kTop = 10)
+      .as[(Long, Long)].collect()
+    val scores = got.toMap
+    assert(!scores.contains(4L), "doc with no query terms must not appear")
+    assert(scores(2L) > scores(1L), "higher tf must score higher")
+    assert(scores(2L) < 3 * scores(1L), "tf saturates below linear")
+    assert(scores(3L) > scores(1L), "same tf in a shorter doc scores higher")
+    // doc 5 matches only 'haystack' (df 1, same as needle's docs 1-3 df 3:
+    // haystack is RARER -> its single hit outscores doc 1's needle hit)
+    assert(scores(5L) > scores(1L), scores.toString)
+    // descending by score, doc-id tiebreak
+    assert(got.sortBy(r => (-r._2, r._1)).toSeq == got.toSeq)
+  }
+
+  // ---- ngrams ------------------------------------------------------------
+
+  test("ngrams: keeps multiplicity, shingles is its distinct set") {
+    val df = Seq((1L, "a b a b a b")).toDF("id", "text")
+    val n = df.select(TextOps.ngrams($"text", 3).as("g"))
+      .select(explode($"g")).as[String].collect().toSeq
+    assert(n == Seq("a b a", "b a b", "a b a", "b a b"))
+    val s = df.select(DedupOps.shingles($"text", 3).as("g"))
+      .select(explode($"g")).as[String].collect().toSeq
+    assert(s == Seq("a b a", "b a b"))
+    // short doc: empty, not a descending sequence artifact
+    val short = Seq((1L, "a b")).toDF("id", "text")
+      .select(TextOps.ngrams($"text", 3).as("g"))
+      .select(size($"g")).as[Int].head()
+    assert(short == 0)
+  }
+
   // ---- blocklistFilter ---------------------------------------------------
 
   test("blocklistFilter: exact even at absurd fpp (every false positive verified)") {
