@@ -166,11 +166,20 @@ object TextOps {
     * `sequence(1, 0)` counts DOWN (unlike DuckDB's end-exclusive empty
     * `range`), so the < k case must short-circuit.
     */
-  def ngrams(c: Column, k: Int): Column =
-    when(size(tokens(c)) >= k,
+  def ngrams(c: Column, k: Int): Column = ngramsOf(tokens(c), k)
+
+  /** [[ngrams]] over a PRE-BOUND token-array column. Callers on a hot
+    * path should project `tokens(text)` into a named column first and
+    * pass that: a raw-text `ngrams` re-splits the string inside every
+    * `slice` lambda step (O(tokens²) splits per doc), and Catalyst's
+    * CollapseProject deliberately keeps the two-step projection apart
+    * because the split is non-cheap and multiply-referenced.
+    */
+  def ngramsOf(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
       transform(
-        sequence(lit(1), size(tokens(c)) - (k - 1)),
-        i => concat_ws(" ", slice(tokens(c), i, lit(k)))))
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
   def ngramsSql(e: String, k: Int): String = {

@@ -336,7 +336,8 @@ object Round7Queries {
 
   private def q83(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "documents")
-      .select(explode(TextOps.ngrams(col("text"), 3)).as("trigram"))
+      .select(TextOps.tokens(col("text")).as("__toks")) // bind the split ONCE
+      .select(explode(TextOps.ngramsOf(col("__toks"), 3)).as("trigram"))
       .groupBy("trigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("trigram"))
       .limit(TrigramK)

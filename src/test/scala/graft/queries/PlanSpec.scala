@@ -172,6 +172,48 @@ class PlanSpec extends EtlSpecBase {
     assert(plan.contains("static_invoke(graft.ops.VectorKernels.dot"), plan)
   }
 
+  test("gopherFlags and assignSplit plan as pure map-side projections: no Exchange") {
+    val d = Tables.read(spark, sf, "documents")
+    val flags = graft.ops.TextOps.gopherFlags(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!flags.contains("Exchange"), s"rule flags must not shuffle:\n$flags")
+    val split = graft.ops.MixOps.assignSplit(d, "doc_id", 13L,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .queryExecution.executedPlan.toString
+    assert(!split.contains("Exchange"), s"split assignment must not shuffle:\n$split")
+    assert(split.contains("*("), split) // stays inside whole-stage codegen
+  }
+
+  test("tfidfTopTerms pushes the per-doc top-k below the shuffle (WindowGroupLimit)") {
+    val plan = graft.ops.TextOps.tfidfTopTerms(
+        Tables.read(spark, sf, "documents"), "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"rank must prune pre-shuffle:\n$plan")
+  }
+
+  test("bm25TopK: k-row TakeOrdered (no global sort), term filter before the postings exchange") {
+    val df = graft.ops.TextOps.bm25TopK(
+      Tables.read(spark, sf, "documents"), "doc_id", "text",
+      Seq("hash", "join", "spark", "window"), 20)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    // the IN(terms) filter must run map-side so only matching postings
+    // shuffle: an explicit Filter node carrying the term literals has to
+    // exist (if it were folded into a post-aggregate HAVING the whole
+    // vocabulary would cross the wire first)
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("hash") && l.contains("spark")),
+      s"term IN-filter must appear as a map-side Filter:\n$plan")
+  }
+
+  test("q83 trigram census: partial+final aggregate and a k-row TakeOrdered") {
+    val plan = planOf("q83_trigram_topk")
+    assert(plan.contains("partial_count") || plan.contains("partial_"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("readJdbc pushes filters into the JDBC relation (not a post-scan Filter)") {
     import graft.etl.Io
     import spark.implicits._
