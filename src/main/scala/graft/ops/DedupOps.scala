@@ -354,6 +354,45 @@ object DedupOps {
       .select(col("id"), col("fp"))
   }
 
+  // ---- snapshot diff -----------------------------------------------------
+
+  /** Corpus snapshot diff: classify every doc id across two ingest
+    * snapshots as `added` / `removed` / `changed` / `unchanged` — the
+    * audit artifact a re-crawl pipeline publishes with each drop (and
+    * the input to an incremental re-embedding job, which re-processes
+    * only `added`+`changed`). Classification compares TEXT, not
+    * fingerprints: an exact diff can't delegate to a lossy hash (the
+    * position-weighted fingerprint demonstrably collides on
+    * structured near-anagrams), and the id-keyed join already
+    * co-locates both texts, so the exact compare is free.
+    *
+    * Scale shape: ONE full-outer hash join keyed on the id. Unlike
+    * dedup (where the hash-first trick keeps payload off the wire),
+    * a content diff must move content — the 100 TB lever is storing
+    * both snapshots bucketed by id so the join plans exchange-free
+    * (see the bucketed-join PlanSpec proof), plus AQE for re-crawl
+    * skew. Output: (id, status, fp) with fp = the CURRENT text's
+    * fingerprint (null for `removed`), ready to feed
+    * [[incrementalDedup]]-style downstream stages.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // presence markers, not text nullity: a doc row with a NULL text is
+    // still PRESENT in its snapshot (and a null-vs-null text compare is
+    // `unchanged`, via the null-safe equality)
+    val a = prev.select(col(idCol).as("id"), col(textCol).as("__t_prev"),
+      lit(true).as("__in_prev"))
+    val b = cur.select(col(idCol).as("id"), col(textCol).as("__t_cur"),
+      TextOps.fingerprint(col(textCol)).as("fp"), lit(true).as("__in_cur"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__in_prev").isNull, lit("added"))
+          .when(col("__in_cur").isNull, lit("removed"))
+          .when(col("__t_prev") <=> col("__t_cur"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("fp"))
+  }
+
   // ---- blocklist filter (Bloom prefilter + exact verify) -----------------
 
   /** Remove every document whose TEXT appears in a blocklist

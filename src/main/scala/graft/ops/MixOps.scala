@@ -147,6 +147,31 @@ object MixOps {
     s"(CASE $branches ELSE '${fracs.last._1}' END)"
   }
 
+  /** Per-source quota capping ("domain balancing"): keep at most
+    * `quota` rows per `keyCol` group, preferring rows by `ordering` —
+    * the web-curation stage that stops a handful of giant domains from
+    * dominating the mix (the complement of [[temperatureSample]]'s
+    * rate-based reweighting: quota is a hard per-group ceiling and
+    * keeps the BEST rows, not a random subset).
+    *
+    * The ordering MUST be total per group (end it with a unique id) —
+    * otherwise the quota boundary row is layout-dependent.
+    *
+    * Scale shape: one hash shuffle on the group key; the rank is a
+    * `row_number` window that Spark executes as WindowGroupLimit, so
+    * each partition retains only `quota` rows per group BEFORE the
+    * final filter — a giant domain never materializes its tail.
+    */
+  def perKeyQuota(df: DataFrame, keyCol: String, ordering: Seq[Column],
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    require(ordering.nonEmpty, "ordering must be non-empty")
+    val w = Window.partitionBy(col(keyCol)).orderBy(ordering: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
   /** Token-budget sequence packing (GPT-style): documents are laid out
     * in the seeded deterministic mix order, their token counts prefix-
     * summed, and the concatenated token stream cut every `budget`

@@ -348,6 +348,64 @@ object Round7Queries {
        |      FROM documents) t
        |GROUP BY trigram ORDER BY n DESC, trigram LIMIT $TrigramK""".stripMargin
 
+  // -- q84: corpus snapshot diff --------------------------------------------
+  // Day-1 = documents; day-2 plants one violation per class: every 11th
+  // doc dropped (removed), every 13th doc's text token-appended
+  // (changed), every 17th doc re-ingested under a fresh id (added);
+  // everything else unchanged. The classification is exact text
+  // compare over one id-keyed full-outer join.
+  private def q84(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents").select("doc_id", "text")
+    val day2 = d.where(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+    DedupOps.snapshotDiff(d, day2).orderBy("id")
+  }
+
+  private val q84Oracle: String =
+    s"""WITH day2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 11 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 7000000, text FROM documents WHERE doc_id % 17 = 0)
+       |SELECT coalesce(a.doc_id, b.doc_id) AS id,
+       |  CASE WHEN a.doc_id IS NULL THEN 'added'
+       |       WHEN b.doc_id IS NULL THEN 'removed'
+       |       WHEN a.text IS NOT DISTINCT FROM b.text THEN 'unchanged'
+       |       ELSE 'changed' END AS status,
+       |  ${TextOps.fingerprintSql("b.text")} AS fp
+       |FROM documents a FULL OUTER JOIN day2 b ON a.doc_id = b.doc_id
+       |ORDER BY id""".stripMargin
+
+  // -- q85: per-source quota capping ("domain balancing") -------------------
+  // Keep the 15 highest-quality docs per source (n4 quality grid,
+  // doc-id tiebreak — a total per-group order, so the quota boundary
+  // is layout-independent).
+  private val QuotaN = 15
+
+  private def q85(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        Norm.n4(TextOps.qualityScore(col("text"))).as("q4"))
+    MixOps.perKeyQuota(d, "source",
+        Seq(col("q4").desc, col("doc_id")), QuotaN)
+      .orderBy("source", "doc_id")
+  }
+
+  private val q85Oracle: String =
+    s"""WITH scored AS (SELECT doc_id, source,
+       |    ${OracleHelpers.n4(TextOps.qualityScoreSql("text"))} AS q4
+       |  FROM documents),
+       |ranked AS (SELECT *, row_number() OVER
+       |    (PARTITION BY source ORDER BY q4 DESC, doc_id) AS rk
+       |  FROM scored)
+       |SELECT doc_id, source, q4 FROM ranked WHERE rk <= $QuotaN
+       |ORDER BY source, doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q70_doc_chunks", q70, Some(q70Oracle)),
     QueryDef("q71_pack_sequences", q71, Some(q71Oracle)),
@@ -364,5 +422,7 @@ object Round7Queries {
     QueryDef("q81_bm25_search", q81, Some(q81Oracle)),
     QueryDef("q82_source_leakage", q82, Some(q82Oracle)),
     QueryDef("q83_trigram_topk", q83, Some(q83Oracle)),
+    QueryDef("q84_snapshot_diff", q84, Some(q84Oracle)),
+    QueryDef("q85_source_quota", q85, Some(q85Oracle)),
   )
 }

@@ -306,6 +306,50 @@ class Round7Spec extends EtlSpecBase {
     assert(short == 0)
   }
 
+  // ---- snapshotDiff ------------------------------------------------------
+
+  test("snapshotDiff: all four classes, presence by row not text nullity") {
+    val prev = Seq(
+      (1L, "stable text"),
+      (2L, "will change"),
+      (3L, "will vanish"),
+      (5L, null: String)       // present with NULL text
+    ).toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "stable text"),     // unchanged
+      (2L, "has changed"),     // changed
+      (4L, "brand new"),       // added
+      (5L, null: String)       // null == null -> unchanged, NOT added
+    ).toDF("doc_id", "text")
+    val got = DedupOps.snapshotDiff(prev, cur)
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"), got.toString)
+    // a null text BECOMING real text is a change, not an add
+    val cur2 = Seq((5L, "now real")).toDF("doc_id", "text")
+    val got2 = DedupOps.snapshotDiff(prev.where($"doc_id" === 5L), cur2)
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(got2 == Map(5L -> "changed"), got2.toString)
+  }
+
+  // ---- perKeyQuota -------------------------------------------------------
+
+  test("perKeyQuota: hard per-group ceiling, keeps the best rows, under-quota groups intact") {
+    val rows = (1L to 30L).map(i => (i, "big", i % 10)) ++   // 30 rows, scores 0-9
+      (31L to 33L).map(i => (i, "small", 5L))                 // 3 rows
+    val df = rows.toDF("id", "src", "score")
+    val got = MixOps.perKeyQuota(df, "src",
+        Seq($"score".desc, $"id"), quota = 5)
+      .select("id", "src", "score").as[(Long, String, Long)].collect()
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc("big").length == 5, s"quota must cap: ${bySrc("big").toSeq}")
+    assert(bySrc("small").length == 3, "under-quota group must be intact")
+    // the kept "big" rows are exactly the top-5 by (score desc, id asc)
+    val expect = (1L to 30L).map(i => (i, i % 10)).sortBy(r => (-r._2, r._1))
+      .take(5).map(_._1).toSet
+    assert(bySrc("big").map(_._1).toSet == expect)
+  }
+
   // ---- blocklistFilter ---------------------------------------------------
 
   test("blocklistFilter: exact even at absurd fpp (every false positive verified)") {

@@ -17,10 +17,13 @@ class PartitionInvarianceSpec extends EtlSpecBase {
   // one per risk class: categorical rare-fold collect (q05), mode
   // tie-break (q07), LSH banding + hot-band handling (q20), iterative
   // cluster label propagation (q51), hash-gated sampling (q57),
-  // seeded shuffle-shard (q66), per-shard prefix-sum packing (q71)
+  // seeded shuffle-shard (q66), per-shard prefix-sum packing (q71),
+  // rounded-score window rank ties (q79), float-sum-turned-integer-sum
+  // top-k boundary (q81), LSH pair relabeling + rollup (q82)
   private val queries = Seq("q05_clean_categorical", "q07_impute_mode",
     "q20_minhash_lsh", "q51_dup_clusters", "q57_stratified_sample",
-    "q66_shuffle_shard", "q71_pack_sequences")
+    "q66_shuffle_shard", "q71_pack_sequences", "q79_tfidf_topk",
+    "q81_bm25_search", "q82_source_leakage")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -214,6 +214,21 @@ class PlanSpec extends EtlSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("perKeyQuota rank prunes per-partition (WindowGroupLimit); snapshotDiff is one id-keyed full-outer join") {
+    val d = Tables.read(spark, sf, "documents")
+    val quota = graft.ops.MixOps.perKeyQuota(d, "source",
+        Seq(col("doc_id")), 10)
+      .queryExecution.executedPlan.toString
+    assert(quota.contains("WindowGroupLimit"),
+      s"a giant domain must never materialize its tail:\n$quota")
+    val diff = graft.ops.DedupOps.snapshotDiff(
+        d.where(col("doc_id") % 2 === 0), d)
+      .queryExecution.executedPlan.toString
+    assert(diff.contains("FullOuter"), diff)
+    assert(!diff.contains("CartesianProduct") &&
+      !diff.contains("BroadcastNestedLoopJoin"), diff)
+  }
+
   test("readJdbc pushes filters into the JDBC relation (not a post-scan Filter)") {
     import graft.etl.Io
     import spark.implicits._
