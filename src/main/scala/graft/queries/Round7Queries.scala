@@ -406,6 +406,61 @@ object Round7Queries {
        |SELECT doc_id, source, q4 FROM ranked WHERE rk <= $QuotaN
        |ORDER BY source, doc_id""".stripMargin
 
+  // -- q86: in-engine quality-classifier training (logistic regression) ----
+  // Three full-batch GD steps from w = 0 on the q16 quality features,
+  // label = (lang = 'en'), then score every doc. Integer
+  // micro-gradients + n4 weights make the whole trajectory
+  // bit-reproducible; the oracle unrolls it CTE by CTE.
+  private def q86(spark: SparkSession, sfDir: String): DataFrame =
+    TrainOps.logregScore(
+        Tables.read(spark, sfDir, "documents"), "doc_id", "text",
+        (col("lang") === "en").cast("int"), iters = 3, lr = 0.5)
+      .orderBy("doc_id")
+
+  private val q86Oracle: String =
+    s"""SELECT * FROM (${TrainOps.logregScoreSql("documents", "doc_id", "text",
+         "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", iters = 3, lr = 0.5)}) t
+       |ORDER BY doc_id""".stripMargin
+
+  // -- q87: stream-static join enrichment -----------------------------------
+  // The remaining core Structured Streaming shape: a stream joined to a
+  // broadcast static dimension (customer segment), then window-
+  // aggregated. Complete mode + AvailableNow => streaming == batch ==
+  // the SQL oracle, like q47/q69/q75.
+  private def q87(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dim = Tables.read(spark, sfDir, "customer")
+      .where(col("c_custkey") <= 100)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = stream
+      .withColumn("ck", col("user_id") % 100 + 1)
+      .join(broadcast(dim), col("ck") === col("c_custkey"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+        col("c_mktsegment"), col("n"))
+    val sink = "graft_q87_sink"
+    spark.catalog.dropTempView(sink) // re-runnable within one session
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("ws", "c_mktsegment")
+  }
+
+  private val q87Oracle: String =
+    """SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS ws,
+      |  c_mktsegment, count(*) AS n
+      |FROM events JOIN customer
+      |  ON user_id % 100 + 1 = c_custkey AND c_custkey <= 100
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q70_doc_chunks", q70, Some(q70Oracle)),
     QueryDef("q71_pack_sequences", q71, Some(q71Oracle)),
@@ -424,5 +479,7 @@ object Round7Queries {
     QueryDef("q83_trigram_topk", q83, Some(q83Oracle)),
     QueryDef("q84_snapshot_diff", q84, Some(q84Oracle)),
     QueryDef("q85_source_quota", q85, Some(q85Oracle)),
+    QueryDef("q86_logreg_quality", q86, Some(q86Oracle)),
+    QueryDef("q87_stream_enrich", q87, Some(q87Oracle)),
   )
 }

