@@ -223,6 +223,16 @@ object SimilarityOps {
     */
   def kmeansAssign(df: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (assigned, _) = kmeansTrain(df, k, iters, idCol, vecCol)
+    assigned.select(col("id").as(idCol), col("cell"))
+  }
+
+  /** Shared Lloyd trainer: the final-assignment frame (id, v, cell)
+    * plus the final (n4-rounded) centroid literals it was assigned
+    * against. Consumed by [[kmeansAssign]] and [[kmeansOutliers]].
+    */
+  private def kmeansTrain(df: DataFrame, k: Int, iters: Int,
+      idCol: String, vecCol: String): (DataFrame, Seq[(Int, Array[Double])]) = {
     require(k > 0 && iters > 0, s"k/iters must be positive: $k/$iters")
     val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     def assign(cents: Seq[(Int, Array[Double])]): DataFrame = {
@@ -245,14 +255,66 @@ object SimilarityOps {
         .toSeq.map { case (cell, rows) =>
           cell -> rows.sortBy(_.getInt(1)).map(r => n4d(r.getDouble(2))).toArray
         }.sortBy(_._1)
-    assign(cents).select(col("id").as(idCol), col("cell"))
+    (assign(cents), cents)
+  }
+
+  /** Embedding-space outlier gate: flag the farthest `100 - pct`% of
+    * vectors WITHIN each k-means cell (distance to own centroid) — the
+    * standard "drop embedding-space noise" curation filter, cluster-
+    * relative so a dense topic cluster doesn't mask outliers in a
+    * sparse one. Returns (idCol, cell, d4, is_out).
+    *
+    * The cut is PURE INTEGER: rank within cell by (n4 distance, id)
+    * and flag `rank·100 > pct·cellCount` — no float threshold exists
+    * anywhere, so there is no interpolated-percentile boundary for two
+    * engines to disagree on (d4 itself is the proven q76 rounding
+    * contract: true squared L2 on the n4 grid).
+    *
+    * Scale shape: training is [[kmeansAssign]]'s map-side loop; the
+    * distance is one kernel dot against the row's own centroid literal
+    * (map-side CASE over k entries); the rank is ONE hash shuffle on
+    * `cell` — k large groups, the same layout class as the q66 shard
+    * window.
+    */
+  def kmeansOutliers(df: DataFrame, k: Int, iters: Int, pct: Int = 95,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(pct > 0 && pct < 100, s"pct must be in (0, 100): $pct")
+    val (assigned, cents) = kmeansTrain(df, k, iters, idCol, vecCol)
+    val ccCol = cents.foldLeft(lit(null).cast(DoubleType)) {
+      case (els, (j, c)) =>
+        when(col("cell") === j,
+          lit(c.foldLeft(0.0)((acc, x) => acc + x * x))).otherwise(els)
+    }
+    val dotCol = cents.foldLeft(lit(null).cast(DoubleType)) {
+      case (els, (j, c)) =>
+        when(col("cell") === j, dot(col("v"), typedLit(c.toSeq))).otherwise(els)
+    }
+    val d4 = floor((dot(col("v"), col("v")) + ccCol - lit(2.0) * dotCol)
+      * lit(10000d) + lit(0.5d)).cast(DoubleType) / lit(10000d)
+    val w = Window.partitionBy("cell").orderBy(col("d4"), col("id"))
+    val wc = Window.partitionBy("cell")
+    assigned.select(col("id"), col("cell"), d4.as("d4"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("nc", count(lit(1)).over(wc))
+      .select(col("id").as(idCol), col("cell"), col("d4"),
+        (col("rk") * 100L > lit(pct.toLong) * col("nc")).cast("int").as("is_out"))
   }
 
   /** [[kmeansAssign]] oracle rendering (same init, rounding, and
     * tiebreak; one CTE pair per round).
     */
   def kmeansSql(table: String, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): String =
+    kmeansCte(table, k, iters, idCol, vecCol) +
+      s"\nSELECT $idCol, CAST(cell AS INTEGER) AS cell FROM a$iters ORDER BY $idCol"
+
+  /** Shared WITH-prefix for the k-means oracles: ends at the final
+    * assignment CTE `a<iters>` (columns idCol, v, cell); the final
+    * centroids it was assigned against are `c<iters-1>`. Append
+    * further CTEs with a leading comma.
+    */
+  private def kmeansCte(table: String, k: Int, iters: Int,
+      idCol: String, vecCol: String): String = {
     def n4(e: String) = s"(floor(($e) * 10000 + 0.5) / 10000.0)"
     val init =
       s"""c0 AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS j,
@@ -276,9 +338,27 @@ object SimilarityOps {
              |    FROM a$i) GROUP BY cell, u.i) GROUP BY cell)""".stripMargin)
       Seq(assign) ++ update
     }
-    (s"WITH e AS (SELECT $idCol, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v FROM $table),\n" +
-      (Seq(init) ++ rounds).mkString(",\n") +
-      s"\nSELECT $idCol, CAST(cell AS INTEGER) AS cell FROM a$iters ORDER BY $idCol")
+    s"WITH e AS (SELECT $idCol, list_transform($vecCol, x -> CAST(x AS DOUBLE)) AS v FROM $table),\n" +
+      (Seq(init) ++ rounds).mkString(",\n")
+  }
+
+  /** [[kmeansOutliers]] oracle rendering (same trajectory, same n4
+    * squared-L2, same integer rank cut).
+    */
+  def kmeansOutliersSql(table: String, k: Int, iters: Int, pct: Int = 95,
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    def n4(e: String) = s"(floor(($e) * 10000 + 0.5) / 10000.0)"
+    kmeansCte(table, k, iters, idCol, vecCol) +
+      s""",
+         |dd AS (SELECT a.$idCol, a.cell,
+         |  ${n4(s"${dotSql("a.v", "a.v")} + cw.cc - 2 * ${dotSql("a.v", "cw.c")}")} AS d4
+         |  FROM a$iters a JOIN (SELECT j, c, ${dotSql("c", "c")} AS cc
+         |                       FROM c${iters - 1}) cw ON a.cell = cw.j),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY d4, $idCol) AS rk,
+         |         count(*) OVER (PARTITION BY cell) AS nc FROM dd)
+         |SELECT $idCol, CAST(cell AS INTEGER) AS cell, d4,
+         |  CAST(rk * 100 > $pct * nc AS INTEGER) AS is_out
+         |FROM rk ORDER BY $idCol""".stripMargin
   }
 
   /** ANN top-k: LSH-bucket candidates (any of `tables` tables), exact

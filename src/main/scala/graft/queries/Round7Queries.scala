@@ -461,6 +461,18 @@ object Round7Queries {
       |  ON user_id % 100 + 1 = c_custkey AND c_custkey <= 100
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- q88: embedding-space outlier gate ------------------------------------
+  // Flag the farthest 5% of vectors within each k-means cell (distance
+  // to own centroid, cluster-relative). The cut is a pure-integer rank
+  // rule — no float threshold anywhere.
+  private def q88(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.kmeansOutliers(
+        Tables.read(spark, sfDir, "embeddings"), k = 4, iters = 2, pct = 95)
+      .orderBy("vec_id")
+
+  private val q88Oracle: String =
+    SimilarityOps.kmeansOutliersSql("embeddings", 4, 2, 95)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q70_doc_chunks", q70, Some(q70Oracle)),
     QueryDef("q71_pack_sequences", q71, Some(q71Oracle)),
@@ -481,5 +493,6 @@ object Round7Queries {
     QueryDef("q85_source_quota", q85, Some(q85Oracle)),
     QueryDef("q86_logreg_quality", q86, Some(q86Oracle)),
     QueryDef("q87_stream_enrich", q87, Some(q87Oracle)),
+    QueryDef("q88_embed_outliers", q88, Some(q88Oracle)),
   )
 }

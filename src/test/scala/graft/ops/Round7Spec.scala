@@ -386,6 +386,32 @@ class Round7Spec extends EtlSpecBase {
     assert(p.exists(_ != 0.5), "one step must move the weights")
   }
 
+  // ---- kmeansOutliers ----------------------------------------------------
+
+  test("kmeansOutliers: flags the planted far point per cluster, integer cut exact") {
+    // two tight clusters of 20 + one planted far member in each
+    val rows =
+      (1L to 20L).map(i => (i, Array(0f + (i % 5) * 0.01f, 0f, 0f, 0f))) ++
+      (21L to 40L).map(i => (i, Array(10f + (i % 5) * 0.01f, 10f, 10f, 10f))) ++
+      Seq((41L, Array(3f, 0f, 0f, 0f)),      // far from cluster A center
+          (42L, Array(13f, 10f, 10f, 10f)))  // far from cluster B center
+    val df = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.kmeansOutliers(df, k = 2, iters = 3, pct = 95)
+      .select("vec_id", "is_out").as[(Long, Int)].collect().toMap
+    assert(got.size == 42)
+    assert(got(41L) == 1 && got(42L) == 1, s"planted outliers must flag: $got")
+    // integer rule: out iff rk·100 > 95·21 = 1995, i.e. ranks 20 and
+    // 21 of each 21-member cell — the planted point plus the farthest
+    // regular member (the centroid is pulled toward the outlier, so
+    // the zero-offset members are farthest; id tiebreak flags id 20/40)
+    assert(got.values.sum == 4, s"two flags per 21-member cell: $got")
+    assert(got(20L) == 1 && got(40L) == 1, got.toString)
+    // pct bounds validated
+    intercept[IllegalArgumentException] {
+      SimilarityOps.kmeansOutliers(df, 2, 1, pct = 100)
+    }
+  }
+
   // ---- blocklistFilter ---------------------------------------------------
 
   test("blocklistFilter: exact even at absurd fpp (every false positive verified)") {
