@@ -40,6 +40,9 @@ object GraftFunctions {
     "graft_pytitle" -> (c => StaticInvoke(
       PyText.getClass, StringType, "title", c, Seq(StringType),
       propagateNull = true, returnNullable = true)),
+    "graft_normalize" -> (c => StaticInvoke(
+      TextKernels.getClass, StringType, "normalizeText", c, Seq(StringType),
+      propagateNull = true, returnNullable = true)),
     "graft_dot" -> (c => StaticInvoke(
       VectorKernels.getClass, DoubleType, "dot", c,
       Seq(ArrayType(DoubleType), ArrayType(DoubleType)),

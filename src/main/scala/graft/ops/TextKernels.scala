@@ -136,4 +136,29 @@ object TextKernels {
     }
     sum % P
   }
+
+  private val ControlPattern = java.util.regex.Pattern.compile("[\\x00-\\x1F\\x7F]")
+  private val SpaceRunPattern = java.util.regex.Pattern.compile("  +")
+
+  /** Corpus text normalization: Unicode NFC composition (combining
+    * marks fold into precomposed forms), C0-control + DEL strip,
+    * space-run collapse, edge trim — the standard mojibake/control
+    * cleanup pass before any hashing or tokenizing. Stage order
+    * matters and is part of the contract (strip BEFORE collapse, so a
+    * control char flanked by spaces leaves one space, not two).
+    * Mirrored step-for-step by [[TextOps.normalizeTextSql]] (DuckDB
+    * `nfc_normalize` + RE2 replaces); both sides implement
+    * Unicode-standard NFC, so results agree on any input.
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFC)
+    val stripped = ControlPattern.matcher(nfc).replaceAll("")
+    val collapsed = SpaceRunPattern.matcher(stripped).replaceAll(" ")
+    var lo = 0
+    var hi = collapsed.length
+    while (lo < hi && collapsed.charAt(lo) == ' ') lo += 1
+    while (hi > lo && collapsed.charAt(hi - 1) == ' ') hi -= 1
+    UTF8String.fromString(collapsed.substring(lo, hi))
+  }
 }

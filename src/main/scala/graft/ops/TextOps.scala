@@ -158,6 +158,27 @@ object TextOps {
        |        unnest(range(0, (length($textCol) - 1) // $stride + 1)) AS i
        |      FROM $table WHERE length($textCol) > 0)""".stripMargin
 
+  // ---- text normalization -------------------------------------------------
+
+  /** Unicode/controls/whitespace normalization — see
+    * [[TextKernels.normalizeText]] for the contract. Kernel-backed
+    * (StaticInvoke), codegen-friendly, embarrassingly parallel.
+    */
+  def normalizeText(c: Column): Column = ExprBridge.column(StaticInvoke(
+    TextKernels.getClass, StringType, "normalizeText",
+    Seq(ExprBridge.expression(c.cast(StringType))), Seq(StringType),
+    propagateNull = true, returnNullable = true))
+
+  /** [[normalizeText]] oracle rendering: DuckDB `nfc_normalize`, then
+    * the same strip → collapse → trim stages (RE2 `\\x` classes; after
+    * the control strip only U+0020 space runs remain, so the collapse
+    * pattern is the literal double space — no `\\s` semantics gap
+    * between Java regex and RE2 can apply).
+    */
+  def normalizeTextSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(nfc_normalize($e), " +
+      "'[\\x00-\\x1f\\x7f]', '', 'g'), '  +', ' ', 'g'), ' ')"
+
   // ---- token n-grams (with multiplicity) ---------------------------------
 
   /** Token k-grams as strings ("w1 w2 w3"), WITH multiplicity — the

@@ -473,6 +473,37 @@ object Round7Queries {
   private val q88Oracle: String =
     SimilarityOps.kmeansOutliersSql("embeddings", 4, 2, 95)
 
+  // -- q89: unicode text normalization --------------------------------------
+  // NFC + control-strip + space-collapse + trim over a corpus with
+  // planted mojibake: every 3rd doc gets a decomposed-accent suffix, a
+  // BEL control, and a double space. Both engines build the identical
+  // dirty literal (Spark \u escapes == DuckDB chr()), so the oracle
+  // verifies the normalizer itself, not the planting.
+  private val DirtySuffix = " café  double  space ß "
+
+  private def q89(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents")
+    val dirty = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(DirtySuffix))).otherwise(col("text"))
+    d.select(col("doc_id"), TextOps.normalizeText(dirty).as("norm"))
+      .withColumn("norm_len", length(col("norm")))
+      .withColumn("norm_fp", TextOps.fingerprint(col("norm")))
+      .orderBy("doc_id")
+  }
+
+  private val q89Oracle: String = {
+    // the same suffix, spelled with chr() so the SQL stays ASCII-clean
+    val suffix = "' cafe' || chr(769) || ' ' || chr(7) || " +
+      "' double  space ' || chr(223) || ' '"
+    s"""WITH dirty AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || $suffix ELSE text END AS t
+       |  FROM documents),
+       |n AS (SELECT doc_id, ${TextOps.normalizeTextSql("t")} AS norm FROM dirty)
+       |SELECT doc_id, norm, CAST(length(norm) AS INTEGER) AS norm_len,
+       |  ${TextOps.fingerprintSql("norm")} AS norm_fp
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q70_doc_chunks", q70, Some(q70Oracle)),
     QueryDef("q71_pack_sequences", q71, Some(q71Oracle)),
@@ -494,5 +525,6 @@ object Round7Queries {
     QueryDef("q86_logreg_quality", q86, Some(q86Oracle)),
     QueryDef("q87_stream_enrich", q87, Some(q87Oracle)),
     QueryDef("q88_embed_outliers", q88, Some(q88Oracle)),
+    QueryDef("q89_normalize_text", q89, Some(q89Oracle)),
   )
 }

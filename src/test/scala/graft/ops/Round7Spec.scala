@@ -412,6 +412,36 @@ class Round7Spec extends EtlSpecBase {
     }
   }
 
+  // ---- normalizeText -----------------------------------------------------
+
+  test("normalizeText: NFC composes, controls strip, spaces collapse, edges trim") {
+    val cases = Seq(
+      ("café", "café"),                       // NFC composition
+      ("ab", "ab"),                           // control stripped
+      ("a  b", "a b"),                        // strip BEFORE collapse
+      ("a   b  c", "a b c"),                        // space runs collapse
+      ("  padded  ", "padded"),                     // edge trim
+      ("tab\there", "tabhere"),                     // \t is a C0 control here
+      ("", ""),
+      ("café", "café")                         // already-NFC unchanged
+    )
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }.toDF("id", "t")
+    val got = df.select($"id", TextOps.normalizeText($"t").as("n"))
+      .as[(Int, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i) == want, s"case $i: '${got(i)}' != '$want'")
+    }
+    // null propagates
+    val n = Seq((1, null: String)).toDF("id", "t")
+      .select(TextOps.normalizeText($"t")).collect()(0)
+    assert(n.isNullAt(0))
+    // composed and decomposed inputs normalize to the same fingerprint
+    val fp = Seq(("café x", "café x")).toDF("a", "b")
+      .select(TextOps.fingerprint(TextOps.normalizeText($"a")),
+        TextOps.fingerprint(TextOps.normalizeText($"b"))).as[(Long, Long)].head()
+    assert(fp._1 == fp._2)
+  }
+
   // ---- blocklistFilter ---------------------------------------------------
 
   test("blocklistFilter: exact even at absurd fpp (every false positive verified)") {
