@@ -242,6 +242,13 @@ class OpsSpec extends EtlSpecBase {
         |""".stripMargin).collect()(0)
     assert(vec.getDouble(0) == 11.0)
     assert(vec.getDouble(1) == 1.0)
+    // normalizer: NFC-composes the decomposed accent, collapses spaces
+    // (NOTE: Spark's chr() wraps at 256 — DuckDB's takes a code point —
+    // so the combining mark must be a literal here)
+    val norm = spark.sql(
+      "SELECT graft_normalize('café  x ') AS n")
+      .collect()(0).getString(0)
+    assert(norm == "café x", norm)
   }
 
   test("readStream file source: tumbling counts from a parquet directory") {
