@@ -133,7 +133,8 @@ object TextOps {
     * `maxPartitionBytes` on the scan.
     */
   def charChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, size: Int, stride: Int,
+      withText: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(size > 0 && stride > 0, s"size/stride must be positive: $size/$stride")
     val t = col(textCol)
     val nChunksMinus1 = ((length(t) - 1) / lit(stride)).cast("int")
@@ -141,9 +142,12 @@ object TextOps {
       .select(col(idCol), t.as("__t"),
         posexplode(sequence(lit(0), nChunksMinus1)).as(Seq("chunk_idx", "__i")))
     val chunk = col("__t").substr(col("chunk_idx") * stride + 1, lit(size))
-    exploded.select(col(idCol), col("chunk_idx"),
+    val base = exploded.select(col(idCol), col("chunk_idx"),
       length(chunk).as("chunk_len"),
       fingerprint(chunk).as("chunk_fp"))
+    if (withText) exploded.select(col(idCol), col("chunk_idx"),
+      chunk.as("chunk"))
+    else base
   }
 
   /** [[charChunks]] oracle rendering: the chunk-exploding CTE body
@@ -466,12 +470,14 @@ object TextOps {
     */
   def bm25TopKSql(table: String, idCol: String, textCol: String,
       terms: Seq[String], kTop: Int,
-      k1: Double = 1.2, b: Double = 0.75): String = {
+      k1: Double = 1.2, b: Double = 0.75,
+      extraCtes: String = ""): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val idf = s"ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
     val denom = s"CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE) / avgdl)"
     val termScore = s"$idf * (CAST(tf AS DOUBLE) * ${k1 + 1.0}) / ($denom)"
-    s"""WITH dld AS (SELECT $idCol, ${tokensSql(textCol)} AS toks,
+    val prelude = if (extraCtes.isEmpty) "" else s"$extraCtes,\n"
+    s"""WITH ${prelude}dld AS (SELECT $idCol, ${tokensSql(textCol)} AS toks,
        |    CAST(${nTokensSql(textCol)} AS BIGINT) AS dl FROM $table),
        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dld),
@@ -582,5 +588,115 @@ object TextOps {
       s"0.3 * (CAST(${stopHitsSql("s", en)} AS DOUBLE) / $n) + " +
       s"0.2 * least(CAST(1.0 AS DOUBLE), ${avgTokenLenSql("s")} / 8.0) + " +
       s"0.2 * (CAST(${nDistinctTokensSql("s")} AS DOUBLE) / $n))[1])"
+  }
+
+  // ---- boilerplate line removal (C4-style) --------------------------------
+
+  /** Remove every line that appears verbatim in >= `minDocs` distinct
+    * documents (the C4/CCNet boilerplate pass: nav bars, cookie
+    * banners, "subscribe" footers repeat across a site; body text does
+    * not). Returns one row per input doc: (idCol, clean_text,
+    * n_removed), with surviving lines rejoined in original order and
+    * docs whose every line was boilerplate kept as empty strings.
+    *
+    * Scale shape: the hot-line census shuffles 8-byte `xxhash64` line
+    * keys, never line payloads (the [[DedupOps.exactDedup]]
+    * fingerprint-first discipline); the hot set — lines repeated
+    * across >= minDocs docs — is tiny relative to the corpus, so the
+    * anti-join broadcasts under AQE. The rebuild is ONE doc-keyed
+    * shuffle of surviving lines; per-doc line order is restored with
+    * an in-group array_sort, never a global sort.
+    */
+  def dropBoilerplateLines(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      minDocs: Long): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val hot = lines
+      .select(xxhash64(col("line")).as("lh"), col(idCol))
+      .groupBy("lh").agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("lh")
+    val kept = lines.withColumn("lh", xxhash64(col("line")))
+      .join(hot, Seq("lh"), "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n", -1)).cast(LongType).as("__n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .cast(LongType).as("n_removed"))
+  }
+
+  /** [[dropBoilerplateLines]] oracle rendering. The oracle censuses
+    * the raw line text where the engine shuffles its hash — same
+    * semantics (xxhash64 collisions aside), independent mechanism.
+    */
+  def dropBoilerplateLinesSql(table: String, idCol: String,
+      textCol: String, minDocs: Long, extraCtes: String = ""): String = {
+    val prelude = if (extraCtes.isEmpty) "" else s"$extraCtes,\n"
+    s"""WITH ${prelude}__lines AS (
+       |  SELECT $idCol, CAST(i AS INTEGER) AS pos,
+       |    string_split($textCol, chr(10))[CAST(i + 1 AS INTEGER)] AS line
+       |  FROM (SELECT $idCol, $textCol,
+       |          unnest(range(0, len(string_split($textCol, chr(10))))) AS i
+       |        FROM $table)),
+       |__hot AS (SELECT line FROM __lines GROUP BY line
+       |          HAVING count(DISTINCT $idCol) >= $minDocs),
+       |__kept AS (SELECT * FROM __lines
+       |           WHERE line NOT IN (SELECT line FROM __hot)),
+       |__rebuilt AS (SELECT $idCol,
+       |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+       |    count(*) AS n_kept
+       |  FROM __kept GROUP BY $idCol)
+       |SELECT d.$idCol, coalesce(r.clean_text, '') AS clean_text,
+       |  CAST(len(string_split(d.$textCol, chr(10))) - coalesce(r.n_kept, 0)
+       |    AS BIGINT) AS n_removed
+       |FROM $table d LEFT JOIN __rebuilt r USING ($idCol)""".stripMargin
+  }
+
+  // ---- token-distribution entropy -----------------------------------------
+
+  /** Shannon entropy of the document's token distribution in nats —
+    * the cheap "gibberish or template?" signal (low entropy = repeated
+    * template soup, high = diverse vocabulary). Cross-engine float
+    * discipline: each distinct token's contribution
+    * `-(c/n)·ln(c/n)` is evaluated in one fixed parenthesization and
+    * floored onto a 1e-6 grid as an integer micro-score, so the
+    * per-doc total is an ORDER-INDEPENDENT integer sum (DuckDB's
+    * `list_distinct` does not promise first-occurrence order; an
+    * integer sum makes that irrelevant). Returns micro-nats (BIGINT).
+    *
+    * Scale shape: pure per-row projection (higher-order functions over
+    * the token array, O(distinct·n) per doc) — no shuffle, pipelines
+    * into whole-stage codegen.
+    */
+  def tokenEntropyMicro(c: Column): Column = {
+    val toks = tokens(c)
+    val n = size(toks).cast(DoubleType)
+    val contrib = transform(array_distinct(toks), t => {
+      val cnt = size(filter(toks, x => x === t)).cast(DoubleType)
+      floor((-(cnt / n) * log(cnt / n)) * lit(1000000.0) + lit(0.5))
+        .cast(LongType)
+    })
+    when(size(toks) === 0, lit(0L))
+      .otherwise(aggregate(contrib, lit(0L), (acc, x) => acc + x))
+  }
+
+  /** [[tokenEntropyMicro]] oracle rendering. */
+  def tokenEntropyMicroSql(e: String): String = {
+    val toks = tokensSql(e)
+    val cnt = s"CAST(len(list_filter(ts, x -> x = t)) AS DOUBLE)"
+    val contrib = s"CAST(floor((-($cnt / n) * ln($cnt / n)) * 1000000.0 + 0.5) AS BIGINT)"
+    s"(list_transform([$toks], ts -> CASE WHEN len(ts) = 0 THEN 0 ELSE " +
+      s"(list_transform([CAST(len(ts) AS DOUBLE)], n -> " +
+      s"CAST(list_sum(list_transform(list_distinct(ts), t -> $contrib)) AS BIGINT)))[1] " +
+      s"END)[1])"
   }
 }

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.ops._
+
+/** Round-7 third wave: C4-style boilerplate-line removal, the
+  * stream-stream join (the one core Structured Streaming shape the
+  * portfolio still lacked), a composed RAG retrieval pipeline
+  * (chunk → BM25 over chunks), and token-distribution entropy. Each
+  * beyond the reference surface (SURVEY.md §7.5 north-star scope)
+  * with a full DuckDB oracle.
+  */
+object Round7bQueries {
+
+  // -- q90: boilerplate line removal (C4-style) -----------------------------
+  // The fixture corpus has no line structure, so both engines plant
+  // the SAME boilerplate deterministically (the q89 discipline):
+  // every 5th doc gets a "subscribe" header line, every 7th a
+  // "copyright" footer line. With minDocs = 5 the planted lines are
+  // hot (~100 docs each at sf0.001) and removed; body lines survive.
+  private val BoilerHead = "subscribe to our newsletter today"
+  private val BoilerFoot = "copyright example all rights reserved"
+  private val BoilerMinDocs = 5L
+
+  private def q90(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents")
+    val withHead = when(col("doc_id") % 5 === 0,
+      concat(lit(BoilerHead + "\n"), col("text"))).otherwise(col("text"))
+    val dirty = when(col("doc_id") % 7 === 0,
+      concat(withHead, lit("\n" + BoilerFoot))).otherwise(withHead)
+    TextOps.dropBoilerplateLines(
+        d.select(col("doc_id"), dirty.as("t")), "doc_id", "t", BoilerMinDocs)
+      .orderBy("doc_id")
+  }
+
+  private val q90Oracle: String = {
+    val dirtyCtes =
+      s"""__d0 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN '$BoilerHead' || chr(10) || text
+         |         ELSE text END AS t0
+         |  FROM documents),
+         |__dirty AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN t0 || chr(10) || '$BoilerFoot'
+         |         ELSE t0 END AS t
+         |  FROM __d0)""".stripMargin
+    TextOps.dropBoilerplateLinesSql("__dirty", "doc_id", "t",
+      BoilerMinDocs, extraCtes = dirtyCtes) + "\nORDER BY doc_id"
+  }
+
+  // -- q91: stream-stream join (click ← view attribution) -------------------
+  // Each click joined to the same user's views in the preceding two
+  // hours — the canonical ad-attribution stream-stream inner join.
+  // Watermarks on BOTH sides bound the join state (Spark evicts a
+  // view row once its watermark passes click-ts - 2h); inner-join
+  // matches emit eagerly, so AvailableNow + memory sink sees every
+  // pair. Streaming == batch == the SQL oracle, like q47/q69/q75/q87.
+  private def q91(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def eventStream(): DataFrame = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = eventStream().where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "4 hours")
+    val views = eventStream().where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuid"),
+        col("ts").as("vts"))
+      .withWatermark("vts", "4 hours")
+    val joined = clicks.join(views,
+        expr("user_id = vuid AND vts <= cts AND vts >= cts - interval 2 hours"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (unix_micros(col("cts")) - unix_micros(col("vts"))).as("lag_us"))
+    val sink = "graft_q91_sink"
+    spark.catalog.dropTempView(sink) // re-runnable within one session
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("click_id", "view_id")
+  }
+
+  private val q91Oracle: String =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+      |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+      |FROM events c JOIN events v
+      |  ON c.user_id = v.user_id
+      | AND c.event_type = 'click' AND v.event_type = 'view'
+      | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 2 HOUR
+      |ORDER BY click_id, view_id""".stripMargin
+
+  // -- q92: RAG passage retrieval (chunk → BM25) ----------------------------
+  // The composed retrieval pipeline: overlapping 200/150 chunking
+  // (q70's generator) feeds chunk-level BM25 top-k (q81's scorer) —
+  // the passage index a RAG system actually queries. chunk_key packs
+  // (doc_id, chunk_idx) into one BIGINT; idx < 1000 holds whenever
+  // doc length < 150k chars (fixture max ~200; a 100 TB deployment
+  // re-derives the bound from its own max doc length).
+  private val RagTerms = Seq("hash", "join", "spark", "window")
+  private val RagK = 20
+
+  private def q92(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = TextOps.charChunks(
+        Tables.read(spark, sfDir, "documents"), "doc_id", "text",
+        200, 150, withText = true)
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
+        col("chunk"))
+    TextOps.bm25TopK(chunks, "chunk_key", "chunk", RagTerms, RagK)
+  }
+
+  private val q92Oracle: String = {
+    val chunkCte =
+      s"""__chunks AS (SELECT doc_id * 1000 + chunk_idx AS chunk_key, chunk
+         |  FROM (${TextOps.charChunksSql("documents", "doc_id", "text", 200, 150)}))""".stripMargin
+    TextOps.bm25TopKSql("__chunks", "chunk_key", "chunk", RagTerms, RagK,
+      extraCtes = chunkCte)
+  }
+
+  // -- q93: token-distribution entropy --------------------------------------
+  // Shannon entropy of each doc's token histogram in integer
+  // micro-nats — the cheap gibberish/template detector. Per-term
+  // contributions are floored onto a 1e-6 grid and integer-summed, so
+  // the result is order-independent (see TextOps.tokenEntropyMicro).
+  private def q93(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        TextOps.nTokens(col("text")).cast(LongType).as("n_tok"),
+        TextOps.tokenEntropyMicro(col("text")).as("ent_u"))
+      .orderBy("doc_id")
+
+  private val q93Oracle: String =
+    s"""SELECT doc_id,
+       |  CAST(${TextOps.nTokensSql("text")} AS BIGINT) AS n_tok,
+       |  CAST(${TextOps.tokenEntropyMicroSql("text")} AS BIGINT) AS ent_u
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q90_boilerplate_lines", q90, Some(q90Oracle)),
+    QueryDef("q91_stream_attribution", q91, Some(q91Oracle)),
+    QueryDef("q92_rag_retrieval", q92, Some(q92Oracle)),
+    QueryDef("q93_token_entropy", q93, Some(q93Oracle)),
+  )
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.etl.EtlSpecBase
+import org.apache.spark.sql.functions._
+
+/** Round-7 third-wave units: C4-style boilerplate-line removal,
+  * token-distribution entropy, chunk-text derivation, and the
+  * stream-stream join shape.
+  */
+class Round7bSpec extends EtlSpecBase {
+
+  import spark.implicits._
+
+  // ---- dropBoilerplateLines ----------------------------------------------
+
+  test("dropBoilerplateLines: hot lines removed, unique lines kept in order") {
+    // "nav" appears in 3 docs (minDocs = 3 -> removed); bodies unique
+    val df = Seq(
+      (1L, "nav\nalpha body\nbeta body"),
+      (2L, "nav\ngamma body"),
+      (3L, "delta body\nnav"),
+      (4L, "epsilon body")).toDF("id", "t")
+    val got = TextOps.dropBoilerplateLines(df, "id", "t", 3)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "alpha body\nbeta body", 1L),
+      (2L, "gamma body", 1L),
+      (3L, "delta body", 1L),
+      (4L, "epsilon body", 0L)), got.toString)
+  }
+
+  test("dropBoilerplateLines: all-boilerplate doc survives as empty string") {
+    val df = Seq(
+      (1L, "promo"), (2L, "promo"), (3L, "promo"),
+      (4L, "promo\nreal content")).toDF("id", "t")
+    val got = TextOps.dropBoilerplateLines(df, "id", "t", 3)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "", 1L), (2L, "", 1L), (3L, "", 1L),
+      (4L, "real content", 1L)), got.toString)
+  }
+
+  test("dropBoilerplateLines: repeats within ONE doc don't make a line hot") {
+    // "x" occurs 3 times but in a single doc: count(DISTINCT doc) = 1
+    val df = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("id", "t")
+    val got = TextOps.dropBoilerplateLines(df, "id", "t", 3)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "x\nx\nx", 0L), (2L, "y", 0L)), got.toString)
+  }
+
+  test("dropBoilerplateLines: rejects minDocs < 2") {
+    val df = Seq((1L, "a")).toDF("id", "t")
+    intercept[IllegalArgumentException] {
+      TextOps.dropBoilerplateLines(df, "id", "t", 1)
+    }
+  }
+
+  // ---- tokenEntropyMicro --------------------------------------------------
+
+  test("tokenEntropyMicro: uniform = ln(k), constant = 0, empty = 0") {
+    val df = Seq(
+      (1L, "a b c d"),        // uniform over 4 -> ln(4)
+      (2L, "w w w w w"),      // single token -> 0
+      (3L, "")).toDF("id", "t")
+    val got = df.select(col("id"), TextOps.tokenEntropyMicro(col("t")).as("e"))
+      .orderBy("id").as[(Long, Long)].collect().toMap
+    val ln4u = math.floor((-(0.25) * math.log(0.25)) * 1e6 + 0.5).toLong * 4
+    assert(got(1L) == ln4u, s"uniform-4 entropy: ${got(1L)} vs $ln4u")
+    assert(got(2L) == 0L)
+    assert(got(3L) == 0L)
+  }
+
+  test("tokenEntropyMicro: token order never changes the integer sum") {
+    val base = "q r r s s s t t t t".split(" ")
+    val perms = Seq(base, base.reverse, base.sortBy(_.hashCode))
+    val vals = perms.map { p =>
+      Seq((1L, p.mkString(" "))).toDF("id", "t")
+        .select(TextOps.tokenEntropyMicro(col("t"))).as[Long].head()
+    }
+    assert(vals.distinct.size == 1, vals.toString)
+    // and the value is the hand-computed histogram entropy
+    val n = 10.0
+    val expect = Seq(1, 2, 3, 4).map { c =>
+      math.floor((-(c / n) * math.log(c / n)) * 1e6 + 0.5).toLong
+    }.sum
+    assert(vals.head == expect, s"${vals.head} vs $expect")
+  }
+
+  // ---- charChunks withText ------------------------------------------------
+
+  test("charChunks withText: chunk text equals the substr derivation") {
+    val df = Seq((7L, "abcdefghij")).toDF("id", "text")
+    val got = TextOps.charChunks(df, "id", "text", 4, 3, withText = true)
+      .orderBy("chunk_idx").select("chunk").as[String].collect().toSeq
+    assert(got == Seq("abcd", "defg", "ghij", "j"), got.toString)
+  }
+
+  // ---- stream-stream join shape ------------------------------------------
+
+  test("stream-stream inner join: in-window pairs only, state watermark-bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss_join").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5L, "view", 0.0),
+      (2L, ts("2024-01-01 10:30:00"), 5L, "click", 0.0),  // 30 min after view -> match
+      (3L, ts("2024-01-01 14:00:00"), 5L, "click", 0.0),  // 4h after view -> no match
+      (4L, ts("2024-01-01 10:10:00"), 6L, "view", 0.0),
+      (5L, ts("2024-01-01 10:05:00"), 6L, "click", 0.0)   // click BEFORE view -> no match
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir)
+    def src() = spark.readStream.schema(events.schema).parquet(dir)
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .withWatermark("cts", "4 hours")
+    val views = src().where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuid"), col("ts").as("vts"))
+      .withWatermark("vts", "4 hours")
+    val q = clicks.join(views,
+        expr("user_id = vuid AND vts <= cts AND vts >= cts - interval 2 hours"))
+      .select(col("click_id"), col("view_id"))
+      .writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join_test").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((2L, 1L)), got.toString)
+  }
+}

@@ -272,4 +272,37 @@ class PlanSpec extends EtlSpecBase {
       assert(filtered.count() == 30)
     } finally Io.dropDerbyInMemory(db)
   }
+
+  test("dropBoilerplateLines: hot-line census exchanges 8-byte hashes, anti-join broadcasts") {
+    val plan = planOf("q90_boilerplate_lines")
+    // the census shuffles (lh) / (lh, doc_id) — never the line text
+    val censusExchange = "Exchange hashpartitioning\\(lh#\\d+L".r
+    assert(censusExchange.findFirstIn(plan).isDefined,
+      s"expected a line-hash-keyed census exchange:\n$plan")
+    val lineExchange = "Exchange hashpartitioning\\([^)]*line#".r
+    assert(lineExchange.findFirstIn(plan).isEmpty,
+      s"a census exchange ships line payloads:\n$plan")
+    // the hot set is tiny -> the anti-join must broadcast it
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti-join against the hot set:\n$plan")
+  }
+
+  test("q92 RAG retrieval: k-row TakeOrdered, term filter before the postings exchange") {
+    val plan = planOf("q92_rag_retrieval")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort materialization:\n$plan")
+    val filterIdx = plan.indexOf("Filter term#")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(chunk_key#")
+    assert(filterIdx > exchangeIdx && exchangeIdx >= 0,
+      s"term filter must sit below (after, in plan text) the postings exchange:\n$plan")
+  }
+
+  test("tokenEntropyMicro plans as a pure projection (no hash exchange, no Window)") {
+    val d = Tables.read(spark, sf, "documents")
+    val plan = d.select(graft.ops.TextOps.tokenEntropyMicro(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
