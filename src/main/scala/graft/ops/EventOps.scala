@@ -147,6 +147,60 @@ object EventOps {
         (col("b_tus") - col("a_tus")).as("delta_us"))
   }
 
+  /** Ordered funnel analysis: for each user, the earliest time of
+    * step 0, then the earliest step-1 event within `deadlineHours` of
+    * that, then the earliest step-2 event within the deadline of THAT,
+    * etc. Returns (userCol, t0 .. t{n-1}) as epoch-microsecond longs,
+    * null from the first step the user never reached (a LEFT join per
+    * step keeps non-converters).
+    *
+    * Scale shape: one user-keyed aggregate plus one user-keyed left
+    * join per step — every exchange keys on the same user column, so
+    * AQE reuses the partitioning across steps; nothing collects and
+    * no per-user event lists materialize (the alternative
+    * collect_list + per-row scan formulation holds a user's whole
+    * history in one row — this one never does).
+    */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], deadlineHours: Int): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(deadlineHours > 0, s"deadlineHours must be positive: $deadlineHours")
+    val e = events.select(col(userCol), col(typeCol), col(tsCol))
+    var acc = e.where(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(tsCol).as("t0"))
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      val nxt = e.where(col(typeCol) === step).as("e")
+        .join(acc.select(col(userCol).as("__u"), col(s"t$i")),
+          col(userCol) === col("__u") &&
+            col(tsCol) >= col(s"t$i") &&
+            col(tsCol) <= col(s"t$i") + expr(s"INTERVAL $deadlineHours HOURS"))
+        .groupBy(col(userCol)).agg(min(tsCol).as(s"t${i + 1}"))
+      acc = acc.join(nxt, Seq(userCol), "left")
+    }
+    acc.select(col(userCol) +: steps.indices.map(i =>
+      unix_micros(col(s"t$i")).as(s"t${i}_us")): _*)
+  }
+
+  /** [[funnelSteps]] oracle rendering over the `events` view. */
+  def funnelStepsSql(userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], deadlineHours: Int): String = {
+    val s0 =
+      s"""__s0 AS (SELECT $userCol, min($tsCol) AS t0 FROM events
+         |  WHERE $typeCol = '${steps.head}' GROUP BY 1)""".stripMargin
+    val rest = steps.tail.zipWithIndex.map { case (step, i) =>
+      s"""__s${i + 1} AS (SELECT e.$userCol, min(e.$tsCol) AS t${i + 1}
+         |  FROM events e JOIN __s$i s ON e.$userCol = s.$userCol
+         |   AND e.$tsCol >= s.t$i
+         |   AND e.$tsCol <= s.t$i + INTERVAL $deadlineHours HOUR
+         |  WHERE e.$typeCol = '$step' GROUP BY 1)""".stripMargin
+    }
+    val joins = steps.indices.tail
+      .map(i => s"LEFT JOIN __s$i USING ($userCol)").mkString(" ")
+    val cols = steps.indices.map(i => s"epoch_us(t$i) AS t${i}_us").mkString(", ")
+    s"""WITH ${(s0 +: rest).mkString(",\n")}
+       |SELECT $userCol, $cols FROM __s0 $joins""".stripMargin
+  }
+
   /** Structured Streaming variants: identical expressions over a
     * streaming frame, with an event-time watermark bounding state.
     * Used with MemoryStream in tests; `readStream.parquet(dir)` in

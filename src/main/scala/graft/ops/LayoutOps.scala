@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout operators: Morton (Z-order) curve
+  * values for two-column locality clustering.
+  *
+  * Why it matters at 100 TB: a table sorted by ONE column skips
+  * parquet row groups only for predicates on that column. Sorting by
+  * the interleaved Z-value keeps rows that are close in BOTH
+  * dimensions close on disk, so min/max row-group stats prune scans
+  * for predicates on either column (the Delta/Iceberg OPTIMIZE ZORDER
+  * recipe). Everything here is exact integer bit arithmetic — fully
+  * codegen'd map-side projections, and the DuckDB renderings use the
+  * identical operations, so both engines agree bit-for-bit.
+  *
+  * Write path at scale: `df.repartitionByRange(n, zValue(...))
+  * .sortWithinPartitions(zValue(...))` then a parquet write — balanced
+  * files, each covering a tight Z-range. The oracle-able form below
+  * buckets by a FIXED Z-prefix (`zBucket`) instead: deterministic (no
+  * range-boundary sampling) and map-side, at the cost of balance on
+  * skewed key distributions.
+  */
+object LayoutOps {
+
+  /** Spread the low 16 bits of `c` into the even bit positions of a
+    * 32-bit value (the standard mask-and-shift Morton spreading).
+    */
+  def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  def spread16Sql(e: String): String = {
+    val x0 = s"(($e) & 65535)"
+    val x1 = s"((($x0 | ($x0 << 8)) & 16711935))"
+    val x2 = s"((($x1 | ($x1 << 4)) & 252645135))"
+    val x3 = s"((($x2 | ($x2 << 2)) & 858993459))"
+    s"((($x3 | ($x3 << 1)) & 1431655765))"
+  }
+
+  /** 32-bit Morton value interleaving the low 16 bits of `a` (even
+    * positions) and `b` (odd positions).
+    */
+  def zValue(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  def zValueSql(a: String, b: String): String =
+    s"(${spread16Sql(a)} | (${spread16Sql(b)} << 1))"
+
+  /** Fixed-prefix Z-bucket: the file/row-group id a row would land in
+    * under a Z-sorted layout with 2^(32-shift) buckets. Pure map-side.
+    */
+  def zBucket(z: Column, shift: Int): Column = {
+    require(shift > 0 && shift < 32, s"shift must be in (0, 32): $shift")
+    shiftrightunsigned(z, shift)
+  }
+
+  def zBucketSql(z: String, shift: Int): String = s"($z >> $shift)"
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Slowly-changing-dimension (type 2) merge: apply an update batch to
+  * a versioned dimension, closing changed rows and opening new
+  * versions — the warehouse MERGE pattern, expressed as one
+  * full-outer join + generator (no MERGE INTO dependency, no
+  * driver-side loops).
+  *
+  * Version bounds are BATCH IDS (exact integers), not wall-clock
+  * timestamps: deterministic, oracle-able, and what an idempotent
+  * ingest pipeline wants anyway (re-running batch N must not mint new
+  * versions).
+  *
+  * Scale shape: the 100 TB dimension's PAYLOAD never shuffles. A
+  * full-outer join would force it to (Spark cannot broadcast any side
+  * of a full-outer hash join), so the merge decomposes: the
+  * versioning pass is a LEFT join streaming the dimension against the
+  * broadcast update batch, and insert detection anti-joins the batch
+  * against the dimension's 8-byte KEY COLUMN only. Then a per-row
+  * generator emits 1-2 version rows; unchanged and untouched rows
+  * pass through unmodified.
+  */
+object ScdOps {
+
+  /** Merge `updates` (key, attr) into `current` (key, attr,
+    * valid_from) at batch `newBatch`. Returns (key, attr, valid_from,
+    * valid_to, is_current):
+    *  - key absent from updates, or update equals current → row kept
+    *    open as-is;
+    *  - changed → old row closed at `newBatch` + new open row;
+    *  - brand-new key → one open row starting at `newBatch`.
+    */
+  def scd2Merge(current: DataFrame, updates: DataFrame, key: String,
+      attr: String, newBatch: Long): DataFrame = {
+    val c = current.select(col(key), col(attr).as("__c_attr"),
+      col("valid_from").as("__c_from"))
+    val u = updates.select(col(key), col(attr).as("__u_attr"),
+      lit(true).as("__has_u"))
+    val j = c.join(u, Seq(key), "left")
+    val hasU = coalesce(col("__has_u"), lit(false))
+    val nullTo = lit(null).cast(LongType)
+    val keepOpen = struct(col("__c_attr").as("attr"),
+      col("__c_from").as("valid_from"), nullTo.as("valid_to"),
+      lit(true).as("is_current"))
+    val closeOld = struct(col("__c_attr").as("attr"),
+      col("__c_from").as("valid_from"), lit(newBatch).as("valid_to"),
+      lit(false).as("is_current"))
+    val openNew = struct(col("__u_attr").as("attr"),
+      lit(newBatch).as("valid_from"), nullTo.as("valid_to"),
+      lit(true).as("is_current"))
+    val versions = when(!hasU || col("__u_attr") === col("__c_attr"),
+        array(keepOpen))
+      .otherwise(array(closeOld, openNew))
+    val existing = j.select(col(key), explode(versions).as("v"))
+      .select(col(key), col("v.attr").as(attr),
+        col("v.valid_from").as("valid_from"),
+        col("v.valid_to").as("valid_to"),
+        col("v.is_current").as("is_current"))
+    val inserts = u.join(current.select(col(key)), Seq(key), "left_anti")
+      .select(col(key), col("__u_attr").as(attr),
+        lit(newBatch).as("valid_from"), nullTo.as("valid_to"),
+        lit(true).as("is_current"))
+    existing.union(inserts)
+  }
+
+  /** [[scd2Merge]] oracle rendering. `curSql` must yield (key, attr,
+    * valid_from), `updSql` (key, attr).
+    */
+  def scd2MergeSql(curSql: String, updSql: String, key: String,
+      attr: String, newBatch: Long): String =
+    s"""WITH __cur AS ($curSql),
+       |__upd AS ($updSql),
+       |__j AS (SELECT coalesce(c.$key, u.$key) AS $key,
+       |    c.$attr AS c_attr, c.valid_from AS c_from, u.$attr AS u_attr,
+       |    c.$key IS NOT NULL AS has_c, u.$key IS NOT NULL AS has_u
+       |  FROM __cur c FULL OUTER JOIN __upd u ON c.$key = u.$key)
+       |SELECT $key, c_attr AS $attr, c_from AS valid_from,
+       |  CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+       |FROM __j WHERE has_c AND (NOT has_u OR u_attr = c_attr)
+       |UNION ALL
+       |SELECT $key, c_attr, c_from, $newBatch, false
+       |FROM __j WHERE has_c AND has_u AND u_attr <> c_attr
+       |UNION ALL
+       |SELECT $key, u_attr, $newBatch, CAST(NULL AS BIGINT), true
+       |FROM __j WHERE has_u AND (NOT has_c OR u_attr <> c_attr)""".stripMargin
+}

@@ -138,10 +138,94 @@ object Round7bQueries {
        |  CAST(${TextOps.tokenEntropyMicroSql("text")} AS BIGINT) AS ent_u
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- q94: ordered funnel analysis -----------------------------------------
+  // view -> click -> purchase, each step within 6 hours of the prior
+  // step's first completion. Per-user stage timestamps (epoch µs),
+  // null from the first stage the user never reached.
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelDeadlineH = 6
+
+  private def q94(spark: SparkSession, sfDir: String): DataFrame =
+    EventOps.funnelSteps(Tables.read(spark, sfDir, "events"),
+        "user_id", "ts", "event_type", FunnelSteps, FunnelDeadlineH)
+      .orderBy("user_id")
+
+  private val q94Oracle: String =
+    EventOps.funnelStepsSql("user_id", "ts", "event_type",
+      FunnelSteps, FunnelDeadlineH) + "\nORDER BY user_id"
+
+  // -- q95: SCD-2 dimension merge -------------------------------------------
+  // The warehouse MERGE: customer segment as the tracked attribute,
+  // with a planted update batch derived from the table itself (both
+  // engines build the identical batch): every 10th key changes to
+  // PROMO, every (10k+1)th gets a no-op update, keys 1-5 re-enter as
+  // brand-new +1M surrogates.
+  private def q95(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.read(spark, sfDir, "customer")
+    val current = cust.select(col("c_custkey"), col("c_mktsegment"),
+      lit(0L).as("valid_from"))
+    val updates = cust.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("PROMO").as("c_mktsegment"))
+      .union(cust.where(col("c_custkey") % 10 === 1)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      .union(cust.where(col("c_custkey") <= 5)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          col("c_mktsegment")))
+    ScdOps.scd2Merge(current, updates, "c_custkey", "c_mktsegment", 1L)
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  private val q95Oracle: String = {
+    val cur = "SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from FROM customer"
+    val upd = "SELECT c_custkey, 'PROMO' AS c_mktsegment FROM customer WHERE c_custkey % 10 = 0 " +
+      "UNION ALL SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 = 1 " +
+      "UNION ALL SELECT c_custkey + 1000000, c_mktsegment FROM customer WHERE c_custkey <= 5"
+    ScdOps.scd2MergeSql(cur, upd, "c_custkey", "c_mktsegment", 1L) +
+      "\nORDER BY c_custkey, valid_from"
+  }
+
+  // -- q96: Z-order layout stats --------------------------------------------
+  // Morton-interleave (o_custkey, order-date-days) and report per
+  // Z-prefix bucket: row count and both dims' min/max — the row-group
+  // stats a Z-sorted write would give a scan planner. The per-bucket
+  // spans are bounded by construction (shift 20 -> each dim's high
+  // bits fixed within a bucket), which is the data-skipping claim,
+  // and the spec asserts it.
+  private val ZShift = 20
+
+  private def q96(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.read(spark, sfDir, "orders")
+    val days = datediff(col("o_orderdate").cast("date"),
+      to_date(lit("1992-01-01"))).cast(LongType)
+    val z = LayoutOps.zValue(col("o_custkey"), days)
+    o.select(col("o_custkey"), days.as("__days"),
+        LayoutOps.zBucket(z, ZShift).as("file_id"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n"),
+        min("o_custkey").as("ck_min"), max("o_custkey").as("ck_max"),
+        min("__days").as("d_min"), max("__days").as("d_max"))
+      .orderBy("file_id")
+  }
+
+  private val q96Oracle: String = {
+    val days = "CAST((CAST(o_orderdate AS DATE) - DATE '1992-01-01') AS BIGINT)"
+    val z = LayoutOps.zValueSql("o_custkey", days)
+    s"""WITH __z AS (SELECT o_custkey, $days AS days,
+       |    ${LayoutOps.zBucketSql(z, ZShift)} AS file_id
+       |  FROM orders)
+       |SELECT file_id, count(*) AS n,
+       |  min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+       |  min(days) AS d_min, max(days) AS d_max
+       |FROM __z GROUP BY file_id ORDER BY file_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q90_boilerplate_lines", q90, Some(q90Oracle)),
     QueryDef("q91_stream_attribution", q91, Some(q91Oracle)),
     QueryDef("q92_rag_retrieval", q92, Some(q92Oracle)),
     QueryDef("q93_token_entropy", q93, Some(q93Oracle)),
+    QueryDef("q94_funnel", q94, Some(q94Oracle)),
+    QueryDef("q95_scd2_merge", q95, Some(q95Oracle)),
+    QueryDef("q96_zorder_stats", q96, Some(q96Oracle)),
   )
 }

@@ -95,6 +95,129 @@ class Round7bSpec extends EtlSpecBase {
     assert(got == Seq("abcd", "defg", "ghij", "j"), got.toString)
   }
 
+  // ---- funnelSteps --------------------------------------------------------
+
+  test("funnelSteps: ordered steps, per-step deadline, non-converters kept") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: full conversion inside deadlines
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 2: click misses the 6h deadline
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 17:00:00"), "click"),
+      // user 3: purchase BEFORE the click doesn't count; none after
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:30:00"), "purchase"),
+      (3L, ts("2024-01-01 11:00:00"), "click"),
+      // user 4: never views (no funnel entry at all)
+      (4L, ts("2024-01-01 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnelSteps(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 6)
+      .orderBy("user_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    def us(s: String) = ts(s).getTime * 1000
+    assert(got == Seq(
+      (1L, Some(us("2024-01-01 10:00:00")), Some(us("2024-01-01 11:00:00")),
+        Some(us("2024-01-01 12:00:00"))),
+      (2L, Some(us("2024-01-01 10:00:00")), None, None),
+      (3L, Some(us("2024-01-01 10:00:00")), Some(us("2024-01-01 11:00:00")), None)),
+      got.toString)
+  }
+
+  test("funnelSteps: earliest qualifying step wins, not any qualifying step") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two clicks qualify; the funnel must anchor the purchase deadline
+    // on the EARLIER one (11:00), so the 18:00 purchase misses it
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 15:00:00"), "click"),
+      (1L, ts("2024-01-01 18:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnelSteps(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 6)
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head()
+    assert(got._3.isDefined && got._4.isEmpty, got.toString)
+  }
+
+  // ---- scd2Merge ----------------------------------------------------------
+
+  test("scd2Merge: change closes + reopens, no-op and absent keep, insert opens") {
+    val current = Seq(
+      (1L, "GOLD", 0L), (2L, "SILVER", 0L), (3L, "BRONZE", 0L)
+    ).toDF("k", "seg", "valid_from")
+    val updates = Seq(
+      (1L, "PLATINUM"), // change
+      (2L, "SILVER")    // no-op update
+      // 3 untouched; 9 is an insert
+    ).toDF("k", "seg").union(Seq((9L, "NEW")).toDF("k", "seg"))
+    val got = ScdOps.scd2Merge(current, updates, "k", "seg", 7L)
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "GOLD", 0L, Some(7L), false),
+      (1L, "PLATINUM", 7L, None, true),
+      (2L, "SILVER", 0L, None, true),
+      (3L, "BRONZE", 0L, None, true),
+      (9L, "NEW", 7L, None, true)), got.toString)
+  }
+
+  test("scd2Merge: idempotent re-application of the same batch") {
+    val current = Seq((1L, "A", 0L), (2L, "B", 0L)).toDF("k", "seg", "valid_from")
+    val updates = Seq((1L, "A2")).toDF("k", "seg")
+    val once = ScdOps.scd2Merge(current, updates, "k", "seg", 3L)
+    // re-merge the same batch into the CURRENT rows of the result:
+    // nothing changes (A2 == A2 is a no-op), so versions don't multiply
+    val currentAfter = once.where(col("is_current"))
+      .select(col("k"), col("seg"), col("valid_from"))
+    val twice = ScdOps.scd2Merge(currentAfter, updates, "k", "seg", 3L)
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(twice == Seq(
+      (1L, "A2", 3L, None, true),
+      (2L, "B", 0L, None, true)), twice.toString)
+  }
+
+  // ---- LayoutOps (Z-order) ------------------------------------------------
+
+  test("zValue: bit-exact against a reference interleave; zBucket bounds both dims") {
+    // reference Morton implementation, independent of the Column one
+    def spreadRef(x: Long): Long = {
+      var v = x & 0xFFFFL
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      v = (v | (v << 1)) & 0x55555555L
+      v
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (42L, 99L))
+    val df = cases.toDF("a", "b")
+    val got = df.select(LayoutOps.zValue(col("a"), col("b"))).as[Long].collect().toSeq
+    val expect = cases.map { case (a, b) => spreadRef(a) | (spreadRef(b) << 1) }
+    assert(got == expect, s"$got vs $expect")
+    // zBucket(z, 2k) fixes both dims' bits above k -> within one
+    // bucket each dim spans < 2^k. Verify on the orders fixture.
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val days = datediff(col("o_orderdate").cast("date"),
+      to_date(lit("1992-01-01"))).cast("long")
+    val spans = o.select(col("o_custkey"), days.as("d"),
+        LayoutOps.zBucket(LayoutOps.zValue(col("o_custkey"), days), 20).as("f"))
+      .groupBy("f").agg((max("o_custkey") - min("o_custkey")).as("ck_span"),
+        (max("d") - min("d")).as("d_span"))
+      .agg(max("ck_span"), max("d_span")).as[(Long, Long)].head()
+    assert(spans._1 < 1024 && spans._2 < 1024,
+      s"bucket spans must be < 2^10: $spans")
+  }
+
+  test("zBucket rejects out-of-range shifts") {
+    intercept[IllegalArgumentException] { LayoutOps.zBucket(lit(1L), 0) }
+    intercept[IllegalArgumentException] { LayoutOps.zBucket(lit(1L), 32) }
+  }
+
   // ---- stream-stream join shape ------------------------------------------
 
   test("stream-stream inner join: in-window pairs only, state watermark-bounded") {

@@ -305,4 +305,50 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("q94 funnel: step filters pushed to the scan, per-step joins broadcast") {
+    val plan = planOf("q94_funnel")
+    assert(plan.contains("EqualTo(event_type,view)") &&
+      plan.contains("EqualTo(event_type,click)"),
+      s"step filters must reach the parquet scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"per-step stage joins must broadcast, not sort-merge:\n$plan")
+  }
+
+  test("q95 SCD-2: dimension streams through a broadcast left join; insert anti side scans keys only") {
+    val plan = planOf("q95_scd2_merge")
+    // the versioning join must broadcast the update batch (a full-outer
+    // formulation can't broadcast and would shuffle the dimension)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"expected a broadcast left-outer versioning join:\n$plan")
+    val antiSection = plan.substring(plan.indexOf("LeftAnti"))
+    assert(antiSection.contains("ReadSchema: struct<c_custkey:bigint>"),
+      s"insert detection must scan the dimension's key column only:\n$plan")
+  }
+
+  test("q96 Z-order: map-side projection into one partial+final aggregate") {
+    val plan = planOf("q96_zorder_stats")
+    assert(plan.contains("partial_min") && plan.contains("partial_max"),
+      s"bucket stats must combine map-side:\n$plan")
+    // exactly one hash exchange (the bucket agg) + the final orderBy range
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected ONE hash exchange, got $hashExchanges:\n$plan")
+    assert(!plan.contains("Join"), s"Z-values are map-side only:\n$plan")
+  }
+
+  test("hive-partitioned writes prune at the source (PartitionFilters, zero data tasks)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hivepart").toString
+    (1 to 100).map(i => (i.toLong, i % 4, s"v$i")).toDF("id", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val pruned = spark.read.parquet(dir).where(col("part") === 2).select("id")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the partition predicate must land in PartitionFilters (directory
+    // pruning — 3/4 of a 100 TB table never opens), never PushedFilters
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("(part"), s"partition predicate not pruned:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(part)"),
+      s"partition col must prune directories, not row-filter:\n$plan")
+    assert(pruned.count() == 25)
+  }
 }
