@@ -689,6 +689,36 @@ object TextOps {
       .otherwise(aggregate(contrib, lit(0L), (acc, x) => acc + x))
   }
 
+  /** The SCALE path for token entropy: identical integer micro-nat
+    * semantics as [[tokenEntropyMicro]] (same fixed parenthesization,
+    * same 1e-6 floor, same order-independent integer sum — the SAME
+    * oracle rendering verifies both), but computed via explode +
+    * aggregation instead of the per-row O(distinct·n) higher-order
+    * scan, which at 50k docs × ~128 tokens measured 9.5 s vs sub-second
+    * for this form. Returns (idCol, n_tok, ent_u).
+    *
+    * Scale shape: one (id, token) aggregate, an id-keyed count join,
+    * one id-keyed fold — the [[unigramLogprob]] pattern; every
+    * exchange keys on id or (id, token), nothing quadratic per row.
+    * Docs whose text tokenizes to nothing keep `split` semantics
+    * (one empty token -> entropy 0), matching the Column form.
+    */
+  def tokenEntropyAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(idCol).agg(sum("c").as("n"))
+    val cD = col("c").cast(DoubleType)
+    val nD = col("n").cast(DoubleType)
+    val termU = floor((-(cD / nD) * log(cD / nD)) * lit(1000000.0) + lit(0.5))
+      .cast(LongType)
+    counts.join(totals, idCol)
+      .select(col(idCol), col("n"), termU.as("u"))
+      .groupBy(idCol)
+      .agg(first(col("n")).as("n_tok"), sum("u").as("ent_u"))
+  }
+
   /** [[tokenEntropyMicro]] oracle rendering. */
   def tokenEntropyMicroSql(e: String): String = {
     val toks = tokensSql(e)

@@ -124,12 +124,13 @@ object Round7bQueries {
   // Shannon entropy of each doc's token histogram in integer
   // micro-nats — the cheap gibberish/template detector. Per-term
   // contributions are floored onto a 1e-6 grid and integer-summed, so
-  // the result is order-independent (see TextOps.tokenEntropyMicro).
+  // the result is order-independent. Runs the explode+aggregate SCALE
+  // path (TextOps.tokenEntropyAgg — the per-row higher-order form
+  // measured 9.5 s at sf0.1, this one is sub-second); the kernel and
+  // the agg form share one oracle.
   private def q93(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.read(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        TextOps.nTokens(col("text")).cast(LongType).as("n_tok"),
-        TextOps.tokenEntropyMicro(col("text")).as("ent_u"))
+    TextOps.tokenEntropyAgg(
+        Tables.read(spark, sfDir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
   private val q93Oracle: String =
@@ -219,6 +220,149 @@ object Round7bQueries {
        |FROM __z GROUP BY file_id ORDER BY file_id""".stripMargin
   }
 
+  // -- q97: day-2 incremental curation pipeline -----------------------------
+  // The composed COMPLEMENT of q67 (which curates day-1 from scratch):
+  // a new ingest batch lands against an existing curated corpus —
+  //   1. incremental dedup   drop exact re-crawls of the corpus AND
+  //                          in-batch copies (q72's verified operator)
+  //   2. quality floor       q16's scorer, survivors only
+  //   3. per-source quota    cap each source's contribution, best-
+  //                          quality-first (q85's operator)
+  //   4. seeded shuffleShard day-2 shards in a FRESH shard space
+  //                          (different seed than day-1 — appends never
+  //                          rewrite day-1 files)
+  // Planted batch (rendered identically by both engines): every 5th
+  // corpus doc re-crawled verbatim (+3M ids, dropped by stage 1), every
+  // 3rd doc re-submitted with new tail content (+4M, kept), and every
+  // 15th of THOSE duplicated in-batch (+5M, min-id survivor).
+  private val Day2Seed = 43L
+  private val Day2Shards = 4
+  private val Day2Quality = 0.3
+  // binds at every SF (≈8 survivors/source at sf0.001)
+  private val Day2Quota = 6
+
+  private def q97(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents")
+    val corpus = d.select("doc_id", "text")
+    val batch = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+          col("source"))
+      .unionByName(d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh day two tail")).as("text"),
+          col("source")))
+      .unionByName(d.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh day two tail")).as("text"),
+          col("source")))
+    val s1 = DedupOps.incrementalDedup(batch, corpus, "doc_id", "text")
+    val survivors = batch.join(s1.select(col("id").as("doc_id"), col("fp")),
+      Seq("doc_id"))
+    val s2 = survivors
+      .withColumn("score", Norm.n4(TextOps.qualityScore(col("text"))))
+      .where(col("score") >= Day2Quality)
+    val s3 = MixOps.perKeyQuota(s2, "source",
+      Seq(col("score").desc, col("doc_id").asc), Day2Quota)
+    MixOps.shuffleShard(s3, "doc_id", Day2Seed, Day2Shards)
+      .select(col("doc_id"), col("source"), col("fp"),
+        col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  private val q97Oracle: String = {
+    val fp = graft.ops.TextOps.fingerprintSql("text")
+    val fpC = graft.ops.TextOps.fingerprintSql("c.text")
+    val quality = graft.ops.TextOps.qualityScoreSql("b.text")
+    s"""WITH batch AS (
+       |  SELECT doc_id + 3000000 AS doc_id, text, source FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 4000000, text || ' fresh day two tail', source FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 5000000, text || ' fresh day two tail', source FROM documents WHERE doc_id % 15 = 0),
+       |brep AS (SELECT min(doc_id) AS id, text, $fp AS fp
+       |         FROM batch GROUP BY text),
+       |s1 AS (SELECT r.id, r.fp FROM brep r
+       |       WHERE NOT EXISTS (SELECT 1 FROM documents c
+       |                         WHERE $fpC = r.fp AND c.text = r.text)),
+       |s2 AS (SELECT b.doc_id, b.source, s1.fp,
+       |         ${graft.etl.OracleSql.n4(quality)} AS score
+       |       FROM batch b JOIN s1 ON b.doc_id = s1.id),
+       |s2q AS (SELECT * FROM s2 WHERE score >= $Day2Quality),
+       |s3 AS (SELECT doc_id, source, fp FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY source
+       |                    ORDER BY score DESC, doc_id) AS rk FROM s2q)
+       |       WHERE rk <= $Day2Quota),
+       |h1 AS (SELECT *, ((doc_id % ${MixOps.P} + $Day2Seed) * 48271) % ${MixOps.P} AS h1 FROM s3),
+       |sh AS (SELECT doc_id, source, fp,
+       |         CAST(h1 % $Day2Shards AS INTEGER) AS shard,
+       |         ((h1 + 1) * 69621) % ${MixOps.P} AS h2
+       |       FROM h1)
+       |SELECT doc_id, source, fp, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id)
+       |       AS INTEGER) AS pos
+       |FROM sh ORDER BY shard, pos""".stripMargin
+  }
+
+  // -- q98: streaming -> JDBC serving sink (foreachBatch) -------------------
+  // The missing streaming SINK shape: the tumbling aggregation streams
+  // into an embedded-Derby table via foreachBatch with
+  // overwrite-replace per micro-batch — the idempotent serving-table
+  // recipe (a replayed batch rewrites the same rows; no dedup ledger
+  // needed). Result = the table READ BACK over JDBC, so the oracle
+  // (q26/q47's tumbling SQL) verifies the whole stream->DB->scan loop.
+  private def q98(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agged = EventOps.tumblingCounts(stream.withWatermark("ts", "2 hours"))
+    val db = s"graft_q98_${spark.sparkContext.applicationId}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val q = agged.writeStream
+      .outputMode("complete")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        graft.etl.Io.writeJdbc(df, url, "window_counts")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = graft.etl.Io.readJdbc(spark, url, "window_counts")
+      .orderBy("ws", "event_type")
+      .localCheckpoint(true) // materialize before dropping the database
+    graft.etl.Io.dropDerbyInMemory(db)
+    out
+  }
+
+  // -- q99: windowed approximate-distinct users -----------------------------
+  // Per-tumbling-window unique-user counts the scale way: an HLL
+  // sketch per window (mergeable, no per-window value shuffle beyond
+  // the window key) gated against the exact count in the q62 style —
+  // the oracle hashes (ws, exact, within_5pct must be TRUE). Exact and
+  // sketch live in SEPARATE aggregates joined on the window start
+  // (q62's Expand-avoidance: countDistinct alone plans as two plain
+  // hash aggregates; mixing it with another aggregate compiles to a
+  // 2x-replicating Expand).
+  private def q99(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.read(spark, sfDir, "events")
+    def ws(df: DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+    val exact = ws(e).agg(countDistinct(col("user_id")).as("n_exact"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("n_exact"))
+    val approx = ws(e).agg(approx_count_distinct(col("user_id"), 0.01).as("ap"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("ap"))
+    exact.join(approx, "ws")
+      .select(col("ws"), col("n_exact"),
+        (abs(col("ap") - col("n_exact")) <= lit(0.05) * col("n_exact"))
+          .as("within_5pct"))
+      .orderBy("ws")
+  }
+
+  private val q99Oracle: String =
+    """SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS ws,
+      |  count(DISTINCT user_id) AS n_exact, true AS within_5pct
+      |FROM events GROUP BY 1 ORDER BY ws""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q90_boilerplate_lines", q90, Some(q90Oracle)),
     QueryDef("q91_stream_attribution", q91, Some(q91Oracle)),
@@ -227,5 +371,8 @@ object Round7bQueries {
     QueryDef("q94_funnel", q94, Some(q94Oracle)),
     QueryDef("q95_scd2_merge", q95, Some(q95Oracle)),
     QueryDef("q96_zorder_stats", q96, Some(q96Oracle)),
+    QueryDef("q97_incremental_pipeline", q97, Some(q97Oracle)),
+    QueryDef("q98_stream_jdbc_sink", q98, Some(EventOps.tumblingSql)),
+    QueryDef("q99_window_distinct", q99, Some(q99Oracle)),
   )
 }

@@ -86,6 +86,22 @@ class Round7bSpec extends EtlSpecBase {
     assert(vals.head == expect, s"${vals.head} vs $expect")
   }
 
+  test("tokenEntropyAgg: the scale path reproduces the kernel exactly") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "w w w w w"), (3L, "q r r s s s t t t t"),
+      (4L, "x"), (5L, "one two two three three three")).toDF("id", "t")
+    val kernel = docs.select(col("id"),
+        TextOps.tokenEntropyMicro(col("t")).as("e"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val agg = TextOps.tokenEntropyAgg(docs, "id", "t")
+      .select(col("id"), col("ent_u"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(agg == kernel, s"$agg vs $kernel")
+    val ntok = TextOps.tokenEntropyAgg(docs, "id", "t")
+      .orderBy("id").select("n_tok").as[Long].collect().toSeq
+    assert(ntok == Seq(4L, 5L, 10L, 1L, 6L), ntok.toString)
+  }
+
   // ---- charChunks withText ------------------------------------------------
 
   test("charChunks withText: chunk text equals the substr derivation") {
@@ -216,6 +232,39 @@ class Round7bSpec extends EtlSpecBase {
   test("zBucket rejects out-of-range shifts") {
     intercept[IllegalArgumentException] { LayoutOps.zBucket(lit(1L), 0) }
     intercept[IllegalArgumentException] { LayoutOps.zBucket(lit(1L), 32) }
+  }
+
+  // ---- streaming foreachBatch -> JDBC serving sink ------------------------
+
+  test("foreachBatch JDBC sink: stream lands in Derby, replay overwrites idempotently") {
+    import graft.etl.Io
+    val dir = java.nio.file.Files.createTempDirectory("graft_fb_jdbc").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 3.0)).toDF("ts", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir)
+    val db = "graft_fb_jdbc_test"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    try {
+      def runOnce(): Unit = {
+        val q = EventOps.tumblingCounts(
+            spark.readStream.schema(events.schema).parquet(dir))
+          .writeStream.outputMode("complete")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            Io.writeJdbc(df, url, "window_counts")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      runOnce() // replay: overwrite-replace keeps the table identical
+      val got = Io.readJdbc(spark, url, "window_counts")
+        .orderBy("ws", "event_type")
+        .select("event_type", "n").as[(String, Long)].collect().toSeq
+      assert(got == Seq(("click", 2L), ("view", 1L)), got.toString)
+    } finally Io.dropDerbyInMemory(db)
   }
 
   // ---- stream-stream join shape ------------------------------------------
