@@ -43,6 +43,13 @@ object GraftFunctions {
     "graft_normalize" -> (c => StaticInvoke(
       TextKernels.getClass, StringType, "normalizeText", c, Seq(StringType),
       propagateNull = true, returnNullable = true)),
+    "graft_token_entropy" -> (c => StaticInvoke(
+      TextKernels.getClass, LongType, "tokenEntropyMicro", c, Seq(StringType),
+      propagateNull = true, returnNullable = true)),
+    "graft_zvalue" -> (c => StaticInvoke(
+      graft.ops.LayoutKernels.getClass, LongType, "zValue", c,
+      Seq(LongType, LongType),
+      propagateNull = true, returnNullable = true)),
     "graft_dot" -> (c => StaticInvoke(
       VectorKernels.getClass, DoubleType, "dot", c,
       Seq(ArrayType(DoubleType), ArrayType(DoubleType)),

@@ -62,3 +62,20 @@ object LayoutOps {
 
   def zBucketSql(z: String, shift: Int): String = s"($z >> $shift)"
 }
+
+/** JVM kernel form of the Morton interleave, for the `graft_zvalue`
+  * SQL function (StaticInvoke — same arithmetic as the Column form,
+  * one implementation contract verified in Round7bSpec).
+  */
+object LayoutKernels {
+  def spread16(x: Long): Long = {
+    var v = x & 0xFFFFL
+    v = (v | (v << 8)) & 0x00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0FL
+    v = (v | (v << 2)) & 0x33333333L
+    v = (v | (v << 1)) & 0x55555555L
+    v
+  }
+
+  def zValue(a: Long, b: Long): Long = spread16(a) | (spread16(b) << 1)
+}

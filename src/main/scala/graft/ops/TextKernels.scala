@@ -161,4 +161,30 @@ object TextKernels {
     while (hi > lo && collapsed.charAt(hi - 1) == ' ') hi -= 1
     UTF8String.fromString(collapsed.substring(lo, hi))
   }
+
+  /** Token-histogram Shannon entropy as integer micro-nats — the
+    * kernel form of `TextOps.tokenEntropyMicro`/`tokenEntropyAgg`:
+    * the same fixed parenthesization and 1e-6 floor per distinct
+    * token, integer-summed (order-independent), so all three forms
+    * agree exactly. Empty/blank text → 0 (a single empty token's
+    * contribution is -1·ln(1) = 0, and so is no token at all).
+    */
+  def tokenEntropyMicro(s: UTF8String): Long = {
+    val tok = tokensOf(s)
+    if (tok.length == 0) return 0L
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < tok.length) {
+      counts.merge(tok(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val n = tok.length.toDouble
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      sum += math.floor((-(c / n) * math.log(c / n)) * 1000000.0 + 0.5).toLong
+    }
+    sum
+  }
 }

@@ -363,6 +363,37 @@ object Round7bQueries {
       |  count(DISTINCT user_id) AS n_exact, true AS within_5pct
       |FROM events GROUP BY 1 ORDER BY ws""".stripMargin
 
+  // -- q100: cohort retention matrix ----------------------------------------
+  // Users cohorted by first-activity week (Monday-truncated on both
+  // engines); for each (cohort, weeks-since) cell, how many of the
+  // cohort's users were active that week — the classic retention
+  // triangle. Scale shape: one user-keyed min-aggregate (cohort), one
+  // distinct (user, week) aggregate, a broadcast-or-hash join back on
+  // user, then a small (cohort, week) count — every exchange keys on
+  // user or the tiny cell grid.
+  private def q100(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.read(spark, sfDir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohorts = e.groupBy("user_id").agg(min("wk").as("cohort"))
+    val active = e.distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(unix_timestamp(col("cohort")).as("cohort_ws"),
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort"))) / 604800L)
+          .cast("int").as("week_n"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort_ws", "week_n")
+  }
+
+  private val q100Oracle: String =
+    """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      |cohorts AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id, wk FROM e)
+      |SELECT epoch(cohort)::BIGINT AS cohort_ws,
+      |  CAST((epoch(wk) - epoch(cohort)) / 604800 AS INTEGER) AS week_n,
+      |  count(DISTINCT a.user_id) AS users
+      |FROM active a JOIN cohorts USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_ws, week_n""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q90_boilerplate_lines", q90, Some(q90Oracle)),
     QueryDef("q91_stream_attribution", q91, Some(q91Oracle)),
@@ -374,5 +405,6 @@ object Round7bQueries {
     QueryDef("q97_incremental_pipeline", q97, Some(q97Oracle)),
     QueryDef("q98_stream_jdbc_sink", q98, Some(EventOps.tumblingSql)),
     QueryDef("q99_window_distinct", q99, Some(q99Oracle)),
+    QueryDef("q100_cohort_retention", q100, Some(q100Oracle)),
   )
 }

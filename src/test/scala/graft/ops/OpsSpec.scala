@@ -249,6 +249,15 @@ class OpsSpec extends EtlSpecBase {
       "SELECT graft_normalize('café  x ') AS n")
       .collect()(0).getString(0)
     assert(norm == "café x", norm)
+    // entropy kernel == the Column form; zvalue kernel == the Column form
+    val ent = spark.sql("SELECT graft_token_entropy('a b a') AS e")
+      .collect()(0).getLong(0)
+    assert(ent == Seq("a b a").toDF("x")
+      .select(TextOps.tokenEntropyMicro(col("x"))).as[Long].head(), ent.toString)
+    val zv = spark.sql("SELECT graft_zvalue(12345L, 54321L) AS z")
+      .collect()(0).getLong(0)
+    assert(zv == Seq((12345L, 54321L)).toDF("a", "b")
+      .select(LayoutOps.zValue(col("a"), col("b"))).as[Long].head(), zv.toString)
   }
 
   test("readStream file source: tumbling counts from a parquet directory") {
