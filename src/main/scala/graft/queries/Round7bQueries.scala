@@ -394,6 +394,39 @@ object Round7bQueries {
       |FROM active a JOIN cohorts USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_ws, week_n""".stripMargin
 
+  // -- q101: declarative data-quality validation ----------------------------
+  // dbt-test-style rule set compiled into ONE aggregate pass, with
+  // violations planted deterministically on both engines: every 7th
+  // order loses its custkey (not_null), dup_key = orderkey % 1000
+  // (unique), status 'P' sits outside the accepted {'O','F'} set, and
+  // every 11th price flips negative (in_range).
+  private val CheckRules: Seq[CheckOps.Rule] = Seq(
+    CheckOps.NotNull("o_custkey"),
+    CheckOps.Unique("dup_key"),
+    CheckOps.AcceptedValues("o_orderstatus", Seq("O", "F")),
+    CheckOps.InRange("o_totalprice", 0d, 500000d))
+
+  private def q101(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.read(spark, sfDir, "orders")
+    val dirty = o.select(
+      when(col("o_orderkey") % 7 === 0, lit(null))
+        .otherwise(col("o_custkey")).as("o_custkey"),
+      (col("o_orderkey") % 1000).as("dup_key"),
+      col("o_orderstatus"),
+      when(col("o_orderkey") % 11 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+    CheckOps.validate(dirty, CheckRules)
+  }
+
+  private val q101Oracle: String =
+    s"""WITH __dirty AS (SELECT
+       |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+       |    o_orderkey % 1000 AS dup_key,
+       |    o_orderstatus,
+       |    CASE WHEN o_orderkey % 11 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+       |  FROM orders)
+       |${CheckOps.validateSql("__dirty", CheckRules)}""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q90_boilerplate_lines", q90, Some(q90Oracle)),
     QueryDef("q91_stream_attribution", q91, Some(q91Oracle)),
@@ -406,5 +439,6 @@ object Round7bQueries {
     QueryDef("q98_stream_jdbc_sink", q98, Some(EventOps.tumblingSql)),
     QueryDef("q99_window_distinct", q99, Some(q99Oracle)),
     QueryDef("q100_cohort_retention", q100, Some(q100Oracle)),
+    QueryDef("q101_data_checks", q101, Some(q101Oracle)),
   )
 }

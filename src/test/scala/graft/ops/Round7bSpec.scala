@@ -234,6 +234,42 @@ class Round7bSpec extends EtlSpecBase {
     intercept[IllegalArgumentException] { LayoutOps.zBucket(lit(1L), 32) }
   }
 
+  // ---- CheckOps -----------------------------------------------------------
+
+  test("CheckOps.validate: every rule counts exactly its planted violations") {
+    val df = Seq(
+      (Some(1L), "a", "O", 10.0),
+      (None, "b", "O", 20.0),     // not_null violation
+      (Some(3L), "b", "F", -5.0), // unique dup + in_range violation
+      (Some(4L), "c", "X", 30.0), // accepted_values violation
+      (None, "c", "O", 600.0)     // not_null + unique dup + in_range
+    ).toDF("k", "v", "status", "price")
+    val got = CheckOps.validate(df, Seq(
+        CheckOps.NotNull("k"), CheckOps.Unique("v"),
+        CheckOps.AcceptedValues("status", Seq("O", "F")),
+        CheckOps.InRange("price", 0d, 500d)))
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("accepted_values", "status", 1L),
+      ("in_range", "price", 2L),
+      ("not_null", "k", 2L),
+      ("unique", "v", 2L)), got.toString)
+  }
+
+  test("CheckOps: null comparisons don't count toward value rules; empty rules rejected") {
+    // nulls are the not_null rule's business, never in_range/accepted's
+    val df = Seq[(Option[Double], Option[String])](
+      (None, None), (Some(1.0), Some("O"))).toDF("p", "s")
+    val got = CheckOps.validate(df, Seq(
+        CheckOps.InRange("p", 0d, 10d),
+        CheckOps.AcceptedValues("s", Seq("O"))))
+      .as[(String, String, Long)].collect().toSeq
+    assert(got.forall(_._3 == 0L), got.toString)
+    intercept[IllegalArgumentException] { CheckOps.validate(df, Seq.empty) }
+    intercept[IllegalArgumentException] { CheckOps.InRange("p", 5d, 1d) }
+    intercept[IllegalArgumentException] { CheckOps.AcceptedValues("s", Seq.empty) }
+  }
+
   // ---- streaming foreachBatch -> JDBC serving sink ------------------------
 
   test("foreachBatch JDBC sink: stream lands in Derby, replay overwrites idempotently") {
