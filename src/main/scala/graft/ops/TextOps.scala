@@ -611,8 +611,12 @@ object TextOps {
       idCol: String, textCol: String,
       minDocs: Long): org.apache.spark.sql.DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    // null text = empty text, so the op is total (without the coalesce
+    // a null doc would posexplode to nothing AND score size() = -1 in
+    // the line census below, surfacing as n_removed = -1)
+    val text = coalesce(col(textCol), lit(""))
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      posexplode(split(text, "\n", -1)).as(Seq("pos", "line")))
     val hot = lines
       .select(xxhash64(col("line")).as("lh"), col(idCol))
       .groupBy("lh").agg(countDistinct(col(idCol)).as("n_docs"))
@@ -626,7 +630,7 @@ object TextOps {
         x => x.getField("line")), "\n").as("clean_text"),
       count(lit(1)).as("n_kept"))
     df.select(col(idCol),
-        size(split(col(textCol), "\n", -1)).cast(LongType).as("__n_lines"))
+        size(split(text, "\n", -1)).cast(LongType).as("__n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -48,6 +48,16 @@ class Round7bSpec extends EtlSpecBase {
     assert(got == Seq((1L, "x\nx\nx", 0L), (2L, "y", 0L)), got.toString)
   }
 
+  test("dropBoilerplateLines: null text is total (empty output, zero removed)") {
+    val df = Seq((1L, null: String), (2L, "real"), (3L, "real2")).toDF("id", "t")
+    val got = TextOps.dropBoilerplateLines(df, "id", "t", 2)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    // the null doc contributes one empty line; only ONE doc has it, so
+    // nothing is hot and nothing is removed anywhere
+    assert(got == Seq((1L, "", 0L), (2L, "real", 0L), (3L, "real2", 0L)),
+      got.toString)
+  }
+
   test("dropBoilerplateLines: rejects minDocs < 2") {
     val df = Seq((1L, "a")).toDF("id", "t")
     intercept[IllegalArgumentException] {

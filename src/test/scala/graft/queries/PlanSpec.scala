@@ -336,6 +336,20 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("Join"), s"Z-values are map-side only:\n$plan")
   }
 
+  test("q100 retention: user-keyed aggregates, no Expand, dimension join broadcasts") {
+    val plan = planOf("q100_cohort_retention")
+    assert(!plan.contains("SortMergeJoin"), s"cohort join must broadcast:\n$plan")
+    assert(plan.contains("partial_min"), s"cohort min must combine map-side:\n$plan")
+  }
+
+  test("q101 data checks: the whole rule set is ONE aggregate over one scan") {
+    val plan = planOf("q101_data_checks")
+    // a single scan of orders (the rules fuse), not one scan per rule
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected ONE orders scan, got $scans:\n$plan")
+    assert(plan.contains("partial_count"), s"violations must combine map-side:\n$plan")
+  }
+
   test("hive-partitioned writes prune at the source (PartitionFilters, zero data tasks)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hivepart").toString
