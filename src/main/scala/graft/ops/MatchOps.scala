@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate entity matching — the record-linkage step a curation
+  * pipeline runs when joining noisy catalogs (user-typed names, OCR
+  * output) against a clean reference dimension. All-pairs edit
+  * distance is quadratic and never acceptable; the standard shape is
+  * block → score within block → keep best match, which is what this
+  * implements.
+  */
+object MatchOps {
+
+  /** Best fuzzy match for every left row against the right catalog.
+    *
+    * Rows pair only within equal `blockCol` values (a cheap
+    * edit-invariant signature — e.g. a suffix the expected typo
+    * classes cannot touch); pairs with `levenshtein > maxDist` are
+    * discarded; the winner per left id is the lowest
+    * (distance, right id) — a total, deterministic order. Returns
+    * (id, match_id, dist) with unmatched left rows absent.
+    *
+    * Scale shape: ONE equi-join on the block key (hash shuffle both
+    * sides) with the per-pair distance evaluated inside the join —
+    * cost is Σ_blocks |L_b|·|R_b|, tuned by the block signature, not
+    * |L|·|R|. The best-match window partitions by left id (groups =
+    * candidates of one row, small) and Spark's WindowGroupLimit
+    * prunes it to a per-partition top-1 before any window sort. At
+    * 100 TB the block signature graduates to a q-gram or LSH key; the
+    * join/window shape is unchanged.
+    */
+  def fuzzyBestMatch(left: DataFrame, right: DataFrame, maxDist: Int): DataFrame = {
+    val cand = left.select(col("id"), col("name"), col("block"))
+      .join(right.select(col("id").as("rid"), col("name").as("rname"),
+        col("block")), "block")
+      .select(col("id"), col("rid"),
+        levenshtein(col("name"), col("rname")).as("dist"))
+      .where(col("dist") <= maxDist)
+    val best = Window.partitionBy("id").orderBy(col("dist"), col("rid"))
+    cand.withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1)
+      .select(col("id"), col("rid").as("match_id"), col("dist"))
+      .orderBy("id")
+  }
+
+  /** [[fuzzyBestMatch]] oracle rendering. `leftCte` / `rightCte` must
+    * yield (id, name, block).
+    */
+  def fuzzyBestMatchSql(leftCte: String, rightCte: String, maxDist: Int): String =
+    s"""WITH l AS ($leftCte),
+       |r AS ($rightCte),
+       |cand AS (SELECT l.id, r.id AS rid,
+       |    levenshtein(l.name, r.name) AS dist
+       |  FROM l JOIN r USING (block)
+       |  WHERE levenshtein(l.name, r.name) <= $maxDist),
+       |ranked AS (SELECT id, rid, dist,
+       |    row_number() OVER (PARTITION BY id ORDER BY dist, rid) AS rn
+       |  FROM cand)
+       |SELECT id, rid AS match_id, dist FROM ranked WHERE rn = 1
+       |ORDER BY id""".stripMargin
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-7 fourth wave: classical profiling statistics (correlation,
+  * robust outliers, EWMA, histograms), record linkage, the bigram /
+  * DSIR LM-scoring ladder, and link-graph PageRank. Each beyond the
+  * reference surface (SURVEY.md §7.5 north-star scope) with a full
+  * DuckDB oracle; every order-sensitive reduction is an exact
+  * integer sum (see StatsOps/LmOps/GraphOps scaladoc), so no float
+  * normalization is needed anywhere in this wave.
+  */
+object Round7cQueries {
+
+  // -- q102: Pearson correlation matrix ------------------------------------
+  private val CorrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def q102(spark: SparkSession, sfDir: String): DataFrame =
+    StatsOps.corrMatrix(Tables.read(spark, sfDir, "lineitem"), CorrCols)
+
+  private val q102Oracle: String = StatsOps.corrMatrixSql("lineitem", CorrCols)
+
+  // -- q103: MAD robust outlier census -------------------------------------
+  private def q103(spark: SparkSession, sfDir: String): DataFrame =
+    StatsOps.madOutliers(
+      Tables.read(spark, sfDir, "lineitem"), "l_returnflag", "l_extendedprice")
+
+  private val q103Oracle: String =
+    StatsOps.madOutliersSql("lineitem", "l_returnflag", "l_extendedprice")
+
+  // -- q104: daily-revenue EWMA --------------------------------------------
+  private def q104(spark: SparkSession, sfDir: String): DataFrame =
+    StatsOps.ewmaDaily(Tables.read(spark, sfDir, "lineitem"))
+
+  private val q104Oracle: String = StatsOps.ewmaDailySql("lineitem")
+
+  // -- q105: fuzzy entity match --------------------------------------------
+  // The dirty side plants two deterministic typo classes on the
+  // 18-char customer names (delete char 12 / swap chars 14-15; every
+  // third name left exact) and must re-link each to the clean
+  // catalog. The block signature is the LAST two characters — both
+  // typo classes act strictly left of them, so the true match always
+  // shares the block, and the key has ~100 uniform values (digits).
+  private val FuzzyMaxDist = 2
+
+  private def dirtyName(name: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(key % 3 === 0,
+      concat(substring(name, 1, 11), substring(name, 13, 6)))
+      .when(key % 3 === 1,
+        concat(substring(name, 1, 13), substring(name, 15, 1),
+          substring(name, 14, 1), substring(name, 16, 3)))
+      .otherwise(name)
+
+  private def q105(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.read(spark, sfDir, "customer")
+    val clean = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
+      expr("right(c_name, 2)").as("block"))
+    val dirty = c
+      .select(col("c_custkey").as("id"),
+        dirtyName(col("c_name"), col("c_custkey")).as("name"))
+      .withColumn("block", expr("right(name, 2)"))
+    MatchOps.fuzzyBestMatch(dirty, clean, FuzzyMaxDist)
+  }
+
+  private val q105Oracle: String = {
+    // single line: this string is re-embedded in two more stripMargin
+    // interpolations, which would eat a line-leading "||" as margins
+    val dirtyCase =
+      "CASE WHEN c_custkey % 3 = 0" +
+        " THEN substr(c_name, 1, 11) || substr(c_name, 13, 6)" +
+        " WHEN c_custkey % 3 = 1" +
+        " THEN substr(c_name, 1, 13) || substr(c_name, 15, 1)" +
+        " || substr(c_name, 14, 1) || substr(c_name, 16, 3)" +
+        " ELSE c_name END"
+    MatchOps.fuzzyBestMatchSql(
+      s"""SELECT id, name, right(name, 2) AS block FROM (
+         |  SELECT c_custkey AS id, $dirtyCase AS name FROM customer)""".stripMargin,
+      "SELECT c_custkey AS id, c_name AS name, right(c_name, 2) AS block FROM customer",
+      FuzzyMaxDist)
+  }
+
+  // -- q106: bigram surprisal ----------------------------------------------
+  private def q106(spark: SparkSession, sfDir: String): DataFrame =
+    LmOps.bigramSurprisal(
+        Tables.read(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val q106Oracle: String =
+    LmOps.bigramSurprisalSql("documents", "doc_id", "text") + "\nORDER BY doc_id"
+
+  // -- q107: DSIR importance weights ---------------------------------------
+  // Target slice = the English documents; w_u ranks every doc by how
+  // target-like its token distribution is.
+  private def q107(spark: SparkSession, sfDir: String): DataFrame =
+    LmOps.dsirWeights(Tables.read(spark, sfDir, "documents"),
+        "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id")
+
+  private val q107Oracle: String =
+    LmOps.dsirWeightsSql("documents", "doc_id", "text", "lang = 'en'") +
+      "\nORDER BY doc_id"
+
+  // -- q108: PageRank over the customer→supplier trade graph ---------------
+  // Nodes are namespaced into one id space (customer 2k, supplier
+  // 2k+1); edges are the distinct (customer, supplier) trade pairs.
+  // Suppliers are sinks (their mass leaks — the documented dangling
+  // simplification), so three iterations produce three distinct rank
+  // tiers that exercise teleport + damping + inflow paths.
+  private val PrEdgesSql =
+    """SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+
+  private def q108(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.read(spark, sfDir, "orders")
+      .join(Tables.read(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    GraphOps.pageRank(edges)
+  }
+
+  private val q108Oracle: String = GraphOps.pageRankSql(PrEdgesSql)
+
+  // -- q109: equal-width histogram -----------------------------------------
+  private def q109(spark: SparkSession, sfDir: String): DataFrame =
+    StatsOps.histogram(Tables.read(spark, sfDir, "lineitem"), "l_extendedprice")
+
+  private val q109Oracle: String =
+    StatsOps.histogramSql("lineitem", "l_extendedprice")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q102_corr_matrix", q102, Some(q102Oracle)),
+    QueryDef("q103_mad_outliers", q103, Some(q103Oracle)),
+    QueryDef("q104_ewma_revenue", q104, Some(q104Oracle)),
+    QueryDef("q105_fuzzy_match", q105, Some(q105Oracle)),
+    QueryDef("q106_bigram_surprisal", q106, Some(q106Oracle)),
+    QueryDef("q107_dsir_weights", q107, Some(q107Oracle)),
+    QueryDef("q108_pagerank", q108, Some(q108Oracle)),
+    QueryDef("q109_histogram", q109, Some(q109Oracle)),
+  )
+}

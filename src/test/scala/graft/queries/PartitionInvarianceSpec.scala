@@ -22,12 +22,14 @@ class PartitionInvarianceSpec extends EtlSpecBase {
   // top-k boundary (q81), LSH pair relabeling + rollup (q82),
   // collect_list line-rebuild order (q90), integer-sum top-k over a
   // generated chunk corpus (q92), composed quota-rank + shard-window
-  // pipeline (q97)
+  // pipeline (q97), micro-grid log-term fold over two count joins
+  // (q106), iterative integer-grid rank propagation (q108)
   private val queries = Seq("q05_clean_categorical", "q07_impute_mode",
     "q20_minhash_lsh", "q51_dup_clusters", "q57_stratified_sample",
     "q66_shuffle_shard", "q71_pack_sequences", "q79_tfidf_topk",
     "q81_bm25_search", "q82_source_leakage", "q90_boilerplate_lines",
-    "q92_rag_retrieval", "q97_incremental_pipeline")
+    "q92_rag_retrieval", "q97_incremental_pipeline",
+    "q106_bigram_surprisal", "q108_pagerank")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

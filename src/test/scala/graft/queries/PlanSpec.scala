@@ -350,6 +350,36 @@ class PlanSpec extends EtlSpecBase {
     assert(plan.contains("partial_count"), s"violations must combine map-side:\n$plan")
   }
 
+  test("q102 correlation matrix: ONE scan, one partial+final moment aggregate") {
+    val plan = planOf("q102_corr_matrix")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"all 14 moments must fold in one lineitem scan:\n$plan")
+    assert(plan.contains("partial_"), s"moments must combine map-side:\n$plan")
+    assert(!plan.contains("Join"), s"pairs project off the 1-row moment frame:\n$plan")
+  }
+
+  test("q103 MAD: per-group medians broadcast back, never SortMergeJoin") {
+    val plan = planOf("q103_mad_outliers")
+    assert(plan.contains("BroadcastHashJoin"), s"med/mad frames are tiny:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q105 fuzzy match: blocked equi-join (no cartesian), top-1 via WindowGroupLimit") {
+    val plan = planOf("q105_fuzzy_match")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate pairing must go through the block key:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate pairing must go through the block key:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn=1 filter must prune before the window sort:\n$plan")
+  }
+
+  test("q109 histogram: the min/max row broadcasts; counts combine map-side") {
+    val plan = planOf("q109_histogram")
+    assert(plan.contains("Broadcast"), s"1-row bounds frame must broadcast:\n$plan")
+    assert(plan.contains("partial_count"), s"bucket counts must combine map-side:\n$plan")
+  }
+
   test("hive-partitioned writes prune at the source (PartitionFilters, zero data tasks)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hivepart").toString
