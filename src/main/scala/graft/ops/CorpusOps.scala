@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Corpus-level composition analytics: trigram novelty (how much of a
+  * doc is first-seen), vocabulary coverage curves (the token budget a
+  * tokenizer needs), and pairwise source vocabulary overlap (which
+  * feeds dedup/mixing decisions between crawls). All reductions are
+  * exact integer counts; each output ratio is ONE division of exact
+  * integers — deterministic on any layout, no normalization needed.
+  */
+object CorpusOps {
+
+  // ---- trigram novelty ---------------------------------------------------
+
+  /** Per-doc novelty: the share of the doc's DISTINCT trigrams whose
+    * first appearance (minimum doc id) is this doc. Low novelty =
+    * mostly trigrams already seen earlier in the corpus — the cheap
+    * dedup-aware ordering signal for curriculum/sampling decisions.
+    * Docs with < 3 tokens have no trigrams and drop out. Returns
+    * (idCol, n_tri, n_novel, novelty).
+    *
+    * Scale shape: one trigram-keyed dedup shuffle; the min-doc frame
+    * groups on the SAME key, so its exchange is reused; one doc-keyed
+    * fold. Nothing driver-side, nothing quadratic.
+    */
+  def trigramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = df.select(col(idCol),
+        explode(TextOps.ngramsOf(TextOps.tokens(col(textCol)), 3)).as("tri"))
+      .distinct()
+    val firsts = pairs.groupBy("tri").agg(min(col(idCol)).as("fd"))
+    pairs.join(firsts, "tri")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("fd") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_tri").cast(DoubleType))
+      .orderBy(idCol)
+  }
+
+  /** [[trigramNovelty]] oracle rendering. */
+  def trigramNoveltySql(table: String, idCol: String, textCol: String): String =
+    s"""WITH pairs AS (SELECT DISTINCT $idCol,
+       |    unnest(${TextOps.ngramsSql(textCol, 3)}) AS tri FROM $table),
+       |firsts AS (SELECT tri, min($idCol) AS fd FROM pairs GROUP BY 1)
+       |SELECT $idCol, count(*) AS n_tri,
+       |  CAST(sum(CASE WHEN fd = $idCol THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN fd = $idCol THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS novelty
+       |FROM pairs JOIN firsts USING (tri)
+       |GROUP BY $idCol ORDER BY $idCol""".stripMargin
+
+  // ---- vocabulary coverage curve -----------------------------------------
+
+  /** Top-`k` corpus vocabulary with the cumulative share of all token
+    * occurrences each prefix covers — the "how big must the tokenizer
+    * vocab be" curve. Total order (count desc, token) makes ranks and
+    * the limit boundary deterministic. Returns
+    * (rnk, tok, c, cum_c, share).
+    *
+    * Scale shape: one partial-aggregable token count + a k-row
+    * TakeOrdered; the cumulative window then runs on k rows (a
+    * constant), and the corpus total rides in as a 1-row broadcast.
+    * The full vocabulary is never sorted globally.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    val counts = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).cast(DoubleType).as("t"))
+    val ord = Window.orderBy(col("c").desc, col("tok"))
+    counts.orderBy(col("c").desc, col("tok")).limit(k)
+      .withColumn("rnk", row_number().over(ord))
+      .withColumn("cum_c", sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .select(col("rnk"), col("tok"), col("c"), col("cum_c"),
+        (col("cum_c").cast(DoubleType) / col("t")).as("share"))
+      .orderBy("rnk")
+  }
+
+  /** [[vocabCoverage]] oracle rendering. */
+  def vocabCoverageSql(table: String, textCol: String, k: Int = 100): String =
+    s"""WITH counts AS (SELECT tok, count(*) AS c
+       |  FROM (SELECT unnest(${TextOps.tokensSql(textCol)}) AS tok FROM $table)
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts),
+       |top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT $k),
+       |curve AS (SELECT row_number() OVER (ORDER BY c DESC, tok) AS rnk, tok, c,
+       |    CAST(sum(c) OVER (ORDER BY c DESC, tok
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+       |  FROM top)
+       |SELECT rnk, tok, c, cum_c, CAST(cum_c AS DOUBLE) / t AS share
+       |FROM curve CROSS JOIN tot ORDER BY rnk""".stripMargin
+
+  // ---- pairwise source vocabulary overlap --------------------------------
+
+  /** Jaccard overlap of DISTINCT vocabularies for every source pair
+    * (s1 < s2): |V₁∩V₂| / |V₁∪V₂|. High overlap across crawls =
+    * near-duplicate feeds; the mixing-weight sanity check. Returns
+    * (s1, s2, inter, jaccard); pairs sharing no token drop out.
+    *
+    * Scale shape: one (source, token) dedup shuffle, a token-keyed
+    * self-join whose per-token blowup is bounded by the SOURCE COUNT
+    * squared (sources are few; tokens are many), and a tiny
+    * source-pair fold with per-source sizes broadcast back.
+    */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val st = df.select(col(srcCol).as("s"),
+      explode(TextOps.tokens(col(textCol))).as("tok")).distinct()
+    val sizes = st.groupBy("s").agg(count(lit(1)).as("nv"))
+    val inter = st.join(st.select(col("s").as("s2"), col("tok")), "tok")
+      .where(col("s") < col("s2"))
+      .groupBy(col("s").as("s1"), col("s2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("s").as("s1"), col("nv").as("na"))), "s1")
+      .join(broadcast(sizes.select(col("s").as("s2"), col("nv").as("nb"))), "s2")
+      .select(col("s1"), col("s2"), col("inter"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
+  /** [[sourceOverlap]] oracle rendering. */
+  def sourceOverlapSql(table: String, srcCol: String, textCol: String): String =
+    s"""WITH st AS (SELECT DISTINCT $srcCol AS s,
+       |    unnest(${TextOps.tokensSql(textCol)}) AS tok FROM $table),
+       |sizes AS (SELECT s, count(*) AS nv FROM st GROUP BY 1),
+       |inter AS (SELECT a.s AS s1, b.s AS s2, count(*) AS inter
+       |  FROM st a JOIN st b ON a.tok = b.tok AND a.s < b.s
+       |  GROUP BY 1, 2)
+       |SELECT s1, s2, CAST(inter AS BIGINT) AS inter,
+       |  CAST(inter AS DOUBLE) / CAST(x.nv + y.nv - inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes x ON s1 = x.s JOIN sizes y ON s2 = y.s
+       |ORDER BY s1, s2""".stripMargin
+}

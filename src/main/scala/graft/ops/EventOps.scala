@@ -201,6 +201,45 @@ object EventOps {
        |SELECT $userCol, $cols FROM __s0 $joins""".stripMargin
   }
 
+  /** First-order Markov transition matrix of event types per user:
+    * count and conditional probability of `cur` following `prev` in
+    * the user's (ts, event_id)-ordered stream — the behavioral
+    * signature a sequence model or anomaly detector starts from.
+    * Returns (prev, cur, n, p) with p = n / Σ_cur n (ONE division of
+    * exact integers). (ts, event_id) is a total order, so lag is
+    * deterministic on any layout.
+    *
+    * Scale shape: one user-keyed window (each user's history stays
+    * on one partition — the sessionize shape) + one tiny
+    * (prev, cur)-keyed count; the per-prev totals are a window over
+    * the type×type matrix (constant-size).
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    val seq = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+    val tr = events
+      .withColumn("prev", lag(col(typeCol), 1).over(seq))
+      .where(col("prev").isNotNull)
+    val cnt = tr.groupBy(col("prev"), col(typeCol).as("cur"))
+      .agg(count(lit(1)).as("n"))
+    cnt.withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("prev")).cast("double"))
+      .orderBy("prev", "cur")
+  }
+
+  /** [[transitionMatrix]] oracle rendering over the `events` view. */
+  def transitionMatrixSql(userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): String =
+    s"""WITH tr AS (SELECT lag($typeCol) OVER (PARTITION BY $userCol
+       |      ORDER BY $tsCol, event_id) AS prev, $typeCol AS cur
+       |  FROM events),
+       |cnt AS (SELECT prev, cur, count(*) AS n FROM tr
+       |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+       |SELECT prev, cur, n,
+       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE) AS p
+       |FROM cnt ORDER BY prev, cur""".stripMargin
+
   /** Structured Streaming variants: identical expressions over a
     * streaming frame, with an event-time watermark bounding state.
     * Used with MemoryStream in tests; `readStream.parquet(dir)` in
