@@ -123,6 +123,68 @@ object CorpusOps {
       .orderBy("s1", "s2")
   }
 
+  // ---- PMI collocations --------------------------------------------------
+
+  /** Top-`k` adjacent-pair collocations by pointwise mutual
+    * information: `pmi = ln(c₁₂·NU² / (NB·c₁·c₂))` (joint from the
+    * bigram census, marginals from the unigram census), gated to
+    * pairs with `c₁₂ ≥ minCount` — the multi-word-expression detector
+    * a tokenizer-vocab builder runs. The raw double pmi differs
+    * between engines in the last ulp (the >2⁵³ products round
+    * differently), so the score lands on the q81 micro-grid
+    * (⌊pmi·10⁶+0.5⌋ BIGINT) BEFORE ranking — ties break on (w1, w2).
+    * Returns (w1, w2, c12, pmi_u).
+    *
+    * Scale shape: the unigram and bigram censuses are the only
+    * shuffles (both partial-aggregable); marginal joins are
+    * token-keyed; the result is a k-row TakeOrdered.
+    */
+  def pmiTopK(df: DataFrame, textCol: String, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    val toks = df.select(TextOps.tokens(col(textCol)).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum(col("c")).cast(DoubleType).as("nu"))
+    val bcnt = toks.select(explode(TextOps.ngramsOf(col("__toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val nb = bcnt.agg(sum(col("c12")).cast(DoubleType).as("nb"))
+    val pmiU = floor(log(
+      (col("c12").cast(DoubleType) * col("nu") * col("nu")) /
+        (col("nb") * col("c1").cast(DoubleType) * col("c2").cast(DoubleType)))
+      * lit(1000000.0) + lit(0.5)).cast(org.apache.spark.sql.types.LongType)
+    bcnt.where(col("c12") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"), pmiU.as("pmi_u"))
+      .orderBy(col("pmi_u").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** [[pmiTopK]] oracle rendering. */
+  def pmiTopKSql(table: String, textCol: String, minCount: Long = 5,
+      k: Int = 50): String =
+    s"""WITH uni AS (SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(${TextOps.tokensSql(textCol)}) AS w FROM $table)
+       |  GROUP BY 1),
+       |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uni),
+       |bcnt AS (SELECT bg, count(*) AS c12
+       |  FROM (SELECT unnest(${TextOps.ngramsSql(textCol, 2)}) AS bg FROM $table)
+       |  GROUP BY 1),
+       |nb AS (SELECT CAST(sum(c12) AS DOUBLE) AS nb FROM bcnt)
+       |SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, c12,
+       |  CAST(floor(ln((CAST(c12 AS DOUBLE) * nu * nu)
+       |    / (nb * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+       |    * 1000000.0 + 0.5) AS BIGINT) AS pmi_u
+       |FROM bcnt
+       |JOIN uni u1 ON split_part(bg, ' ', 1) = u1.w
+       |JOIN uni u2 ON split_part(bg, ' ', 2) = u2.w
+       |CROSS JOIN nu CROSS JOIN nb
+       |WHERE c12 >= $minCount
+       |ORDER BY pmi_u DESC, w1, w2 LIMIT $k""".stripMargin
+
   /** [[sourceOverlap]] oracle rendering. */
   def sourceOverlapSql(table: String, srcCol: String, textCol: String): String =
     s"""WITH st AS (SELECT DISTINCT $srcCol AS s,

@@ -248,4 +248,198 @@ object StatsOps {
        |  count(*) AS cnt
        |FROM u CROSS JOIN mm
        |GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // ---- per-group OLS regression -----------------------------------------
+
+  /** Per-group simple linear regression y ~ x with the [[corrMatrix]]
+    * exact-moment machinery: DECIMAL(38,0) cent-grid sums, then
+    * slope = (n·Sxy − SxSy)/(n·Sxx − Sx²),
+    * intercept = (Sy − slope·Sx)/n (cent units),
+    * r² = num²/(dx·dy) — evaluated in doubles on the per-group moment
+    * row in a single fixed expression order, so both engines emit the
+    * same bits. Zero x-variance groups yield NULL slope/r² (the x/0
+    * convention). Returns (grp, n, slope, intercept, r2).
+    *
+    * Scale shape: ONE partial-aggregable grouped scan; the regression
+    * algebra is a projection of the tiny moment frame.
+    */
+  def olsByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val m = df.select(col(groupCol).as("grp"),
+        centsU(col(xCol)).cast(dec).as("x"), centsU(col(yCol)).cast(dec).as("y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        count(lit(1)).cast(dec).as("nd"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val num = (col("nd") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val dx = (col("nd") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val dy = (col("nd") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    val slope = try_divide(num, dx)
+    m.select(col("grp"), col("n"),
+        slope.as("slope"),
+        ((col("sy").cast(DoubleType) - slope * col("sx").cast(DoubleType))
+          / col("nd").cast(DoubleType)).as("intercept"),
+        try_divide(num * num, dx * dy).as("r2"))
+      .orderBy("grp")
+  }
+
+  /** [[olsByGroup]] oracle rendering. */
+  def olsByGroupSql(table: String, groupCol: String, xCol: String,
+      yCol: String): String = {
+    val num = "CAST(nd * sxy - sx * sy AS DOUBLE)"
+    val dx = "CAST(nd * sxx - sx * sx AS DOUBLE)"
+    val dy = "CAST(nd * syy - sy * sy AS DOUBLE)"
+    s"""WITH b AS (SELECT $groupCol AS grp, ${centsUSql(xCol)} AS x,
+       |    ${centsUSql(yCol)} AS y FROM $table),
+       |m AS (SELECT grp, count(*) AS n, CAST(count(*) AS HUGEINT) AS nd,
+       |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+       |    sum(y * y) AS syy, sum(x * y) AS sxy
+       |  FROM b GROUP BY 1)
+       |SELECT grp, n, $num / $dx AS slope,
+       |  (CAST(sy AS DOUBLE) - ($num / $dx) * CAST(sx AS DOUBLE))
+       |    / CAST(nd AS DOUBLE) AS intercept,
+       |  ($num * $num) / ($dx * $dy) AS r2
+       |FROM m ORDER BY grp""".stripMargin
+  }
+
+  // ---- Gini concentration index -----------------------------------------
+
+  /** Gini coefficient of `valCol` mass concentration across `keyCol`
+    * (revenue-per-customer inequality — the "how head-heavy is this
+    * corpus/market" statistic):
+    * `G = (2·Σᵢ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)` over ascending-sorted
+    * per-key exact cent totals. Tied totals contribute identically
+    * under any permutation of their ranks, so the (x, key) sort is
+    * fully deterministic. All moments are exact DECIMAL sums; the
+    * single final division is the only double op. Returns one row
+    * (n_keys, total_u, gini).
+    *
+    * Scale shape: one partial-aggregable per-key sum, one distributed
+    * sort for ranks (a rank/terasort shape — linear shuffle), one
+    * 1-row fold.
+    */
+  def gini(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perKey = df.groupBy(col(keyCol).as("k"))
+      .agg(sum(centsU(col(valCol)).cast(LongType)).as("x"))
+    val ranked = perKey.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("k"))).cast(dec))
+    ranked
+      .agg(count(lit(1)).as("n_keys"),
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("s0x"),
+        sum(col("x").cast(dec) * col("i")).as("s1"))
+      .select(col("n_keys"), col("s0x").cast(LongType).as("total_u"),
+        try_divide(
+          (lit(2).cast(dec) * col("s1") - (col("n") + lit(1).cast(dec)) * col("s0x"))
+            .cast(DoubleType),
+          (col("n") * col("s0x")).cast(DoubleType)).as("gini"))
+  }
+
+  /** [[gini]] oracle rendering. */
+  def giniSql(table: String, keyCol: String, valCol: String): String =
+    s"""WITH perkey AS (SELECT $keyCol AS k,
+       |    CAST(sum(${centsUSql(valCol)}) AS BIGINT) AS x
+       |  FROM $table GROUP BY 1),
+       |ranked AS (SELECT x, CAST(row_number() OVER (ORDER BY x, k) AS HUGEINT) AS i
+       |  FROM perkey),
+       |m AS (SELECT count(*) AS n_keys, CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS s0x, sum(x * i) AS s1
+       |  FROM ranked)
+       |SELECT n_keys, CAST(s0x AS BIGINT) AS total_u,
+       |  CAST(2 * s1 - (n + 1) * s0x AS DOUBLE)
+       |    / CAST(n * s0x AS DOUBLE) AS gini
+       |FROM m""".stripMargin
+
+  // ---- rolling window quantile ------------------------------------------
+
+  /** Trailing `days`-row exact P95 of the daily revenue series — the
+    * robust alerting band a moving average ([[ewmaDaily]]) can't give
+    * you. Revenue totals are exact integers; the windowed percentile
+    * is the q43 parity class (Spark `percentile` == DuckDB
+    * `quantile_cont`), n4-normalized like every interpolated
+    * percentile in this suite. Returns (day, rev_u, p95).
+    *
+    * Scale shape: same day-grain argument as [[ewmaDaily]] — the
+    * window input is calendar-bounded, not data-bounded.
+    */
+  def rollingP95Daily(lineitem: DataFrame, days: Int = 7): DataFrame = {
+    val revU = centsU(col("l_extendedprice")).cast(LongType) *
+      (lit(100L) - centsU(col("l_discount")).cast(LongType))
+    val daily = lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(revU).as("rev_u"))
+    val frame = Window.orderBy("day").rowsBetween(-(days - 1), 0)
+    daily.select(col("day"), col("rev_u"),
+        graft.queries.Norm.n4(element_at(
+          percentile(col("rev_u"), array(lit(0.95))).over(frame), 1)).as("p95"))
+      .orderBy("day")
+  }
+
+  /** [[rollingP95Daily]] oracle rendering (rank self-join — the
+    * engine-portable windowed-quantile formulation).
+    */
+  def rollingP95DailySql(table: String, days: Int = 7): String = {
+    val revU = s"${centsUSql("l_extendedprice")} * (100 - ${centsUSql("l_discount")})"
+    s"""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+       |    CAST(sum($revU) AS BIGINT) AS rev_u
+       |  FROM $table GROUP BY 1),
+       |rn AS (SELECT day, rev_u, row_number() OVER (ORDER BY day) AS rn FROM daily)
+       |SELECT a.day, a.rev_u,
+       |  ${graft.etl.OracleSql.n4("quantile_cont(b.rev_u, 0.95)")} AS p95
+       |FROM rn a JOIN rn b ON b.rn BETWEEN a.rn - ${days - 1} AND a.rn
+       |GROUP BY a.day, a.rev_u
+       |ORDER BY a.day""".stripMargin
+  }
+
+  // ---- day-of-week seasonality ------------------------------------------
+
+  /** Day-of-week seasonality index: mean daily revenue on ISO weekday
+    * d divided by the overall mean daily revenue, as the exact-
+    * integer cross product `(Σrev_d · n_days) / (n_days_d · Σrev)` —
+    * one division of two exact DECIMAL products. Returns
+    * (dow, n_days, rev_u, idx) for ISO weekdays 1-7.
+    */
+  def dowSeasonality(lineitem: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val revU = centsU(col("l_extendedprice")).cast(LongType) *
+      (lit(100L) - centsU(col("l_discount")).cast(LongType))
+    val daily = lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(revU).as("rev_u"))
+    val tot = daily.agg(count(lit(1)).cast(dec).as("nt"),
+      sum(col("rev_u")).cast(dec).as("st"))
+    daily.select((weekday(col("day")) + 1).as("dow"), col("rev_u"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        count(lit(1)).cast(dec).as("nd"),
+        sum(col("rev_u")).as("rev_u"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("rev_u"),
+        try_divide((col("rev_u").cast(dec) * col("nt")).cast(DoubleType),
+          (col("nd") * col("st")).cast(DoubleType)).as("idx"))
+      .orderBy("dow")
+  }
+
+  /** [[dowSeasonality]] oracle rendering (`isodow` = Spark weekday+1). */
+  def dowSeasonalitySql(table: String): String = {
+    val revU = s"${centsUSql("l_extendedprice")} * (100 - ${centsUSql("l_discount")})"
+    s"""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+       |    CAST(sum($revU) AS BIGINT) AS rev_u
+       |  FROM $table GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS HUGEINT) AS nt,
+       |    CAST(sum(rev_u) AS HUGEINT) AS st FROM daily),
+       |dw AS (SELECT isodow(day) AS dow, count(*) AS n_days,
+       |    CAST(count(*) AS HUGEINT) AS nd,
+       |    CAST(sum(rev_u) AS BIGINT) AS rev_u
+       |  FROM daily GROUP BY 1)
+       |SELECT dow, n_days, rev_u,
+       |  CAST(CAST(rev_u AS HUGEINT) * nt AS DOUBLE)
+       |    / CAST(nd * st AS DOUBLE) AS idx
+       |FROM dw CROSS JOIN tot ORDER BY dow""".stripMargin
+  }
 }

@@ -374,6 +374,21 @@ class PlanSpec extends EtlSpecBase {
       s"rn=1 filter must prune before the window sort:\n$plan")
   }
 
+  test("q115 OLS: one scan, seven moments in one partial+final grouped aggregate") {
+    val plan = planOf("q115_ols_regression")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"regression moments must fold in one lineitem scan:\n$plan")
+    assert(plan.contains("partial_"), s"moments must combine map-side:\n$plan")
+    assert(!plan.contains("Join"), s"the algebra projects off the moment frame:\n$plan")
+  }
+
+  test("q114 source overlap: token self-join is hash, never nested-loop") {
+    val plan = planOf("q114_source_overlap")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"vocab intersection must equi-join on token:\n$plan")
+  }
+
   test("q109 histogram: the min/max row broadcasts; counts combine map-side") {
     val plan = planOf("q109_histogram")
     assert(plan.contains("Broadcast"), s"1-row bounds frame must broadcast:\n$plan")
