@@ -35,10 +35,15 @@ object GraphOps {
     * canonical distributed-PageRank shape; no driver-side state
     * beyond the N scalar.
     */
-  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+  def pageRank(edgesIn: DataFrame, iters: Int = 3, damping: Double = 0.85,
       scaleU: Long = 1000000000000L): DataFrame = {
+    // the edge list is the loop invariant every iteration re-reads:
+    // checkpoint it once (truncating the upstream scan/join/distinct
+    // lineage) instead of recomputing it `iters` times
+    val edges = edgesIn.localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val n = nodes.count()
     val initU = scaleU / n

@@ -32,12 +32,16 @@ object MatchOps {
     * join/window shape is unchanged.
     */
   def fuzzyBestMatch(left: DataFrame, right: DataFrame, maxDist: Int): DataFrame = {
+    // thresholded levenshtein: banded O(maxDist·n) DP with early exit
+    // (returns -1 past the threshold) — ~10x cheaper per pair than the
+    // full O(n²) table at maxDist=2, same accepted set as the oracle's
+    // unthresholded `levenshtein(l, r) <= maxDist`
     val cand = left.select(col("id"), col("name"), col("block"))
       .join(right.select(col("id").as("rid"), col("name").as("rname"),
         col("block")), "block")
       .select(col("id"), col("rid"),
-        levenshtein(col("name"), col("rname")).as("dist"))
-      .where(col("dist") <= maxDist)
+        levenshtein(col("name"), col("rname"), maxDist).as("dist"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
     val best = Window.partitionBy("id").orderBy(col("dist"), col("rid"))
     cand.withColumn("rn", row_number().over(best))
       .where(col("rn") === 1)

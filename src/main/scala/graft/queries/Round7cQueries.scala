@@ -41,9 +41,12 @@ object Round7cQueries {
   // The dirty side plants two deterministic typo classes on the
   // 18-char customer names (delete char 12 / swap chars 14-15; every
   // third name left exact) and must re-link each to the clean
-  // catalog. The block signature is the LAST two characters — both
+  // catalog. The block signature is the LAST THREE characters — both
   // typo classes act strictly left of them, so the true match always
-  // shares the block, and the key has ~100 uniform values (digits).
+  // shares the block, and the key has ~1000 uniform values (digits):
+  // candidate pairs scale as |L|·|R|/1000, the knob a 100 TB
+  // deployment turns by widening the suffix (or switching to q-gram
+  // blocking) as the catalogs grow.
   private val FuzzyMaxDist = 2
 
   private def dirtyName(name: org.apache.spark.sql.Column,
@@ -58,11 +61,11 @@ object Round7cQueries {
   private def q105(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.read(spark, sfDir, "customer")
     val clean = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
-      expr("right(c_name, 2)").as("block"))
+      expr("right(c_name, 3)").as("block"))
     val dirty = c
       .select(col("c_custkey").as("id"),
         dirtyName(col("c_name"), col("c_custkey")).as("name"))
-      .withColumn("block", expr("right(name, 2)"))
+      .withColumn("block", expr("right(name, 3)"))
     MatchOps.fuzzyBestMatch(dirty, clean, FuzzyMaxDist)
   }
 
@@ -77,9 +80,9 @@ object Round7cQueries {
         " || substr(c_name, 14, 1) || substr(c_name, 16, 3)" +
         " ELSE c_name END"
     MatchOps.fuzzyBestMatchSql(
-      s"""SELECT id, name, right(name, 2) AS block FROM (
+      s"""SELECT id, name, right(name, 3) AS block FROM (
          |  SELECT c_custkey AS id, $dirtyCase AS name FROM customer)""".stripMargin,
-      "SELECT c_custkey AS id, c_name AS name, right(c_name, 2) AS block FROM customer",
+      "SELECT c_custkey AS id, c_name AS name, right(c_name, 3) AS block FROM customer",
       FuzzyMaxDist)
   }
 
