@@ -16,33 +16,33 @@ object CorpusOps {
 
   // ---- trigram novelty ---------------------------------------------------
 
-  /** Per-doc novelty: the share of the doc's DISTINCT trigrams whose
-    * first appearance (minimum doc id) is this doc. Low novelty =
-    * mostly trigrams already seen earlier in the corpus — the cheap
-    * dedup-aware ordering signal for curriculum/sampling decisions.
-    * Docs with < 3 tokens have no trigrams and drop out. Returns
-    * (idCol, n_tri, n_novel, novelty).
+  /** Per-doc novelty: the share of the doc's DISTINCT trigram
+    * shingles whose first appearance (minimum doc id) is this doc.
+    * Low novelty = mostly shingles already seen earlier in the
+    * corpus — the cheap dedup-aware ordering signal for
+    * curriculum/sampling decisions. Docs with < 3 tokens have no
+    * shingles and drop out. Returns (idCol, n_tri, n_novel, novelty).
     *
-    * Scale shape: ONE distinct shuffle dedups (doc, trigram) pairs,
-    * and the trigram→min-doc census joins back ON THE SAME KEY — so
-    * the distinct's exchange is reused verbatim (one pair-wide
-    * shuffle total, plan-asserted) and one doc-keyed fold finishes.
-    * Measured alternatives both lost: per-doc `array_distinct`
-    * (Spark's string-array dedup is quadratic per row), and a
-    * join-free two-aggregate split (different keys per branch defeat
-    * exchange reuse, and checkpointing the pair frame to compensate
-    * costs more than the reused join).
+    * Operates on the HASHED shingle space ([[DedupOps.shingleHashes]]
+    * — the same fingerprint space every dedup op shuffles): the
+    * kernel dedups within the doc in one JVM loop, so (doc, hash)
+    * pairs are unique by construction and the wide string-pair
+    * distinct shuffle disappears — what remains shuffles 8-byte
+    * fingerprints, never trigram text (measured 2-4x over the string
+    * formulation). Hash collisions are corpus-wide constants shared
+    * bit-exactly by both engines (the oracle applies the same
+    * arithmetic hash), not layout artifacts.
+    *
+    * Scale shape: one projection (kernel) + ONE fingerprint-keyed
+    * shuffle whose exchange serves both the min-doc census and the
+    * join back, + one doc-keyed fold.
     */
   def trigramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // bind split ONCE, ngrams ONCE (the q83 discipline: an inlined
-    // split inside the ngram lambda re-evaluates per element)
     val pairs = df
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), TextOps.ngramsOf(col("__toks"), 3).as("__ngrams"))
-      .select(col(idCol), explode(col("__ngrams")).as("tri"))
-      .distinct()
-    val firsts = pairs.groupBy("tri").agg(min(col(idCol)).as("fd"))
-    pairs.join(firsts, "tri")
+      .select(col(idCol), DedupOps.shingleHashes(col(textCol), 3).as("__hs"))
+      .select(col(idCol), explode(col("__hs")).as("h"))
+    val firsts = pairs.groupBy("h").agg(min(col(idCol)).as("fd"))
+    pairs.join(firsts, "h")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tri"),
         sum(when(col("fd") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
@@ -53,14 +53,14 @@ object CorpusOps {
 
   /** [[trigramNovelty]] oracle rendering. */
   def trigramNoveltySql(table: String, idCol: String, textCol: String): String =
-    s"""WITH pairs AS (SELECT DISTINCT $idCol,
-       |    unnest(${TextOps.ngramsSql(textCol, 3)}) AS tri FROM $table),
-       |firsts AS (SELECT tri, min($idCol) AS fd FROM pairs GROUP BY 1)
+    s"""WITH pairs AS (SELECT $idCol,
+       |    unnest(${DedupOps.shingleHashesSql(textCol, 3)}) AS h FROM $table),
+       |firsts AS (SELECT h, min($idCol) AS fd FROM pairs GROUP BY 1)
        |SELECT $idCol, count(*) AS n_tri,
        |  CAST(sum(CASE WHEN fd = $idCol THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
        |  CAST(sum(CASE WHEN fd = $idCol THEN 1 ELSE 0 END) AS DOUBLE)
        |    / CAST(count(*) AS DOUBLE) AS novelty
-       |FROM pairs JOIN firsts USING (tri)
+       |FROM pairs JOIN firsts USING (h)
        |GROUP BY $idCol ORDER BY $idCol""".stripMargin
 
   // ---- vocabulary coverage curve -----------------------------------------
