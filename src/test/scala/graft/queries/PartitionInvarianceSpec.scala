@@ -25,14 +25,17 @@ class PartitionInvarianceSpec extends EtlSpecBase {
   // pipeline (q97), micro-grid log-term fold over two count joins
   // (q106), iterative integer-grid rank propagation (q108), k-row
   // limit boundary on count ties (q111), micro-grid ranked top-k
-  // with >2^53 double products (q116), global rank-sum moments (q119)
+  // with >2^53 double products (q116), global rank-sum moments (q119),
+  // collect_list window frame order (q104), kernel-hashed shingle
+  // min-census (q110)
   private val queries = Seq("q05_clean_categorical", "q07_impute_mode",
     "q20_minhash_lsh", "q51_dup_clusters", "q57_stratified_sample",
     "q66_shuffle_shard", "q71_pack_sequences", "q79_tfidf_topk",
     "q81_bm25_search", "q82_source_leakage", "q90_boilerplate_lines",
     "q92_rag_retrieval", "q97_incremental_pipeline",
     "q106_bigram_surprisal", "q108_pagerank", "q111_vocab_coverage",
-    "q116_pmi_collocations", "q119_gini_revenue")
+    "q116_pmi_collocations", "q119_gini_revenue", "q104_ewma_revenue",
+    "q110_trigram_novelty")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
