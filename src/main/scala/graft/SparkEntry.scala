@@ -10,7 +10,8 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     EtlQueries.defs ++ ExtQueries.defs ++ Round3Queries.defs ++ Round5Queries.defs ++
       Round6Queries.defs ++ Round7Queries.defs ++ Round7bQueries.defs ++
-      Round7cQueries.defs ++ Round7dQueries.defs ++ Round7eQueries.defs
+      Round7cQueries.defs ++ Round7dQueries.defs ++ Round7eQueries.defs ++
+      Round7fQueries.defs
 
   /** Flagship: full auto-cleaning ETL of the sf0.001 events table
     * (driver smoke-checks rows > 0).

@@ -43,6 +43,111 @@ object EvalOps {
           (lit(2L) * col("np") * col("nn")).cast(DoubleType)).as("auc"))
   }
 
+  // ---- two-proportion A/B z-statistic ------------------------------------
+
+  /** Pooled two-proportion z-test between variants A and B:
+    * `z = (p_A − p_B) / √(p̂(1−p̂)(1/n_A + 1/n_B))` with
+    * p̂ = (x_A+x_B)/(n_A+n_B) — the standard experiment readout. All
+    * counts are exact; the z expression is one fixed double formula,
+    * n4-normalized. Returns one row
+    * (n_a, x_a, n_b, x_b, rate_a, rate_b, z).
+    *
+    * Scale shape: ONE partial-aggregable conditional-count scan; the
+    * statistic is a projection of the 1-row count frame.
+    */
+  def abTestZ(df: DataFrame, variantA: Column, converted: Column): DataFrame = {
+    val m = df.select(variantA.as("a"), converted.as("c"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("a") && col("c"), 1L).otherwise(0L)).as("x_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("a") && col("c"), 1L).otherwise(0L)).as("x_b"))
+    val na = col("n_a").cast(DoubleType); val xa = col("x_a").cast(DoubleType)
+    val nb = col("n_b").cast(DoubleType); val xb = col("x_b").cast(DoubleType)
+    val p = (xa + xb) / (na + nb)
+    val z = ((xa / na) - (xb / nb)) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+    m.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      graft.queries.Norm.n4(xa / na).as("rate_a"),
+      graft.queries.Norm.n4(xb / nb).as("rate_b"),
+      graft.queries.Norm.n4(z).as("z"))
+  }
+
+  /** [[abTestZ]] oracle rendering. */
+  def abTestZSql(table: String, variantASql: String, convertedSql: String): String = {
+    val n4 = graft.etl.OracleSql.n4 _
+    val p = "((xa + xb) / (na + nb))"
+    val z = s"(((xa / na) - (xb / nb)) / sqrt($p * (1.0 - $p) * (1.0 / na + 1.0 / nb)))"
+    s"""WITH m AS (SELECT
+       |    CAST(sum(CASE WHEN ($variantASql) THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN ($variantASql) AND ($convertedSql) THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+       |    CAST(sum(CASE WHEN NOT ($variantASql) THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN NOT ($variantASql) AND ($convertedSql) THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+       |  FROM $table),
+       |d AS (SELECT n_a, x_a, n_b, x_b,
+       |    CAST(n_a AS DOUBLE) AS na, CAST(x_a AS DOUBLE) AS xa,
+       |    CAST(n_b AS DOUBLE) AS nb, CAST(x_b AS DOUBLE) AS xb
+       |  FROM m)
+       |SELECT n_a, x_a, n_b, x_b,
+       |  ${n4("(xa / na)")} AS rate_a, ${n4("(xb / nb)")} AS rate_b,
+       |  ${n4(z)} AS z
+       |FROM d""".stripMargin
+  }
+
+  // ---- two-sample Kolmogorov-Smirnov drift --------------------------------
+
+  /** Two-sample KS statistic between slices A and B of `valueCol`:
+    * `KS = max_v |F_A(v) − F_B(v)|` over the pooled value domain,
+    * with the arg-max value (ties → smallest value) — the standard
+    * corpus-drift detector between snapshots/sources. Cumulative
+    * counts are exact integer window sums; each CDF step is two
+    * divisions of exact integers — identical doubles on both engines,
+    * so the max and its arg-max are deterministic. Returns one row
+    * (n_a, n_b, ks, at_value).
+    *
+    * Scale shape: one value-keyed conditional count (the shuffle is
+    * the VALUE DOMAIN, not the row count), one ordered window over
+    * distinct values, a 1-row TakeOrdered.
+    */
+  def ksDrift(df: DataFrame, inA: Column, valueCol: Column): DataFrame = {
+    val g = df.select(inA.as("a"), valueCol.as("v"))
+      .groupBy("v").agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+    val ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    g.select(col("v"), sum(col("ca")).over(ord).as("cua"),
+        sum(col("cb")).over(ord).as("cub"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cua").cast(DoubleType) / col("n_a").cast(DoubleType) -
+          col("cub").cast(DoubleType) / col("n_b").cast(DoubleType)).as("d"),
+        col("v"))
+      .orderBy(col("d").desc, col("v"))
+      .limit(1)
+      .select(col("n_a"), col("n_b"),
+        graft.queries.Norm.n4(col("d")).as("ks"), col("v").as("at_value"))
+  }
+
+  /** [[ksDrift]] oracle rendering. */
+  def ksDriftSql(table: String, inASql: String, valueSql: String): String =
+    s"""WITH g AS (SELECT $valueSql AS v,
+       |    CAST(sum(CASE WHEN ($inASql) THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN NOT ($inASql) THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM $table GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+       |    CAST(sum(cb) AS BIGINT) AS n_b FROM g),
+       |cdf AS (SELECT v,
+       |    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cua,
+       |    CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cub
+       |  FROM g)
+       |SELECT n_a, n_b,
+       |  ${graft.etl.OracleSql.n4(
+            "abs(CAST(cua AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(cub AS DOUBLE) / CAST(n_b AS DOUBLE))")} AS ks,
+       |  v AS at_value
+       |FROM cdf CROSS JOIN tot
+       |ORDER BY abs(CAST(cua AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(cub AS DOUBLE) / CAST(n_b AS DOUBLE)) DESC, v
+       |LIMIT 1""".stripMargin
+
   /** [[aucRankSum]] oracle rendering; `labelSql`/`scoreSql` are
     * expressions over the table's columns.
     */

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-7 seventh wave: experimentation and drift analytics — funnel
+  * step-latency percentiles (composing q94's funnel), the pooled
+  * two-proportion A/B z-test, and the two-sample Kolmogorov-Smirnov
+  * drift statistic. Counts exact, percentiles in the q43 n4 parity
+  * class, z/KS as fixed single-expression doubles (n4).
+  */
+object Round7fQueries {
+
+  // -- q120: funnel step-latency percentiles -------------------------------
+  // How long converting users take per step (p50/p90 of the µs gap),
+  // over the same view→click→purchase funnel q94 verifies.
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelDeadlineH = 6
+
+  private def q120(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = EventOps.funnelSteps(Tables.read(spark, sfDir, "events"),
+      "user_id", "ts", "event_type", FunnelSteps, FunnelDeadlineH)
+    def leg(name: String, a: String, b: String): DataFrame =
+      f.select(lit(name).as("step"), (col(b) - col(a)).as("lat"))
+        .where(col("lat").isNotNull)
+    leg("1_view_click", "t0_us", "t1_us")
+      .unionAll(leg("2_click_purchase", "t1_us", "t2_us"))
+      .groupBy("step")
+      .agg(count(lit(1)).as("n"),
+        Norm.n4(element_at(percentile(col("lat"), array(lit(0.5))), 1)).as("p50_us"),
+        Norm.n4(element_at(percentile(col("lat"), array(lit(0.9))), 1)).as("p90_us"))
+      .orderBy("step")
+  }
+
+  private val q120Oracle: String = {
+    val f = EventOps.funnelStepsSql("user_id", "ts", "event_type",
+      FunnelSteps, FunnelDeadlineH)
+    s"""WITH d AS (
+       |  SELECT '1_view_click' AS step, t1_us - t0_us AS lat
+       |  FROM ($f) f WHERE t1_us IS NOT NULL
+       |  UNION ALL
+       |  SELECT '2_click_purchase', t2_us - t1_us
+       |  FROM ($f) f2 WHERE t2_us IS NOT NULL)
+       |SELECT step, count(*) AS n,
+       |  ${OracleHelpers.n4("quantile_cont(lat, 0.5)")} AS p50_us,
+       |  ${OracleHelpers.n4("quantile_cont(lat, 0.9)")} AS p90_us
+       |FROM d GROUP BY step ORDER BY step""".stripMargin
+  }
+
+  // -- q121: A/B experiment z-statistic ------------------------------------
+  // Variant by user-id parity (the deterministic assignment), success
+  // = the event is a purchase; one scan, one z.
+  private def q121(spark: SparkSession, sfDir: String): DataFrame =
+    EvalOps.abTestZ(Tables.read(spark, sfDir, "events"),
+      col("user_id") % 2 === 0, col("event_type") === "purchase")
+
+  private val q121Oracle: String =
+    EvalOps.abTestZSql("events", "user_id % 2 = 0", "event_type = 'purchase'")
+
+  // -- q122: corpus drift (two-sample KS) ----------------------------------
+  // Doc-length distribution drift between the even- and odd-id halves
+  // of the corpus (stand-ins for two snapshots).
+  private def q122(spark: SparkSession, sfDir: String): DataFrame =
+    EvalOps.ksDrift(Tables.read(spark, sfDir, "documents"),
+      col("doc_id") % 2 === 0, col("n_chars"))
+
+  private val q122Oracle: String =
+    EvalOps.ksDriftSql("documents", "doc_id % 2 = 0", "n_chars")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q120_funnel_latency", q120, Some(q120Oracle)),
+    QueryDef("q121_ab_test", q121, Some(q121Oracle)),
+    QueryDef("q122_ks_drift", q122, Some(q122Oracle)),
+  )
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.etl.EtlSpecBase
+import org.apache.spark.sql.functions._
+
+/** Round-7 seventh-wave units: A/B z-statistic and two-sample KS. */
+class Round7fSpec extends EtlSpecBase {
+
+  import spark.implicits._
+
+  // ---- abTestZ -----------------------------------------------------------
+
+  test("abTestZ: hand-computed pooled z on a known split") {
+    // A: 2/4 convert; B: 1/4 convert
+    val df = Seq(
+      (true, true), (true, true), (true, false), (true, false),
+      (false, true), (false, false), (false, false), (false, false))
+      .toDF("a", "c")
+    val got = EvalOps.abTestZ(df, col("a"), col("c"))
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert((got._1, got._2, got._3, got._4) == ((4L, 2L, 4L, 1L)), got.toString)
+    val p = 3.0 / 8.0
+    val z = (0.5 - 0.25) / math.sqrt(p * (1 - p) * (1.0 / 4 + 1.0 / 4))
+    val zN4 = math.floor(z * 1e4 + 0.5) / 1e4
+    assert(got._7 == zN4, s"${got._7} vs $zN4")
+    assert(got._5 == 0.5 && got._6 == 0.25, got.toString)
+  }
+
+  test("abTestZ: identical rates yield z = 0") {
+    val df = Seq((true, true), (true, false), (false, true), (false, false))
+      .toDF("a", "c")
+    val z = EvalOps.abTestZ(df, col("a"), col("c"))
+      .select("z").as[Double].head()
+    assert(z == 0.0, z.toString)
+  }
+
+  // ---- ksDrift -----------------------------------------------------------
+
+  test("ksDrift: disjoint supports reach KS = 1 at A's max value") {
+    val df = Seq((true, 1L), (true, 2L), (false, 10L), (false, 11L))
+      .toDF("a", "v")
+    val got = EvalOps.ksDrift(df, col("a"), col("v"))
+      .as[(Long, Long, Double, Long)].head()
+    assert(got == ((2L, 2L, 1.0, 2L)), got.toString)
+  }
+
+  test("ksDrift: identical samples give KS = 0 at the smallest value") {
+    val df = Seq((true, 5L), (false, 5L), (true, 9L), (false, 9L))
+      .toDF("a", "v")
+    val got = EvalOps.ksDrift(df, col("a"), col("v"))
+      .as[(Long, Long, Double, Long)].head()
+    assert(got == ((2L, 2L, 0.0, 5L)), got.toString)
+  }
+
+  test("ksDrift: hand-computed partial overlap") {
+    // A = {1, 2}, B = {2, 3}: CDF gaps at v=1: |.5-0|=.5, v=2: |1-.5|=.5,
+    // v=3: 0 -> KS .5 at value 1 (tie broken to smallest v)
+    val df = Seq((true, 1L), (true, 2L), (false, 2L), (false, 3L))
+      .toDF("a", "v")
+    val got = EvalOps.ksDrift(df, col("a"), col("v"))
+      .as[(Long, Long, Double, Long)].head()
+    assert(got == ((2L, 2L, 0.5, 1L)), got.toString)
+  }
+}
