@@ -389,6 +389,20 @@ class PlanSpec extends EtlSpecBase {
       s"vocab intersection must equi-join on token:\n$plan")
   }
 
+  test("q121 A/B z: the whole experiment readout is ONE scan, one aggregate") {
+    val plan = planOf("q121_ab_test")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"all four conditional counts fold in one events scan:\n$plan")
+    assert(!plan.contains("Join"), s"the z projects off the 1-row count frame:\n$plan")
+  }
+
+  test("q122 KS: value-domain shuffle only; totals broadcast back") {
+    val plan = planOf("q122_ks_drift")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 1-row totals frame must broadcast:\n$plan")
+    assert(plan.contains("partial_"), s"CDF counts must combine map-side:\n$plan")
+  }
+
   test("q109 histogram: the min/max row broadcasts; counts combine map-side") {
     val plan = planOf("q109_histogram")
     assert(plan.contains("Broadcast"), s"1-row bounds frame must broadcast:\n$plan")
