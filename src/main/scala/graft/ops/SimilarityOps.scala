@@ -387,4 +387,50 @@ object SimilarityOps {
       .where(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cos")
   }
+
+  // ---- int8 scalar quantization -----------------------------------------
+
+  /** Symmetric per-dimension int8 quantization of an embedding
+    * column — the standard 4x vector-store compression:
+    * `scale(d) = max|v_d| / 127`, `code = clamp(⌊v/scale + 0.5⌋, ±127)`.
+    * Emitted flat as (vec_id, dim, code) integer rows (0-based dim),
+    * the layout a columnar code store scans. All-zero dimensions
+    * quantize to 0 (not a division error). Parity: max/abs over raw
+    * floats involve NO arithmetic, and the one division + round is a
+    * fixed double expression — bit-identical across engines.
+    *
+    * Scale shape: one posexplode + a 1-row-per-dimension partial-
+    * aggregable max; the d-row scale frame broadcasts back, so
+    * quantization itself is map-side — the corpus never shuffles. At
+    * 100 TB the codes write out partition-aligned with the input.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val flat = emb.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    val scales = flat.groupBy("dim")
+      .agg(max(abs(col("v"))).as("ma"))
+      .select(col("dim"), (col("ma").cast(DoubleType) / lit(127.0)).as("scale"))
+    flat.join(broadcast(scales), "dim")
+      .select(col(idCol), col("dim"),
+        when(col("scale") === 0d, 0L)
+          .otherwise(greatest(lit(-127L), least(lit(127L),
+            floor(col("v").cast(DoubleType) / col("scale") + lit(0.5)))))
+          .as("code"))
+      .orderBy(idCol, "dim")
+  }
+
+  /** [[quantizeInt8]] oracle rendering (indexed-lambda unnest). */
+  def quantizeInt8Sql(table: String, idCol: String, vecCol: String): String =
+    s"""WITH flat AS (SELECT $idCol,
+       |    unnest(list_transform($vecCol, (v, i) -> {'dim': i - 1, 'v': v}),
+       |           recursive := true)
+       |  FROM $table),
+       |scales AS (SELECT dim, CAST(max(abs(v)) AS DOUBLE) / 127.0 AS scale
+       |  FROM flat GROUP BY 1)
+       |SELECT $idCol, dim,
+       |  CASE WHEN scale = 0 THEN 0
+       |       ELSE greatest(-127, least(127,
+       |         CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT))) END AS code
+       |FROM flat JOIN scales USING (dim)
+       |ORDER BY $idCol, dim""".stripMargin
 }

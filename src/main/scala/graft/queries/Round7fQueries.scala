@@ -68,9 +68,18 @@ object Round7fQueries {
   private val q122Oracle: String =
     EvalOps.ksDriftSql("documents", "doc_id % 2 = 0", "n_chars")
 
+  // -- q123: int8 embedding quantization -----------------------------------
+  private def q123(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.quantizeInt8(
+      Tables.read(spark, sfDir, "embeddings"), "vec_id", "embedding")
+
+  private val q123Oracle: String =
+    SimilarityOps.quantizeInt8Sql("embeddings", "vec_id", "embedding")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q120_funnel_latency", q120, Some(q120Oracle)),
     QueryDef("q121_ab_test", q121, Some(q121Oracle)),
     QueryDef("q122_ks_drift", q122, Some(q122Oracle)),
+    QueryDef("q123_embed_quantize", q123, Some(q123Oracle)),
   )
 }

@@ -61,4 +61,35 @@ class Round7fSpec extends EtlSpecBase {
       .as[(Long, Long, Double, Long)].head()
     assert(got == ((2L, 2L, 0.5, 1L)), got.toString)
   }
+
+  // ---- quantizeInt8 ------------------------------------------------------
+
+  test("quantizeInt8: per-dim extreme maps to ±127; zero dim to 0") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.0f)),
+      (2L, Array(-2.0f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Int, Long)].collect().toSeq
+    // dim0 maxabs 2 -> scale 2/127: 1.0 -> 64 (63.5+.5 floor), -2.0 -> -127
+    // dim1 maxabs .5: -0.5 -> -127, 0.25 -> 64; dim2 all zero -> 0
+    assert(got == Seq(
+      (1L, 0, 64L), (1L, 1, -127L), (1L, 2, 0L),
+      (2L, 0, -127L), (2L, 1, 64L), (2L, 2, 0L)), got.toString)
+  }
+
+  test("quantizeInt8: reconstruction error bounded by half a scale step") {
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11 - 5) / 5.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val codes = SimilarityOps.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, d, c) => (id, d) -> c }.toMap
+    val maxAbs = Array.tabulate(4)(d => vecs.map(v => math.abs(v._2(d))).max)
+    for ((id, vec) <- vecs; d <- 0 until 4) {
+      val scale = maxAbs(d) / 127.0
+      val rec = codes((id, d)) * scale
+      assert(math.abs(rec - vec(d)) <= scale / 2 + 1e-9,
+        s"vec $id dim $d: ${vec(d)} -> ${codes((id, d))} -> $rec")
+    }
+  }
 }
