@@ -396,6 +396,76 @@ object StatsOps {
        |ORDER BY a.day""".stripMargin
   }
 
+  // ---- Kaplan-Meier survival ---------------------------------------------
+
+  /** Kaplan-Meier survival over (time, event) observations — the
+    * time-to-event curve (order→fulfilment latency, user churn) with
+    * right-censoring. Per distinct time t: d(t) events, c(t)
+    * censorings, risk set n(t) = N − Σ_{s<t}(d+c), and the cumulative
+    * LOG-survival `logS(t) = Σ_{s≤t, d(s)>0} ln((n−d)/n)` folded on
+    * the q81 micro-grid — the product chain becomes an associative
+    * integer sum, so the curve is bit-identical across layouts and
+    * engines (S(t) = exp(logs_u/10⁶) when a probability is needed).
+    * Risk-set extinction (d = n, S hits exactly 0, ln 0 = −∞) is
+    * represented as NULL logs_u from that time onward — the one
+    * survival value the log grid cannot carry. Returns
+    * (t, n_risk, d, c, logs_u) ordered by t.
+    *
+    * Scale shape: one partial-aggregable (time)-keyed count, then an
+    * ordered window over DISTINCT times (the time domain, not the row
+    * count). Subjects never shuffle twice.
+    */
+  def kaplanMeier(df: DataFrame, timeCol: String, eventCol: String): DataFrame = {
+    val g = df.select(col(timeCol).as("t"), col(eventCol).cast("boolean").as("e"))
+      .groupBy("t").agg(
+        sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("e"), 1L).otherwise(0L)).as("c"))
+    val ord = Window.orderBy("t")
+    val nTot = g.agg(sum(col("d") + col("c")).as("n_tot"))
+    val before = coalesce(
+      sum(col("d") + col("c")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val withRisk = g.crossJoin(broadcast(nTot))
+      .withColumn("n_risk", col("n_tot") - before)
+    val term = when(col("d") > 0 && col("d") < col("n_risk"),
+      floor(log((col("n_risk") - col("d")).cast(DoubleType) /
+        col("n_risk").cast(DoubleType)) * lit(1000000.0) + lit(0.5)).cast(LongType))
+      .otherwise(lit(0L))
+    val extinct = when(col("d") === col("n_risk"), 1L).otherwise(0L)
+    val frame = ord.rowsBetween(Window.unboundedPreceding, 0)
+    withRisk
+      .withColumn("logs_u",
+        when(sum(extinct).over(frame) > 0, lit(null))
+          .otherwise(sum(term).over(frame)))
+      .select(col("t"), col("n_risk"), col("d"), col("c"), col("logs_u"))
+      .orderBy("t")
+  }
+
+  /** [[kaplanMeier]] oracle rendering. */
+  def kaplanMeierSql(table: String, timeSql: String, eventSql: String): String =
+    s"""WITH g AS (SELECT $timeSql AS t,
+       |    CAST(sum(CASE WHEN $eventSql THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN NOT ($eventSql) THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM $table GROUP BY 1),
+       |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_tot FROM g),
+       |risk AS (SELECT t, d, c,
+       |    n_tot - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+       |  FROM g CROSS JOIN tot),
+       |terms AS (SELECT t, n_risk, d, c,
+       |    CASE WHEN d > 0 AND d < n_risk
+       |         THEN CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+       |           / CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |         ELSE 0 END AS term,
+       |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS ext
+       |  FROM risk)
+       |SELECT t, n_risk, d, c,
+       |  CASE WHEN sum(ext) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0
+       |       THEN NULL
+       |       ELSE CAST(sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |  END AS logs_u
+       |FROM terms ORDER BY t""".stripMargin
+
   // ---- day-of-week seasonality ------------------------------------------
 
   /** Day-of-week seasonality index: mean daily revenue on ISO weekday

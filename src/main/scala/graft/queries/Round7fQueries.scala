@@ -76,10 +76,43 @@ object Round7fQueries {
   private val q123Oracle: String =
     SimilarityOps.quantizeInt8Sql("embeddings", "vec_id", "embedding")
 
+  // -- q124: Kaplan-Meier fulfilment survival ------------------------------
+  // Time-to-event = days from order date to the order's FIRST
+  // shipment; every fifth order is right-censored at day 30 (the
+  // deterministic stand-in for still-open orders): its event never
+  // fires and it leaves the risk set at min(true latency, 30).
+  private def q124(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstShip = Tables.read(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("ship"))
+    val obs = Tables.read(spark, sfDir, "orders")
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(datediff(to_date(col("ship")), to_date(col("o_orderdate")))
+        .cast("long").as("dur"),
+        (col("o_orderkey") % 5 =!= 0).as("evt"))
+      .select(when(col("evt"), col("dur"))
+        .otherwise(least(col("dur"), lit(30L))).as("time"), col("evt"))
+    StatsOps.kaplanMeier(obs, "time", "evt")
+  }
+
+  private val q124Oracle: String = {
+    val obs =
+      """(SELECT CASE WHEN o_orderkey % 5 <> 0 THEN dur
+        |            ELSE least(dur, 30) END AS time,
+        |       o_orderkey % 5 <> 0 AS evt
+        | FROM (SELECT o.o_orderkey, o.o_orderdate,
+        |         CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+        |                       CAST(s.ship AS DATE)) AS BIGINT) AS dur
+        |       FROM orders o JOIN (SELECT l_orderkey, min(l_shipdate) AS ship
+        |                           FROM lineitem GROUP BY 1) s
+        |         ON o.o_orderkey = s.l_orderkey))""".stripMargin
+    StatsOps.kaplanMeierSql(obs, "time", "evt")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q120_funnel_latency", q120, Some(q120Oracle)),
     QueryDef("q121_ab_test", q121, Some(q121Oracle)),
     QueryDef("q122_ks_drift", q122, Some(q122Oracle)),
     QueryDef("q123_embed_quantize", q123, Some(q123Oracle)),
+    QueryDef("q124_km_survival", q124, Some(q124Oracle)),
   )
 }

@@ -62,6 +62,33 @@ class Round7fSpec extends EtlSpecBase {
     assert(got == ((2L, 2L, 0.5, 1L)), got.toString)
   }
 
+  // ---- kaplanMeier -------------------------------------------------------
+
+  test("kaplanMeier: textbook risk sets, censoring, and grid log-survival") {
+    // times: event@1, censor@2, event@3, event@3, censor@4 (N=5)
+    val df = Seq((1L, true), (2L, false), (3L, true), (3L, true), (4L, false))
+      .toDF("time", "evt")
+    val got = StatsOps.kaplanMeier(df, "time", "evt")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    def g(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val s1 = g(4.0 / 5.0) // t=1: n=5, d=1
+    val s3 = s1 + g(1.0 / 3.0) // t=3: n=3, d=2
+    assert(got == Seq(
+      (1L, 5L, 1L, 0L, s1),
+      (2L, 4L, 0L, 1L, s1), // pure censor time: no survival step
+      (3L, 3L, 2L, 0L, s3),
+      (4L, 1L, 0L, 1L, s3)), got.toString)
+  }
+
+  test("kaplanMeier: extinction (last event empties the risk set) is NULL logS") {
+    val df = Seq((1L, true), (2L, true), (3L, true)).toDF("time", "evt")
+    val got = StatsOps.kaplanMeier(df, "time", "evt")
+      .select("logs_u").as[Option[Long]].collect().toSeq
+    def g(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    assert(got == Seq(Some(g(2.0 / 3.0)), Some(g(2.0 / 3.0) + g(1.0 / 2.0)),
+      None), got.toString) // S(3) = 0 exactly: not representable in log units
+  }
+
   // ---- quantizeInt8 ------------------------------------------------------
 
   test("quantizeInt8: per-dim extreme maps to ±127; zero dim to 0") {
