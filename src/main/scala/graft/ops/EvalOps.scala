@@ -63,12 +63,18 @@ object EvalOps {
         sum(when(!col("a") && col("c"), 1L).otherwise(0L)).as("x_b"))
     val na = col("n_a").cast(DoubleType); val xa = col("x_a").cast(DoubleType)
     val nb = col("n_b").cast(DoubleType); val xb = col("x_b").cast(DoubleType)
-    val p = (xa + xb) / (na + nb)
-    val z = ((xa / na) - (xb / nb)) /
-      sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+    // try_divide throughout: a degenerate split (empty variant, or a
+    // zero-variance pool) must yield NULL like the DuckDB oracle's
+    // NULL-on-zero division, not an ANSI error — the aucRankSum /
+    // corrMatrix / olsByGroup convention
+    val rateA = try_divide(xa, na)
+    val rateB = try_divide(xb, nb)
+    val p = try_divide(xa + xb, na + nb)
+    val z = try_divide(rateA - rateB,
+      sqrt(p * (lit(1.0) - p) * (try_divide(lit(1.0), na) + try_divide(lit(1.0), nb))))
     m.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
-      graft.queries.Norm.n4(xa / na).as("rate_a"),
-      graft.queries.Norm.n4(xb / nb).as("rate_b"),
+      graft.queries.Norm.n4(rateA).as("rate_a"),
+      graft.queries.Norm.n4(rateB).as("rate_b"),
       graft.queries.Norm.n4(z).as("z"))
   }
 

@@ -52,7 +52,11 @@ object ScdOps {
     val openNew = struct(col("__u_attr").as("attr"),
       lit(newBatch).as("valid_from"), nullTo.as("valid_to"),
       lit(true).as("is_current"))
-    val versions = when(!hasU || col("__u_attr") === col("__c_attr"),
+    // null-safe compare: a NULL attr on either side must mean "equal
+    // iff both NULL" — plain === would make NULL->NULL updates mint a
+    // spurious close+reopen (breaking idempotence) and NULL->value /
+    // value->NULL fall through the oracle's three branches entirely
+    val versions = when(!hasU || (col("__u_attr") <=> col("__c_attr")),
         array(keepOpen))
       .otherwise(array(closeOld, openNew))
     val existing = j.select(col(key), explode(versions).as("v"))
@@ -80,11 +84,11 @@ object ScdOps {
        |  FROM __cur c FULL OUTER JOIN __upd u ON c.$key = u.$key)
        |SELECT $key, c_attr AS $attr, c_from AS valid_from,
        |  CAST(NULL AS BIGINT) AS valid_to, true AS is_current
-       |FROM __j WHERE has_c AND (NOT has_u OR u_attr = c_attr)
+       |FROM __j WHERE has_c AND (NOT has_u OR u_attr IS NOT DISTINCT FROM c_attr)
        |UNION ALL
        |SELECT $key, c_attr, c_from, $newBatch, false
-       |FROM __j WHERE has_c AND has_u AND u_attr <> c_attr
+       |FROM __j WHERE has_c AND has_u AND u_attr IS DISTINCT FROM c_attr
        |UNION ALL
        |SELECT $key, u_attr, $newBatch, CAST(NULL AS BIGINT), true
-       |FROM __j WHERE has_u AND (NOT has_c OR u_attr <> c_attr)""".stripMargin
+       |FROM __j WHERE has_u AND (NOT has_c OR u_attr IS DISTINCT FROM c_attr)""".stripMargin
 }

@@ -128,6 +128,19 @@ object SimilarityOps {
     terms.mkString("(", " + ", ")")
   }
 
+  /** Result of [[nearDupPairsWithStats]]: the verified pairs plus the
+    * skipped hot-bucket counts as a queryable `(t, bk, n)` frame.
+    */
+  final case class EmbNearDupResult(pairs: DataFrame, skippedBuckets: DataFrame)
+
+  /** A production-reasonable `maxBucketSize` (the parameter itself
+    * defaults to uncapped so the exact-oracle queries stay bit-true):
+    * 2^16 members ≈ 2·10^9 candidate pairs from one degenerate bucket —
+    * past this the self-join cost is pathological, not similarity.
+    * Twin of [[DedupOps.defaultMaxBandSize]].
+    */
+  val defaultMaxBucketSize: Int = 1 << 16
+
   /** Embedding near-duplicate pairs: hyperplane-LSH bucket candidates
     * self-joined per table, verified with exact rounded cosine >=
     * `threshold`. Identical vectors share identical signatures, so
@@ -137,18 +150,80 @@ object SimilarityOps {
   def nearDupPairs(
       corpus: DataFrame, threshold: Double,
       tables: Int = 2, bits: Int = 8, dims: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-      .select(col("vec_id"), col("v"), explode(array((0 until tables).map(t =>
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    nearDupPairsWithStats(corpus, threshold, tables, bits, dims,
+      idCol, vecCol, maxBucketSize).pairs
+
+  /** [[nearDupPairs]] plus the skipped-hot-bucket counts. Same scale
+    * shape as the text twin [[DedupOps.nearDupPairsWithStats]]:
+    *
+    *  - the (t, bk) self-join carries ONLY 8-byte ids — the 64-dim
+    *    double vectors are joined back BY ID after the candidate set
+    *    is deduped, so a pair colliding in several tables ships its
+    *    vectors exactly once, never through the bucket exchange;
+    *  - `maxBucketSize` drops degenerate buckets (e.g. near-constant
+    *    embeddings collapsing every row into one signature) BEFORE the
+    *    O(bucket²) self-join; skipped buckets are surfaced as data
+    *    rather than silently truncated. Pairs appearing only in a
+    *    skipped bucket are lost — the other `tables-1` signatures
+    *    usually recover real near-dups, and a bucket that holds a
+    *    macroscopic corpus fraction is pathological by construction.
+    */
+  def nearDupPairsWithStats(
+      corpus: DataFrame, threshold: Double,
+      tables: Int = 2, bits: Int = 8, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = Int.MaxValue): EmbNearDupResult = {
+    // MEMORY_AND_DISK: the vector frame is read once for signatures and
+    // twice for verification; callers consume eagerly, then it's evictable
+    val vecs = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allBuckets = vecs
+      .select(col("vec_id"), explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), bucket(col("v"), t, dims, bits).as("bk"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bk").as("bk"))
-    val cand = b.select(col("t"), col("bk"), col("vec_id").as("id_a"), col("v").as("va"))
-      .join(b.select(col("t"), col("bk"), col("vec_id").as("id_b"), col("v").as("vb")),
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val (bucketsDf, skipped) =
+      if (maxBucketSize == Int.MaxValue) {
+        // empty frame from the SAME aggregate as the capped branch so the
+        // schemas can never drift; Filter(false) folds to LocalRelation
+        val none = allBuckets.groupBy("t", "bk").agg(count(lit(1)).as("n"))
+          .where(lit(false))
+        (allBuckets, none)
+      } else {
+        // checkpoint: the hot-bucket aggregate feeds the warning probe,
+        // the anti-join, AND the returned stats frame
+        val hot = allBuckets.groupBy("t", "bk").agg(count(lit(1)).as("n"))
+          .where(col("n") > maxBucketSize)
+          .localCheckpoint(true)
+        val hotRows = hot.limit(20).collect()
+        if (hotRows.nonEmpty) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"nearDupPairs: skipping ${hotRows.length}+ LSH buckets over " +
+              s"$maxBucketSize members, e.g. " +
+              hotRows.take(3).map(r => s"(t=${r.get(0)},bk=${r.get(1)},n=${r.getLong(2)})")
+                .mkString(", "))
+        }
+        (allBuckets.join(hot.select("t", "bk"), Seq("t", "bk"), "left_anti"), hot)
+      }
+    // ids-only candidate generation: ONE shuffle on (t, bk), pairs
+    // deduped BEFORE any vector moves
+    val cand = bucketsDf.select(col("t"), col("bk"), col("vec_id").as("id_a"))
+      .join(bucketsDf.select(col("t"), col("bk"), col("vec_id").as("id_b")),
         Seq("t", "bk"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"), cos4(col("va"), col("vb")).as("cos"))
+    val out = cand
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cos4(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
+    // materialize the (small) verified set while the vector cache is hot,
+    // then release it so repeated calls don't accumulate blocks
+    val checkpointed = out.localCheckpoint(true)
+    vecs.unpersist()
+    EmbNearDupResult(checkpointed, skipped)
   }
 
   /** IVF-style ANN: the first `nCentroids` corpus vectors (by id) act
@@ -234,7 +309,13 @@ object SimilarityOps {
   private def kmeansTrain(df: DataFrame, k: Int, iters: Int,
       idCol: String, vecCol: String): (DataFrame, Seq[(Int, Array[Double])]) = {
     require(k > 0 && iters > 0, s"k/iters must be positive: $k/$iters")
+    // MEMORY_AND_DISK: every Lloyd iteration re-scans `base` (init probe +
+    // iters assignment passes) — at 100 TB an un-persisted base would pay
+    // `iters` full source scans. Callers consume the returned assignment
+    // frame eagerly; the cache is released after the final assignment is
+    // checkpointed below.
     val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def assign(cents: Seq[(Int, Array[Double])]): DataFrame = {
       val scored = cents.map { case (j, c) =>
         val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
@@ -255,7 +336,13 @@ object SimilarityOps {
         .toSeq.map { case (cell, rows) =>
           cell -> rows.sortBy(_.getInt(1)).map(r => n4d(r.getDouble(2))).toArray
         }.sortBy(_._1)
-    (assign(cents), cents)
+    // The cached blocks have served the init probe + iters-1 update
+    // passes; the returned FINAL assignment is a pure map-side projection
+    // the caller consumes once, so release the cache now (one fresh
+    // source scan) rather than leaking blocks past the call.
+    val finalAssign = assign(cents)
+    base.unpersist()
+    (finalAssign, cents)
   }
 
   /** Embedding-space outlier gate: flag the farthest `100 - pct`% of

@@ -122,10 +122,15 @@ object TextOps {
   /** Split each document into fixed-size overlapping character chunks —
     * the RAG/context-window prep stage: chunk i covers
     * [i·stride, i·stride + size), i ranging until the starts pass the
-    * end of the text. Returns one row per (doc, chunk) with the chunk's
-    * index, length, and content fingerprint (the fingerprint keeps the
-    * output narrow — downstream near-dup or embedding stages re-derive
-    * the text from (doc_id, chunk_idx) when they need it).
+    * end of the text. Returns one row per (doc, chunk). Schema depends
+    * on `withText`:
+    *  - `withText = false` (default): (idCol, chunk_idx, chunk_len,
+    *    chunk_fp) — the fingerprint keeps the output narrow; downstream
+    *    near-dup or embedding stages re-derive the text from
+    *    (doc_id, chunk_idx) when they need it;
+    *  - `withText = true`: (idCol, chunk_idx, chunk) — the chunk TEXT
+    *    itself, for stages (e.g. retrieval indexing) that consume the
+    *    payload directly; chunk_len/chunk_fp are not emitted.
     *
     * Scale shape: a generator (posexplode) over a per-row sequence —
     * embarrassingly parallel, no shuffle; output row count is
@@ -142,12 +147,11 @@ object TextOps {
       .select(col(idCol), t.as("__t"),
         posexplode(sequence(lit(0), nChunksMinus1)).as(Seq("chunk_idx", "__i")))
     val chunk = col("__t").substr(col("chunk_idx") * stride + 1, lit(size))
-    val base = exploded.select(col(idCol), col("chunk_idx"),
-      length(chunk).as("chunk_len"),
-      fingerprint(chunk).as("chunk_fp"))
     if (withText) exploded.select(col(idCol), col("chunk_idx"),
       chunk.as("chunk"))
-    else base
+    else exploded.select(col(idCol), col("chunk_idx"),
+      length(chunk).as("chunk_len"),
+      fingerprint(chunk).as("chunk_fp"))
   }
 
   /** [[charChunks]] oracle rendering: the chunk-exploding CTE body
@@ -705,7 +709,11 @@ object TextOps {
     * one id-keyed fold — the [[unigramLogprob]] pattern; every
     * exchange keys on id or (id, token), nothing quadratic per row.
     * Docs whose text tokenizes to nothing keep `split` semantics
-    * (one empty token -> entropy 0), matching the Column form.
+    * (one empty token -> entropy 0), matching the Column form. Docs
+    * with NULL text explode to no rows, so the aggregate is
+    * LEFT-JOINED back to the id set: they surface as
+    * (id, NULL, NULL) — exactly what the Column/kernel form and the
+    * per-row oracle emit — instead of silently vanishing.
     */
   def tokenEntropyAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
@@ -717,10 +725,11 @@ object TextOps {
     val nD = col("n").cast(DoubleType)
     val termU = floor((-(cD / nD) * log(cD / nD)) * lit(1000000.0) + lit(0.5))
       .cast(LongType)
-    counts.join(totals, idCol)
+    val agg = counts.join(totals, idCol)
       .select(col(idCol), col("n"), termU.as("u"))
       .groupBy(idCol)
       .agg(first(col("n")).as("n_tok"), sum("u").as("ent_u"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
   }
 
   /** [[tokenEntropyMicro]] oracle rendering. */

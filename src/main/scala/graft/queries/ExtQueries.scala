@@ -610,7 +610,11 @@ object ExtQueries {
     val emb = Tables.read(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val corpus = emb.unionByName(emb.where(col("vec_id") % 20 === 0)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
-    SimilarityOps.nearDupPairs(corpus, threshold = 0.999)
+    // defaultMaxBucketSize never triggers at test SFs (buckets ≪ 2^16),
+    // so the uncapped oracle below stays exact while the capped code
+    // path (hot-bucket aggregate + anti-join) is exercised end-to-end
+    SimilarityOps.nearDupPairs(corpus, threshold = 0.999,
+      maxBucketSize = SimilarityOps.defaultMaxBucketSize)
       .orderBy("id_a", "id_b")
   }
 
