@@ -398,11 +398,7 @@ object ExtQueries {
   // "streaming == batch" contract (the round-1 gap: streaming paths
   // were only MemoryStream-unit-tested, never oracle-hashed).
   private def q47(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.eventsStream(spark, sfDir)
     val agged = EventOps.tumblingCounts(stream.withWatermark("ts", "2 hours"))
     val sink = "graft_q47_sink"
     spark.catalog.dropTempView(sink) // re-runnable within one session

@@ -21,18 +21,73 @@ object Tables {
 
   /** Read a driver fixture table.
     *
-    * `events.parquet` stores TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; with `nanosAsLong` it arrives as a long we convert
-    * with integer division (`div 1000` — double division would round in
-    * the last microsecond and diverge from DuckDB, which truncates ns
-    * parquet to its native µs timestamps on read).
+    * The `events` fixture's physical timestamp encoding has changed
+    * under us across driver rounds (TIMESTAMP(NANOS) through round 7,
+    * TIMESTAMP(MICROS) from round 8), so the read adapts to the footer
+    * instead of hard-coding either layout — see [[normalizeTs]].
     */
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
-    case "events" =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    case _ => spark.read.parquet(s"$sfDir/$name.parquet")
+    case "events" => normalizeTs(rawEvents(spark, sfDir))
+    case _        => spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** The events fixture as Spark's parquet reader hands it over, with
+    * `ts` NOT yet normalized. A TIMESTAMP(NANOS) footer is rejected by
+    * the default reader (schema resolution throws eagerly), in which
+    * case we retry under `nanosAsLong` and `ts` arrives as a raw long;
+    * the legacy conf is only touched on that fallback path so a
+    * MICROS-era fixture never mutates session state.
+    */
+  private def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.SparkException
+          if e.getMessage != null && e.getMessage.contains("NANOS") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null && e.getMessage.contains("NANOS") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+  }
+
+  /** Normalize the events `ts` column to TimestampType (the type every
+    * oracle was hashed against), branching on how the footer was read:
+    *
+    *  - LongType: the nanosAsLong path for a TIMESTAMP(NANOS) footer.
+    *    Integer division by 1000 (not double division, which would
+    *    round in the last microsecond) matches DuckDB's truncating
+    *    ns→µs parquet read.
+    *  - TimestampNTZType: a TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    *    footer under Spark's NTZ inference. The cast re-interprets the
+    *    wall-clock value in the session zone — every entrypoint pins
+    *    `spark.sql.session.timeZone=UTC`, so the instant is identical
+    *    to DuckDB's naive read of the same file.
+    *  - TimestampType: already the target type; pass through.
+    *
+    * Works on batch and streaming DataFrames alike (schema-only logic).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
+  }
+
+  /** Streaming source over the events fixture with `ts` normalized the
+    * same way as the batch read — the single helper behind q47/q75/q87/
+    * q91/q98 so the next fixture-format drift is a one-file fix
+    * (VERDICT r8 #1). The batch probe supplies the reader schema (and
+    * performs the nanos fallback when the footer needs it).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = rawEvents(spark, sfDir).schema
+    normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
   }
 }
 

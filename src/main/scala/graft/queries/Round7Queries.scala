@@ -145,11 +145,7 @@ object Round7Queries {
   // regardless of the final watermark position, so streaming == batch
   // == the gaps-and-islands oracle.
   private def q75(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.eventsStream(spark, sfDir)
     val sess = EventOps.streaming.sessionize(stream)
     val sink = "graft_q75_sink"
     spark.catalog.dropTempView(sink) // re-runnable within one session
@@ -428,11 +424,7 @@ object Round7Queries {
   // aggregated. Complete mode + AvailableNow => streaming == batch ==
   // the SQL oracle, like q47/q69/q75.
   private def q87(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.eventsStream(spark, sfDir)
     val dim = Tables.read(spark, sfDir, "customer")
       .where(col("c_custkey") <= 100)
       .select(col("c_custkey"), col("c_mktsegment"))

@@ -68,11 +68,7 @@ object Round7bQueries {
   // extra write plus end-to-end latency). The doubled source I/O is
   // the documented price of the operator, not an accident.
   private def q91(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def eventStream(): DataFrame = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def eventStream(): DataFrame = Tables.eventsStream(spark, sfDir)
     val clicks = eventStream().where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("cts"))
@@ -328,11 +324,7 @@ object Round7bQueries {
   // needed). Result = the table READ BACK over JDBC, so the oracle
   // (q26/q47's tumbling SQL) verifies the whole stream->DB->scan loop.
   private def q98(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.eventsStream(spark, sfDir)
     val agged = EventOps.tumblingCounts(stream.withWatermark("ts", "2 hours"))
     val db = s"graft_q98_${spark.sparkContext.applicationId}"
     val url = s"jdbc:derby:memory:$db;create=true"
