@@ -165,19 +165,42 @@ object Round3Queries {
 
   private def q62(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.read(spark, sfDir, "lineitem")
-    distinctCols.map { c =>
-      // exact distinct via partial-dedup + count, in a SEPARATE subtree
-      // from the sketch: one Aggregate mixing count_distinct with a
-      // non-distinct aggregate compiles to an Expand (2x row
-      // replication) — measured 3x slower than these two plain
-      // aggregates joined on their 1-row outputs
-      val exact = li.select(col(c)).distinct().agg(count(lit(1)).as("n_distinct"))
-      val approx = li.agg(approx_count_distinct(col(c), 0.01).as("approx"))
-      exact.crossJoin(approx)
-        .select(lit(c).as("column_name"), col("n_distinct"),
-          (abs(col("approx") - col("n_distinct")) <= lit(0.05) * col("n_distinct"))
-            .as("within_5pct"))
-    }.reduce(_.unionByName(_)).orderBy("column_name")
+    // TWO lineitem scans total (VERDICT r8: the old per-column subtrees
+    // scanned it six times — at 100 TB that is six jobs' worth of I/O).
+    //
+    // Scan 1 — all three HLL sketches in one Aggregate. No Expand risk:
+    // approx_count_distinct is a plain mergeable aggregate, only a
+    // DISTINCT aggregate mixed with non-distinct ones triggers Expand.
+    // stack() reshapes the 1-row/3-col result to (column_name, approx).
+    // rsd=0.02, not 0.01: Spark's HLL++ buffer is ~2,900 long words at
+    // rsd=0.01 vs ~180 at 0.02, and the wide buffer tripled the pass's
+    // runtime (measured 2.9 s -> 0.9 s at sf0.1). 0.02 keeps 2.5 sigma
+    // of headroom on the 5% gate; measured error <= 1% at every fixture
+    // SF (rsd=0.05 actually BUSTS the gate at sf0.001 — don't go lower).
+    val approx = li.agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("l_orderkey"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("l_partkey"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("l_suppkey"))
+      .select(expr("stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey, " +
+        "'l_suppkey', l_suppkey) AS (column_name, approx)"))
+    // Scan 2 — all three exact counts from one pass: explode each row
+    // into (column_name, value) pairs, two-phase dedup, count per name.
+    // The explode triples rows BEFORE the partial aggregate, so the
+    // map-side combine dedups locally and the shuffle carries only the
+    // union of per-column distincts — same network cost as three
+    // separate dedups, a third of the scan I/O.
+    val exact = li
+      .select(explode(array(distinctCols.map(c =>
+        struct(lit(c).as("column_name"), col(c).as("v"))): _*)).as("p"))
+      .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
+      .distinct()
+      .groupBy("column_name").agg(count(lit(1)).as("n_distinct"))
+    // 3-row x 3-row join; broadcast keeps it a local hash join.
+    exact.join(broadcast(approx), Seq("column_name"))
+      .select(col("column_name"), col("n_distinct"),
+        (abs(col("approx") - col("n_distinct")) <= lit(0.05) * col("n_distinct"))
+          .as("within_5pct"))
+      .orderBy("column_name")
   }
 
   private val q62Oracle: String =
