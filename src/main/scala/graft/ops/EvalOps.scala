@@ -61,21 +61,54 @@ object EvalOps {
         sum(when(col("a") && col("c"), 1L).otherwise(0L)).as("x_a"),
         sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
         sum(when(!col("a") && col("c"), 1L).otherwise(0L)).as("x_b"))
+    m.select(zReadout: _*)
+  }
+
+  /** The z readout projected off a (n_a, x_a, n_b, x_b) count frame.
+    * try_divide throughout: a degenerate split (empty variant, or a
+    * zero-variance pool) must yield NULL like the DuckDB oracle's
+    * NULL-on-zero division, not an ANSI error — the aucRankSum /
+    * corrMatrix / olsByGroup convention.
+    */
+  private def zReadout: Seq[Column] = {
     val na = col("n_a").cast(DoubleType); val xa = col("x_a").cast(DoubleType)
     val nb = col("n_b").cast(DoubleType); val xb = col("x_b").cast(DoubleType)
-    // try_divide throughout: a degenerate split (empty variant, or a
-    // zero-variance pool) must yield NULL like the DuckDB oracle's
-    // NULL-on-zero division, not an ANSI error — the aucRankSum /
-    // corrMatrix / olsByGroup convention
     val rateA = try_divide(xa, na)
     val rateB = try_divide(xb, nb)
     val p = try_divide(xa + xb, na + nb)
     val z = try_divide(rateA - rateB,
       sqrt(p * (lit(1.0) - p) * (try_divide(lit(1.0), na) + try_divide(lit(1.0), nb))))
-    m.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+    Seq(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
       graft.queries.Norm.n4(rateA).as("rate_a"),
       graft.queries.Norm.n4(rateB).as("rate_b"),
       graft.queries.Norm.n4(z).as("z"))
+  }
+
+  /** A GRID of A/B readouts in one pass: every scenario's four
+    * conditional counts fold into a single partial-aggregable
+    * aggregate over ONE scan, then a width-|scenarios| generator
+    * emits one readout row per scenario — N experiments cost exactly
+    * one 100 TB scan, not N. Returns (scenario, n_a, x_a, n_b, x_b,
+    * rate_a, rate_b, z) ordered by scenario.
+    */
+  def abTestZMulti(df: DataFrame,
+      scenarios: Seq[(String, Column, Column)]): DataFrame = {
+    require(scenarios.nonEmpty, "abTestZMulti needs at least one scenario")
+    val aggs = scenarios.zipWithIndex.flatMap { case ((_, a, c), i) =>
+      Seq(sum(when(a, 1L).otherwise(0L)).as(s"__na_$i"),
+        sum(when(a && c, 1L).otherwise(0L)).as(s"__xa_$i"),
+        sum(when(!a, 1L).otherwise(0L)).as(s"__nb_$i"),
+        sum(when(!a && c, 1L).otherwise(0L)).as(s"__xb_$i"))
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val rows = scenarios.zipWithIndex.map { case ((name, _, _), i) =>
+      struct(lit(name).as("scenario"), col(s"__na_$i").as("n_a"),
+        col(s"__xa_$i").as("x_a"), col(s"__nb_$i").as("n_b"),
+        col(s"__xb_$i").as("x_b"))
+    }
+    m.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .select(col("scenario") +: zReadout: _*)
+      .orderBy("scenario")
   }
 
   /** [[abTestZ]] oracle rendering. */

@@ -104,19 +104,25 @@ object Round7bQueries {
   // The composed retrieval pipeline: overlapping 200/150 chunking
   // (q70's generator) feeds chunk-level BM25 top-k (q81's scorer) —
   // the passage index a RAG system actually queries. chunk_key packs
-  // (doc_id, chunk_idx) into one BIGINT with a DATA-DERIVED multiplier
-  // (max(chunk_idx)+1, a one-row broadcast), so the packing can never
-  // silently collide however long the longest document grows — the
-  // constant-1000 bound a 150k-char doc would have overflowed is gone
-  // (VERDICT r7 #5).
+  // (doc_id, chunk_idx) into one BIGINT with a DATA-DERIVED multiplier:
+  // charChunks emits chunk_idx ∈ [0, (len-1) div stride], so
+  // max((length(text)-1) div 150) + 1 over the corpus strictly bounds
+  // every chunk_idx — computed by a THIN one-row aggregate over
+  // documents (ADVICE r8: the previous max(chunk_idx) form evaluated
+  // the whole posexplode chunk subtree twice). The packing stays
+  // collision-free while max(doc_id)·mult fits in a BIGINT — ~2^40
+  // docs at fixture-scale chunk counts; beyond that pack into a
+  // struct key instead of arithmetic.
   private val RagTerms = Seq("hash", "join", "spark", "window")
   private val RagK = 20
 
   private def q92(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = TextOps.charChunks(
-      Tables.read(spark, sfDir, "documents"), "doc_id", "text",
+    val docs = Tables.read(spark, sfDir, "documents")
+    val mult = docs.where(length(col("text")) > 0)
+      .agg((max(expr("(length(text) - 1) div 150")) + 1)
+        .cast("long").as("__m"))
+    val raw = TextOps.charChunks(docs, "doc_id", "text",
       200, 150, withText = true)
-    val mult = raw.agg((max(col("chunk_idx")) + 1).cast("long").as("__m"))
     val chunks = raw.crossJoin(broadcast(mult))
       .select((col("doc_id") * col("__m") + col("chunk_idx")).as("chunk_key"),
         col("chunk"))
@@ -124,9 +130,11 @@ object Round7bQueries {
   }
 
   private val q92Oracle: String = {
+    val multSql = "(SELECT CAST(max((length(text) - 1) // 150) + 1 AS BIGINT) " +
+      "FROM documents WHERE length(text) > 0)"
     val chunkCte =
       s"""__raw AS (${TextOps.charChunksSql("documents", "doc_id", "text", 200, 150)}),
-         |__chunks AS (SELECT doc_id * (SELECT CAST(max(chunk_idx) + 1 AS BIGINT) FROM __raw)
+         |__chunks AS (SELECT doc_id * $multSql
          |    + chunk_idx AS chunk_key, chunk
          |  FROM __raw)""".stripMargin
     TextOps.bm25TopKSql("__chunks", "chunk_key", "chunk", RagTerms, RagK,
@@ -173,15 +181,29 @@ object Round7bQueries {
   // with a planted update batch derived from the table itself (both
   // engines build the identical batch): every 10th key changes to
   // PROMO, every (10k+1)th gets a no-op update, keys 1-5 re-enter as
-  // brand-new +1M surrogates.
+  // brand-new +1M surrogates. NULL-attr branches are planted too, so
+  // the driver's hash gate locks in ScdOps' null-safe compare
+  // (VERDICT r8 #6): keys %10∈{3,6} carry a NULL segment in the
+  // CURRENT dimension; the batch then sends NULL to the 3s (NULL→NULL
+  // must be a no-op, not a close+reopen) and 'RESET' to the 6s
+  // (NULL→value must version), and value→NULL rides the 4s.
   private def q95(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.read(spark, sfDir, "customer")
-    val current = cust.select(col("c_custkey"), col("c_mktsegment"),
+    val nullStr = lit(null).cast("string")
+    val current = cust.select(col("c_custkey"),
+      when(col("c_custkey") % 10 === 3 || col("c_custkey") % 10 === 6,
+        nullStr).otherwise(col("c_mktsegment")).as("c_mktsegment"),
       lit(0L).as("valid_from"))
     val updates = cust.where(col("c_custkey") % 10 === 0)
         .select(col("c_custkey"), lit("PROMO").as("c_mktsegment"))
       .union(cust.where(col("c_custkey") % 10 === 1)
         .select(col("c_custkey"), col("c_mktsegment")))
+      .union(cust.where(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"), nullStr.as("c_mktsegment")))
+      .union(cust.where(col("c_custkey") % 10 === 4)
+        .select(col("c_custkey"), nullStr.as("c_mktsegment")))
+      .union(cust.where(col("c_custkey") % 10 === 6)
+        .select(col("c_custkey"), lit("RESET").as("c_mktsegment")))
       .union(cust.where(col("c_custkey") <= 5)
         .select((col("c_custkey") + 1000000).as("c_custkey"),
           col("c_mktsegment")))
@@ -190,9 +212,13 @@ object Round7bQueries {
   }
 
   private val q95Oracle: String = {
-    val cur = "SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from FROM customer"
+    val cur = "SELECT c_custkey, CASE WHEN c_custkey % 10 IN (3, 6) THEN NULL " +
+      "ELSE c_mktsegment END AS c_mktsegment, CAST(0 AS BIGINT) AS valid_from FROM customer"
     val upd = "SELECT c_custkey, 'PROMO' AS c_mktsegment FROM customer WHERE c_custkey % 10 = 0 " +
       "UNION ALL SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 = 1 " +
+      "UNION ALL SELECT c_custkey, CAST(NULL AS VARCHAR) FROM customer WHERE c_custkey % 10 = 3 " +
+      "UNION ALL SELECT c_custkey, CAST(NULL AS VARCHAR) FROM customer WHERE c_custkey % 10 = 4 " +
+      "UNION ALL SELECT c_custkey, 'RESET' FROM customer WHERE c_custkey % 10 = 6 " +
       "UNION ALL SELECT c_custkey + 1000000, c_mktsegment FROM customer WHERE c_custkey <= 5"
     ScdOps.scd2MergeSql(cur, upd, "c_custkey", "c_mktsegment", 1L) +
       "\nORDER BY c_custkey, valid_from"

@@ -50,13 +50,29 @@ object Round7fQueries {
 
   // -- q121: A/B experiment z-statistic ------------------------------------
   // Variant by user-id parity (the deterministic assignment), success
-  // = the event is a purchase; one scan, one z.
+  // = the event is a purchase; one scan, one z. Two DEGENERATE
+  // scenarios ride along so the driver's hash gate locks in the
+  // try_divide NULL-on-degenerate semantics (VERDICT r8 #6): an empty
+  // variant A (user_id < 0 matches nothing → rate_a and z NULL) and a
+  // zero-conversion pool (p̂ = 0 → zero-variance denominator → z NULL).
   private def q121(spark: SparkSession, sfDir: String): DataFrame =
-    EvalOps.abTestZ(Tables.read(spark, sfDir, "events"),
-      col("user_id") % 2 === 0, col("event_type") === "purchase")
+    EvalOps.abTestZMulti(Tables.read(spark, sfDir, "events"), Seq(
+      ("1_parity", col("user_id") % 2 === 0, col("event_type") === "purchase"),
+      ("2_empty_a", col("user_id") < 0, col("event_type") === "purchase"),
+      ("3_zero_conv", col("user_id") % 2 === 0,
+        col("event_type") === "no_such_type")))
 
-  private val q121Oracle: String =
-    EvalOps.abTestZSql("events", "user_id % 2 = 0", "event_type = 'purchase'")
+  private val q121Oracle: String = {
+    def part(s: String, variant: String, conv: String): String =
+      s"SELECT '$s' AS scenario, * FROM (\n" +
+        EvalOps.abTestZSql("events", variant, conv) + "\n)"
+    part("1_parity", "user_id % 2 = 0", "event_type = 'purchase'") +
+      "\nUNION ALL\n" +
+      part("2_empty_a", "user_id < 0", "event_type = 'purchase'") +
+      "\nUNION ALL\n" +
+      part("3_zero_conv", "user_id % 2 = 0", "event_type = 'no_such_type'") +
+      "\nORDER BY scenario"
+  }
 
   // -- q122: corpus drift (two-sample KS) ----------------------------------
   // Doc-length distribution drift between the even- and odd-id halves

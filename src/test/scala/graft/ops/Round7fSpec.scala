@@ -34,6 +34,31 @@ class Round7fSpec extends EtlSpecBase {
     assert(z == 0.0, z.toString)
   }
 
+  test("abTestZMulti: grid matches per-scenario readouts; degenerate splits go NULL") {
+    val df = Seq((1L, "p"), (2L, "p"), (3L, "x"), (4L, "x")).toDF("uid", "t")
+    val got = EvalOps.abTestZMulti(df, Seq(
+      ("1_norm", col("uid") % 2 === 0, col("t") === "p"),
+      ("2_empty_a", col("uid") < 0, col("t") === "p"),
+      ("3_zero_conv", col("uid") % 2 === 0, col("t") === "zz"))).collect()
+    assert(got.map(_.getString(0)).toSeq ==
+      Seq("1_norm", "2_empty_a", "3_zero_conv"))
+    // 1_norm: A = {2,4} converts {2}; B = {1,3} converts {1} -> equal rates, z=0
+    val norm = got(0)
+    assert((norm.getLong(1), norm.getLong(2), norm.getLong(3), norm.getLong(4)) ==
+      ((2L, 1L, 2L, 1L)), norm.toString)
+    assert(norm.getDouble(5) == 0.5 && norm.getDouble(6) == 0.5 &&
+      norm.getDouble(7) == 0.0, norm.toString)
+    // 2_empty_a: no rows match A -> rate_a and z NULL, B side intact
+    val empty = got(1)
+    assert(empty.getLong(1) == 0L && empty.getLong(3) == 4L, empty.toString)
+    assert(empty.isNullAt(5) && empty.getDouble(6) == 0.5 && empty.isNullAt(7),
+      empty.toString)
+    // 3_zero_conv: zero conversions pool p=0 -> zero-variance denominator -> z NULL
+    val zero = got(2)
+    assert(zero.getDouble(5) == 0.0 && zero.getDouble(6) == 0.0 &&
+      zero.isNullAt(7), zero.toString)
+  }
+
   // ---- ksDrift -----------------------------------------------------------
 
   test("ksDrift: disjoint supports reach KS = 1 at A's max value") {

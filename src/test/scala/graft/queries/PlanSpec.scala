@@ -394,11 +394,14 @@ class PlanSpec extends EtlSpecBase {
       s"vocab intersection must equi-join on token:\n$plan")
   }
 
-  test("q121 A/B z: the whole experiment readout is ONE scan, one aggregate") {
+  test("q121 A/B z: all three scenarios' readouts fold into ONE scan, one aggregate") {
     val plan = planOf("q121_ab_test")
     val scans = "FileScan parquet".r.findAllIn(plan).size
-    assert(scans == 1, s"all four conditional counts fold in one events scan:\n$plan")
+    assert(scans == 1,
+      s"all 12 conditional counts (3 scenarios x 4) fold in one events scan:\n$plan")
     assert(!plan.contains("Join"), s"the z projects off the 1-row count frame:\n$plan")
+    assert(plan.contains("Generate"),
+      s"scenario rows must explode off the single count frame:\n$plan")
   }
 
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
