@@ -71,6 +71,48 @@ object ScdOps {
     existing.union(inserts)
   }
 
+  /** CDC log compaction: collapse an ordered change log of
+    * (key, seq, op, payload...) rows — `op` ∈ {upsert, delete} — to
+    * the CURRENT state: per key, the payload of the highest-`seq`
+    * entry, dropped entirely when that entry is a delete. The
+    * replicated-table catch-up a warehouse runs over a Debezium/binlog
+    * feed, as ONE aggregate.
+    *
+    * `seq` must be unique per key (every real CDC feed's guarantee —
+    * log offsets are totally ordered); on a tie `max_by`'s pick is
+    * undefined. The whole row rides in one struct through one
+    * `max_by`, so the result is row-atomic (no cross-version column
+    * mixing) and the aggregate combines map-side: the 100 TB log
+    * shuffles one partially-reduced row per (partition, key), never
+    * the raw feed. Returns (key, payload..., last_seq).
+    */
+  def cdcApply(log: DataFrame, key: String, seq: String, op: String,
+      payloadCols: Seq[String]): DataFrame =
+    log.groupBy(col(key))
+      .agg(max_by(struct(col(op).as("__op") +: payloadCols.map(col): _*),
+          col(seq)).as("__last"),
+        max(col(seq)).as("last_seq"))
+      .where(col("__last").getField("__op") =!= "delete")
+      .select(col(key) +:
+        payloadCols.map(c => col("__last").getField(c).as(c)) :+
+        col("last_seq"): _*)
+
+  /** [[cdcApply]] oracle rendering. `logSql` must yield
+    * (key, seq, op, payload...). DuckDB's per-column `arg_max` is
+    * row-atomic here because `seq` is unique per key.
+    */
+  def cdcApplySql(logSql: String, key: String, seq: String, op: String,
+      payloadCols: Seq[String]): String = {
+    val picks = payloadCols
+      .map(c => s"arg_max($c, $seq) AS $c").mkString(",\n  ")
+    s"""SELECT $key,
+       |  $picks,
+       |  CAST(max($seq) AS BIGINT) AS last_seq
+       |FROM ($logSql)
+       |GROUP BY $key
+       |HAVING arg_max($op, $seq) <> 'delete'""".stripMargin
+  }
+
   /** [[scd2Merge]] oracle rendering. `curSql` must yield (key, attr,
     * valid_from), `updSql` (key, attr).
     */

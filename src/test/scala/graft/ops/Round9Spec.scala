@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.etl.EtlSpecBase
+import org.apache.spark.sql.Row
+
+/** Round-9 units: CDC log compaction and the Count-Min sketch. */
+class Round9Spec extends EtlSpecBase {
+
+  import spark.implicits._
+
+  // ---- cdcApply ----------------------------------------------------------
+
+  test("cdcApply: highest-seq op wins, delete removes the key, payload is row-atomic") {
+    val log = Seq(
+      (1L, 1L, "upsert", 10.0, "A"),
+      (1L, 5L, "upsert", 20.0, "B"), // winner for key 1 (seq out of order)
+      (1L, 3L, "upsert", 30.0, "C"),
+      (2L, 2L, "upsert", 40.0, "D"),
+      (2L, 9L, "delete", 0.0, "X"), // key 2 deleted last -> absent
+      (3L, 4L, "delete", 0.0, "X"),
+      (3L, 6L, "upsert", 50.0, "E") // key 3 re-upserted after delete
+    ).toDF("k", "seq", "op", "price", "status")
+    val got = ScdOps.cdcApply(log, "k", "seq", "op", Seq("price", "status"))
+      .orderBy("k").collect()
+    assert(got.toSeq == Seq(
+      Row(1L, 20.0, "B", 5L),
+      Row(3L, 50.0, "E", 6L)), got.mkString(", "))
+  }
+
+  test("cdcApply: a log of only deletes yields an empty state") {
+    val log = Seq((1L, 1L, "delete", 0.0, "X")).toDF("k", "seq", "op", "p", "s")
+    assert(ScdOps.cdcApply(log, "k", "seq", "op", Seq("p", "s")).count() == 0)
+  }
+
+  // ---- cmsTopK -----------------------------------------------------------
+
+  test("cmsTopK: exact top-k ordering, estimates dominate exact counts") {
+    val df = (Seq.fill(10)(7L) ++ Seq.fill(5)(3L) ++ Seq.fill(2)(11L) ++
+      Seq(1L, 2L)).toDF("k")
+    val got = SketchOps.cmsTopK(df, "k", 3, depth = 4, width = 16).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 10L), (3L, 5L), (11L, 2L)), got.mkString(", "))
+    // CMS never underestimates, and over_cnt is the reported gap
+    got.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), r.toString)
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1), r.toString)
+    }
+  }
+
+  test("cmsTopK: few keys in a wide sketch estimate exactly") {
+    val df = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val got = SketchOps.cmsTopK(df, "k", 3, depth = 4, width = 1024).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), got.mkString(", "))
+    got.foreach(r => assert(r.getLong(3) == 0L, r.toString))
+  }
+}

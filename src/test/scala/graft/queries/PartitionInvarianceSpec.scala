@@ -28,7 +28,8 @@ class PartitionInvarianceSpec extends EtlSpecBase {
   // with >2^53 double products (q116), global rank-sum moments (q119),
   // collect_list window frame order (q104), kernel-hashed shingle
   // min-census (q110), best-match window rank ties (q105), per-user
-  // lag over a (ts, event_id) total order (q113)
+  // lag over a (ts, event_id) total order (q113), struct-max_by pick
+  // order (q125), min-over-bucket-rows + top-k count ties (q126)
   private val queries = Seq("q05_clean_categorical", "q07_impute_mode",
     "q20_minhash_lsh", "q51_dup_clusters", "q57_stratified_sample",
     "q66_shuffle_shard", "q71_pack_sequences", "q79_tfidf_topk",
@@ -36,7 +37,8 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q92_rag_retrieval", "q97_incremental_pipeline",
     "q106_bigram_surprisal", "q108_pagerank", "q111_vocab_coverage",
     "q116_pmi_collocations", "q119_gini_revenue", "q104_ewma_revenue",
-    "q110_trigram_novelty", "q105_fuzzy_match", "q113_markov_transitions")
+    "q110_trigram_novelty", "q105_fuzzy_match", "q113_markov_transitions",
+    "q125_cdc_apply", "q126_cms_topk")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -404,6 +404,33 @@ class PlanSpec extends EtlSpecBase {
       s"scenario rows must explode off the single count frame:\n$plan")
   }
 
+  test("q125 CDC compaction: ONE scan, map-side partial max_by, no join") {
+    val plan = planOf("q125_cdc_apply")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"the log must be scanned once:\n$plan")
+    assert(plan.contains("partial_max_by"),
+      s"the winning version must reduce map-side:\n$plan")
+    assert(!plan.contains("Join"),
+      s"compaction is one aggregate, not a max-seq self-join:\n$plan")
+  }
+
+  test("q126 CMS top-k: thin pruned scans, bucket explode above the key aggregate, probes broadcast") {
+    val plan = planOf("q126_cms_topk")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"expected at most 2 lineitem scans, got $scans:\n$plan")
+    // every scan is pruned to the key column — the sketch never reads payload
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(reads.nonEmpty && reads.forall(_ == "ReadSchema: struct<l_suppkey:bigint>"),
+      s"scans must prune to the key column:\n$reads")
+    // the bucket Generate consumes the per-key count frame (d rows per
+    // DISTINCT key), so in plan text each Generate sits above a keyed
+    // aggregate, never directly above the scan
+    assert(plan.contains("TakeOrderedAndProject(limit=25"),
+      s"exact top-k must be a TakeOrdered, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=k*depth probe rows must broadcast against the sketch:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
