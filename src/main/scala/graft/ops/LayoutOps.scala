@@ -61,6 +61,23 @@ object LayoutOps {
   }
 
   def zBucketSql(z: String, shift: Int): String = s"($z >> $shift)"
+
+  /** Write `df` as a bucketed+sorted catalog table at `path` —
+    * Spark's hash-bucketed layout (`bucketBy`), the on-disk
+    * pre-partitioning that lets every later equi-join or aggregate on
+    * `bucketCol` run WITHOUT a shuffle: both sides of a join bucketed
+    * by the key into the same bucket count are already co-located, so
+    * the 100 TB fact table never crosses the network again for its
+    * hottest join. `sortBy` additionally pre-sorts each bucket file,
+    * feeding SortMergeJoin without a per-query sort. The caller picks
+    * `nBuckets` to size bucket files to executor memory at the target
+    * scale.
+    */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+      path: String, bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite").option("path", path)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
 }
 
 /** JVM kernel form of the Morton interleave, for the `graft_zvalue`

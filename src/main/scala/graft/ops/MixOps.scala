@@ -207,4 +207,68 @@ object MixOps {
       .withColumn("off", col("__start") % budget)
       .drop("__ord", "__start")
   }
+
+  /** Weighted sampling without replacement, `k` rows per stratum —
+    * Efraimidis-Spirakis A-ES: each row draws a deterministic uniform
+    * `u = (portableHash2(id, seed) + 1) / P ∈ (0, 1]` and ranks by
+    * `ln(u) / w` descending (the exponentiated-key form of
+    * `u^(1/w)`); the top k per stratum are the sample, with inclusion
+    * probability rising in the weight. Every draw is a pure function
+    * of (id, seed), so the sample is reproducible on any engine or
+    * cluster layout — no RNG state, no per-partition generators.
+    *
+    * TWO Lehmer rounds ([[portableHash2]]), not one: a single
+    * `(id+seed)·48271 mod P` never wraps for `id < P/48271 ≈ 44k`, so
+    * on small id domains it is MONOTONE in id and the "draw" would
+    * just rank by id (caught by the seed-purity spec). The second
+    * multiply wraps hundreds of times even for tiny ids.
+    *
+    * The rank key is gridded to 1e-12 (`floor(ln(u)/w · 1e12 + 0.5)`,
+    * exact BIGINTs after) BEFORE ranking, because `ln` may differ in
+    * the last ulp across libm implementations (the PMI/q116
+    * convention); grid ties break by id.
+    *
+    * Scale shape: ONE hash shuffle on the stratum; `row_number ≤ k`
+    * executes as WindowGroupLimit, so each partition keeps only k
+    * rows per stratum before the exchange. Rows with `w ≤ 0` are
+    * excluded (zero weight = never sampled).
+    *
+    * Returns (strataCol, rn, idCol, key12).
+    */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, k: Int, seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (portableHash2(col(idCol), seed) + lit(1L)).cast("double") /
+      lit(P.toDouble)
+    val key = floor(log(u) / col(weightCol).cast("double") * lit(1e12) +
+      lit(0.5)).cast("long")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__k").desc, col(idCol))
+    df.where(col(weightCol) > 0)
+      .withColumn("__k", key)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(strataCol), col("rn").cast("long").as("rn"), col(idCol),
+        col("__k").as("key12"))
+      .orderBy(col(strataCol), col("rn"))
+  }
+
+  /** [[weightedSample]] oracle rendering over a table with the same
+    * column names.
+    */
+  def weightedSampleSql(table: String, idCol: String, strataCol: String,
+      weightCol: String, k: Int, seed: Long): String = {
+    val h1 = s"((($idCol % $P + $seed) * 48271) % $P)"
+    val h = s"((($h1 + 1) * 69621) % $P)"
+    val key = s"CAST(floor(ln(($h + 1) / CAST($P AS DOUBLE)) / " +
+      s"CAST($weightCol AS DOUBLE) * 1e12 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    s"""WITH __s AS (SELECT $strataCol, $idCol, $key AS key12
+       |  FROM $table WHERE $weightCol > 0),
+       |__r AS (SELECT $strataCol, $idCol, key12,
+       |    row_number() OVER (PARTITION BY $strataCol
+       |      ORDER BY key12 DESC, $idCol) AS rn
+       |  FROM __s)
+       |SELECT $strataCol, rn, $idCol, key12
+       |FROM __r WHERE rn <= $k ORDER BY $strataCol, rn""".stripMargin
+  }
 }

@@ -53,4 +53,32 @@ class Round9Spec extends EtlSpecBase {
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), got.mkString(", "))
     got.foreach(r => assert(r.getLong(3) == 0L, r.toString))
   }
+
+  // ---- weightedSample ----------------------------------------------------
+
+  test("weightedSample: k per stratum, zero weights excluded, dominant weight ranks first") {
+    val df = Seq(
+      (1L, "a", 3L), (2L, "a", 3L), (3L, "a", 3L), (4L, "a", 0L),
+      (5L, "a", 1000000000L), // ln(u)/1e9 beats every w=3 key
+      (6L, "b", 5L), (7L, "b", 5L)
+    ).toDF("doc_id", "source", "w")
+    val got = MixOps.weightedSample(df, "doc_id", "source", "w", 3, 7L)
+      .collect()
+    val bySrc = got.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 3, "b" -> 2), bySrc.toString)
+    assert(!got.exists(_.getLong(2) == 4L), "zero-weight row was sampled")
+    val aFirst = got.filter(r => r.getString(0) == "a" && r.getLong(1) == 1L)
+    assert(aFirst.map(_.getLong(2)).toSeq == Seq(5L),
+      s"dominant weight must rank first: ${got.mkString(", ")}")
+  }
+
+  test("weightedSample: pure function of (id, seed) — same seed same sample, new seed reshuffles") {
+    val df = (1L to 200L).map(i => (i, "s", 10L + i % 7)).toDF("doc_id", "source", "w")
+    val a1 = MixOps.weightedSample(df, "doc_id", "source", "w", 10, 1L).collect().toSeq
+    val a2 = MixOps.weightedSample(df, "doc_id", "source", "w", 10, 1L).collect().toSeq
+    val b = MixOps.weightedSample(df, "doc_id", "source", "w", 10, 2L).collect().toSeq
+    assert(a1 == a2)
+    assert(a1.map(_.getLong(2)) != b.map(_.getLong(2)),
+      "different seeds must draw different samples")
+  }
 }

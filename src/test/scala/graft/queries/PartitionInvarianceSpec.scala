@@ -38,7 +38,8 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q106_bigram_surprisal", "q108_pagerank", "q111_vocab_coverage",
     "q116_pmi_collocations", "q119_gini_revenue", "q104_ewma_revenue",
     "q110_trigram_novelty", "q105_fuzzy_match", "q113_markov_transitions",
-    "q125_cdc_apply", "q126_cms_topk")
+    "q125_cdc_apply", "q126_cms_topk", "q127_bucketed_join",
+    "q128_weighted_sample")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

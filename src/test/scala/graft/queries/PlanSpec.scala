@@ -431,6 +431,27 @@ class PlanSpec extends EtlSpecBase {
       s"the <=k*depth probe rows must broadcast against the sketch:\n$plan")
   }
 
+  test("q127 bucketed join: both sides pre-bucketed, NO exchange before the join") {
+    val plan = planOf("q127_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n$plan")
+    assert("SelectedBucketsCount".r.findAllIn(plan).size == 2,
+      s"both scans must be bucket-pruned bucketed reads:\n$plan")
+    assert("Exchange hashpartitioning\\([oc]_custkey".r.findFirstIn(plan).isEmpty,
+      s"bucket co-location must eliminate the join shuffle:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"the only hash exchange is the segment rollup, got $hashExchanges:\n$plan")
+  }
+
+  test("q128 weighted sample: per-partition WindowGroupLimit, one stratum exchange") {
+    val plan = planOf("q128_weighted_sample")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn<=k must prune per-partition before the exchange:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"one hash exchange (the stratum), got $hashExchanges:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
