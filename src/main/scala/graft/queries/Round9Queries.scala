@@ -1,9 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{LayoutOps, MixOps, ScdOps, SketchOps}
+import graft.ops.{LayoutOps, MixOps, ScdOps, SketchOps, TextOps}
 
 /** Round-9 additions: CDC log compaction and Count-Min heavy hitters. */
 object Round9Queries {
@@ -99,10 +100,87 @@ object Round9Queries {
     MixOps.weightedSampleSql("documents", "doc_id", "source", "n_chars",
       WsK, WsSeed)
 
+  // -- q129: partitioned write + pruned read --------------------------------
+  // The other half of on-disk data skipping (q127 proves bucket
+  // co-location): orders re-written hive-partitioned by order YEAR,
+  // then a one-year query reads back through the partition column.
+  // The plan guard proves the year predicate lands in
+  // `PartitionFilters` (directory pruning at plan time — at 100 TB
+  // the other years' files are never even listed into the scan), not
+  // in post-scan data filters. Revenue folds as floored BIGINTs.
+  private val PruneYear = 1995
+
+  private def q129(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/tmp/graft_q129_$tag"
+    Tables.read(spark, sfDir, "orders")
+      .withColumn("o_year", year(to_date(col("o_orderdate"))))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    spark.read.parquet(path)
+      .where(col("o_year") === PruneYear)
+      .groupBy(month(to_date(col("o_orderdate"))).cast("long").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice")).cast("long")).as("rev_floor"))
+      .orderBy("o_month")
+  }
+
+  private val q129Oracle: String =
+    s"""SELECT month(CAST(o_orderdate AS DATE)) AS o_month, count(*) AS n_orders,
+       |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev_floor
+       |FROM orders WHERE year(CAST(o_orderdate AS DATE)) = $PruneYear
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- q130: per-source quality percentile calibration ----------------------
+  // A global quality threshold over heterogeneous sources silently
+  // over-prunes the source whose scorer runs low (wiki prose vs code
+  // comments); the standard fix is to threshold each doc's PERCENTILE
+  // RANK within its own source. percent_rank = (rank-1)/(n-1) is an
+  // exact integer ratio — identical doubles on both engines, ties
+  // share ranks identically — over the q16 scorer's n4 grid.
+  private def q130(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.read(spark, sfDir, "documents").select(
+      col("doc_id"), col("source"),
+      Norm.n4(TextOps.qualityScore(col("text"))).as("score"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score"))
+    scored.withColumn("pct", percent_rank().over(w)).orderBy("doc_id")
+  }
+
+  private val q130Oracle: String =
+    s"""WITH __s AS (SELECT doc_id, source,
+       |    ${graft.etl.OracleSql.n4(TextOps.qualityScoreSql("text"))} AS score
+       |  FROM documents)
+       |SELECT doc_id, source, score,
+       |  percent_rank() OVER (PARTITION BY source ORDER BY score) AS pct
+       |FROM __s ORDER BY doc_id""".stripMargin
+
+  // -- q131: k-anonymity audit ----------------------------------------------
+  // The release-gate privacy check on quasi-identifiers: any
+  // (lang, source, length-bucket) combination observed on fewer than
+  // K documents is a re-identification risk — report each rare combo
+  // with its member count. ONE partial-aggregable group-count; at
+  // 100 TB the shuffle is the quasi-identifier domain, not the corpus.
+  private val AnonK = 5
+
+  private def q131(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents")
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") < AnonK)
+      .orderBy("lang", "source", "len_bucket")
+
+  private val q131Oracle: String =
+    s"""SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS n
+       |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < $AnonK
+       |ORDER BY 1, 2, 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q125_cdc_apply", q125, Some(q125Oracle)),
     QueryDef("q126_cms_topk", q126, Some(q126Oracle)),
     QueryDef("q127_bucketed_join", q127, Some(q127Oracle)),
     QueryDef("q128_weighted_sample", q128, Some(q128Oracle)),
+    QueryDef("q129_partition_prune", q129, Some(q129Oracle)),
+    QueryDef("q130_pct_calibrate", q130, Some(q130Oracle)),
+    QueryDef("q131_k_anonymity", q131, Some(q131Oracle)),
   )
 }

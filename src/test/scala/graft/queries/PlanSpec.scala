@@ -452,6 +452,14 @@ class PlanSpec extends EtlSpecBase {
       s"one hash exchange (the stratum), got $hashExchanges:\n$plan")
   }
 
+  test("q129 partition prune: year predicate lands in PartitionFilters, zero data filters") {
+    val plan = planOf("q129_partition_prune")
+    assert("PartitionFilters: \\[[^\\]]*o_year[^\\]]*= 1995".r.findFirstIn(plan).isDefined,
+      s"the year predicate must prune partitions at plan time:\n$plan")
+    assert(plan.contains("DataFilters: []"),
+      s"nothing should remain to filter after directory pruning:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
