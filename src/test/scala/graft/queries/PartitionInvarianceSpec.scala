@@ -39,7 +39,8 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q116_pmi_collocations", "q119_gini_revenue", "q104_ewma_revenue",
     "q110_trigram_novelty", "q105_fuzzy_match", "q113_markov_transitions",
     "q125_cdc_apply", "q126_cms_topk", "q127_bucketed_join",
-    "q128_weighted_sample", "q129_partition_prune")
+    "q128_weighted_sample", "q129_partition_prune",
+    "q130_pct_calibrate", "q131_k_anonymity")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

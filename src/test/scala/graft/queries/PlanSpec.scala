@@ -460,6 +460,15 @@ class PlanSpec extends EtlSpecBase {
       s"nothing should remain to filter after directory pruning:\n$plan")
   }
 
+  test("q131 k-anonymity: ONE scan, map-side combining group count, no window") {
+    val plan = planOf("q131_k_anonymity")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"the audit is one aggregate over one scan:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"quasi-identifier counts must combine map-side:\n$plan")
+    assert(!plan.contains("Window"), s"no window needed:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
