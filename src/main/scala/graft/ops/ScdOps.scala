@@ -71,6 +71,23 @@ object ScdOps {
     existing.union(inserts)
   }
 
+  /** Time-travel over a [[scd2Merge]]-shaped dimension: the rows
+    * current AS OF batch `batch` — opened at or before it, not yet
+    * closed at it (`valid_from ≤ batch < valid_to`, open rows have
+    * NULL `valid_to`). A pure map-side filter: version reconstruction
+    * costs one predicate, never a join or a window — the payoff of
+    * batch-id version bounds.
+    */
+  def scd2AsOf(dim: DataFrame, batch: Long): DataFrame =
+    dim.where(col("valid_from") <= batch &&
+      (col("valid_to").isNull || col("valid_to") > batch))
+
+  /** [[scd2AsOf]] oracle rendering over a dimension subquery. */
+  def scd2AsOfSql(dimSql: String, batch: Long): String =
+    s"""SELECT * FROM ($dimSql)
+       |WHERE valid_from <= $batch
+       |  AND (valid_to IS NULL OR valid_to > $batch)""".stripMargin
+
   /** CDC log compaction: collapse an ordered change log of
     * (key, seq, op, payload...) rows — `op` ∈ {upsert, delete} — to
     * the CURRENT state: per key, the payload of the highest-`seq`

@@ -38,19 +38,44 @@ object SketchOps {
   private def bucketSql(key: String, i: Int, width: Int): String =
     s"((${A(i)} * (($key % $P + $P) % $P) + ${B(i)}) % $P) % $width"
 
+  private def rbArray(key: Column, depth: Int, width: Int): Column = {
+    require(depth > 0 && depth <= A.length, s"depth must be 1..${A.length}")
+    array((0 until depth).map(i =>
+      struct(lit(i).as("r"), bucket(key, i, width).as("b"))): _*)
+  }
+
   /** The CMS bucket-count frame (r, b, cnt) for `df`'s `keyCol`,
     * aggregated from a per-key count frame so the input is scanned
     * ONCE even when the caller also needs exact per-key counts.
     */
   def cmsCounts(keyCounts: DataFrame, keyCol: String, cntCol: String,
-      depth: Int, width: Int): DataFrame = {
-    require(depth > 0 && depth <= A.length, s"depth must be 1..${A.length}")
-    keyCounts.select(col(cntCol),
-        explode(array((0 until depth).map(i =>
-          struct(lit(i).as("r"), bucket(col(keyCol), i, width).as("b"))): _*))
-          .as("rb"))
+      depth: Int, width: Int): DataFrame =
+    keyCounts.select(col(cntCol), explode(rbArray(col(keyCol), depth, width)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(sum(col(cntCol)).as("cnt"))
+
+  /** The same bucket-count frame built row-level — explode each row
+    * into its `depth` (r, b) cells, ONE count aggregate. Equal to
+    * [[cmsCounts]] over the per-key counts by associativity, but
+    * needs no pre-aggregation, so it runs as a SINGLE streaming
+    * aggregate too (chained aggregations are not allowed in a
+    * streaming query): the classic incrementally-updatable CMS.
+    */
+  def cmsCountsRows(df: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    df.select(explode(rbArray(col(keyCol), depth, width)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** [[cmsCountsRows]] oracle rendering. */
+  def cmsCountsRowsSql(table: String, keyCol: String,
+      depth: Int, width: Int): String = {
+    val rbCases = (0 until depth).map(i =>
+      s"WHEN ${i} THEN ${bucketSql(keyCol, i, width)}").mkString(" ")
+    s"""SELECT CAST(r AS INTEGER) AS r, CASE CAST(r AS INTEGER) $rbCases END AS b,
+       |  count(*) AS cnt
+       |FROM $table, range($depth) t(r)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** Exact top-`k` keys by frequency (ties broken by key asc), each

@@ -174,6 +174,61 @@ object Round9Queries {
        |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < $AnonK
        |ORDER BY 1, 2, 3""".stripMargin
 
+  // -- q132: streaming Count-Min sketch -------------------------------------
+  // The sixth streaming run, extending the streaming==batch==oracle
+  // contract to SKETCHES: the row-level CMS form (explode to (r, b)
+  // cells, ONE count aggregate — chained aggregations are illegal in
+  // a stream) over the events file source, complete mode, hashed
+  // against the batch-built sketch. This is the incrementally-
+  // updatable heavy-hitter state a live ingest keeps.
+  private def q132(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = Tables.eventsStream(spark, sfDir)
+    val sk = SketchOps.cmsCountsRows(
+      stream.select(col("user_id")), "user_id", 4, 1024)
+    val sink = "graft_q132_sink"
+    spark.catalog.dropTempView(sink) // re-runnable within one session
+    val q = sk.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("r", "b")
+  }
+
+  private val q132Oracle: String =
+    SketchOps.cmsCountsRowsSql("events", "user_id", 4, 1024)
+
+  // -- q133: SCD-2 time travel ----------------------------------------------
+  // Version reconstruction over a scd2Merge output: AS OF batch 0 the
+  // filter rebuilds the PRE-merge dimension from the post-merge table
+  // (closed rows still carry their history), AS OF batch 1 it yields
+  // exactly the open rows — each a pure map-side predicate, no join,
+  // no window (the payoff of batch-id version bounds). Both epochs
+  // ride in one result, tagged `asof_batch` (`asof` alone is a
+  // DuckDB reserved word — ASOF JOIN).
+  private def q133(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.read(spark, sfDir, "customer")
+    val current = cust.select(col("c_custkey"), col("c_mktsegment"),
+      lit(0L).as("valid_from"))
+    val updates = cust.where(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), lit("PROMO").as("c_mktsegment"))
+    val merged = ScdOps.scd2Merge(current, updates, "c_custkey",
+      "c_mktsegment", 1L)
+    ScdOps.scd2AsOf(merged, 0L).withColumn("asof_batch", lit(0L))
+      .union(ScdOps.scd2AsOf(merged, 1L).withColumn("asof_batch", lit(1L)))
+      .orderBy("asof_batch", "c_custkey", "valid_from")
+  }
+
+  private val q133Oracle: String = {
+    val cur = "SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from FROM customer"
+    val upd = "SELECT c_custkey, 'PROMO' AS c_mktsegment FROM customer WHERE c_custkey % 10 = 0"
+    val merge = ScdOps.scd2MergeSql(cur, upd, "c_custkey", "c_mktsegment", 1L)
+    s"""SELECT *, CAST(0 AS BIGINT) AS asof_batch FROM (${ScdOps.scd2AsOfSql(merge, 0L)})
+       |UNION ALL
+       |SELECT *, CAST(1 AS BIGINT) AS asof_batch FROM (${ScdOps.scd2AsOfSql(merge, 1L)})
+       |ORDER BY asof_batch, c_custkey, valid_from""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q125_cdc_apply", q125, Some(q125Oracle)),
     QueryDef("q126_cms_topk", q126, Some(q126Oracle)),
@@ -182,5 +237,7 @@ object Round9Queries {
     QueryDef("q129_partition_prune", q129, Some(q129Oracle)),
     QueryDef("q130_pct_calibrate", q130, Some(q130Oracle)),
     QueryDef("q131_k_anonymity", q131, Some(q131Oracle)),
+    QueryDef("q132_stream_cms", q132, Some(q132Oracle)),
+    QueryDef("q133_scd2_asof", q133, Some(q133Oracle)),
   )
 }

@@ -40,7 +40,8 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q110_trigram_novelty", "q105_fuzzy_match", "q113_markov_transitions",
     "q125_cdc_apply", "q126_cms_topk", "q127_bucketed_join",
     "q128_weighted_sample", "q129_partition_prune",
-    "q130_pct_calibrate", "q131_k_anonymity")
+    "q130_pct_calibrate", "q131_k_anonymity", "q132_stream_cms",
+    "q133_scd2_asof")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
