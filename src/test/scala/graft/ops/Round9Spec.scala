@@ -54,6 +54,35 @@ class Round9Spec extends EtlSpecBase {
     got.foreach(r => assert(r.getLong(3) == 0L, r.toString))
   }
 
+  test("cmsCountsRows equals cmsCounts over the per-key count frame") {
+    import org.apache.spark.sql.functions._
+    val df = (Seq.fill(6)(10L) ++ Seq.fill(3)(20L) ++ Seq(30L)).toDF("k")
+    val viaRows = SketchOps.cmsCountsRows(df, "k", 4, 64)
+      .orderBy("r", "b").collect().toSeq
+    val viaKeyCounts = SketchOps.cmsCounts(
+        df.groupBy("k").agg(count(lit(1)).as("c")), "k", "c", 4, 64)
+      .orderBy("r", "b").collect().toSeq
+    assert(viaRows == viaKeyCounts)
+    // every row of the input lands in exactly `depth` cells
+    assert(viaRows.map(_.getLong(2)).sum == 4L * 10)
+  }
+
+  test("scd2AsOf: as-of 0 rebuilds the pre-merge dimension; as-of 1 the open rows") {
+    import org.apache.spark.sql.functions._
+    val current = Seq((1L, "A", 0L), (2L, "B", 0L))
+      .toDF("k", "seg", "valid_from")
+    val updates = Seq((1L, "X"), (3L, "C")).toDF("k", "seg")
+    val merged = ScdOps.scd2Merge(current, updates, "k", "seg", 1L)
+    val asOf0 = ScdOps.scd2AsOf(merged, 0L)
+      .select("k", "seg").orderBy("k").collect().toSeq
+    assert(asOf0.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "A"), (2L, "B")), asOf0.toString) // insert k=3 not yet visible
+    val asOf1 = ScdOps.scd2AsOf(merged, 1L)
+      .select("k", "seg").orderBy("k").collect().toSeq
+    assert(asOf1.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "X"), (2L, "B"), (3L, "C")), asOf1.toString)
+  }
+
   // ---- weightedSample ----------------------------------------------------
 
   test("weightedSample: k per stratum, zero weights excluded, dominant weight ranks first") {
