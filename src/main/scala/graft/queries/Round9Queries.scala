@@ -229,7 +229,64 @@ object Round9Queries {
        |ORDER BY asof_batch, c_custkey, valid_from""".stripMargin
   }
 
+  // -- q134: custom-state streaming sessions (flatMapGroupsWithState) -------
+  // The seventh streaming run closes the last streaming-API gap in the
+  // gate: EventOps.streaming.closedSessions keeps arbitrary per-user
+  // state (start, lastTs, n) under an EVENT-TIME TIMEOUT and emits a
+  // session when a successor event overruns the gap in-group OR when
+  // the watermark passes the session's timeout. Against the
+  // AvailableNow file source that semantics is exactly reproducible in
+  // SQL: all events land in one data batch, so every non-final session
+  // per user closes in-group, and each user's FINAL session emits iff
+  // its timeout — (end_us + gap_us) div 1000 + 1 ms, the exact
+  // arithmetic of the state function — is strictly below the final
+  // watermark, max_event_ms − 10 min (Spark tracks event time in ms
+  // and evicts state at timeoutTimestamp < watermark; the fixtures'
+  // second-granular timestamps keep every session ~1e6 µs clear of
+  // the 1 ms boundary, and both < and <= were verified to agree).
+  // All integer arithmetic, so the oracle replays the stream
+  // bit-for-bit; q28/q75 share the underlying sessionization.
+  private val SessGapUs = 600000000L // 10 min
+  private val SessWmMs = 600000L
+
+  private def q134(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = Tables.eventsStream(spark, sfDir)
+    val sink = "graft_q134_sink"
+    spark.catalog.dropTempView(sink)
+    val q = graft.ops.EventOps.streaming.closedSessions(stream).toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("user_id", "session_start")
+  }
+
+  private val q134Oracle: String =
+    s"""WITH __e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+       |__wm AS (SELECT max(tus) // 1000 - $SessWmMs AS wm_ms FROM __e),
+       |__f AS (SELECT user_id, tus,
+       |    CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+       |      <= $SessGapUs THEN 0 ELSE 1 END AS new_s
+       |  FROM __e),
+       |__s AS (SELECT user_id, tus,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM __f),
+       |__agg AS (SELECT user_id, sid, min(tus) AS session_start,
+       |    max(tus) AS end_us, count(*) AS n
+       |  FROM __s GROUP BY user_id, sid),
+       |__r AS (SELECT user_id, session_start, end_us, n,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY session_start DESC)
+       |      AS rdesc
+       |  FROM __agg)
+       |SELECT user_id, session_start, CAST(n AS BIGINT) AS n
+       |FROM __r, __wm
+       |WHERE rdesc > 1 OR (end_us + $SessGapUs) // 1000 + 1 < wm_ms
+       |ORDER BY user_id, session_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q134_stream_state_sessions", q134, Some(q134Oracle)),
     QueryDef("q125_cdc_apply", q125, Some(q125Oracle)),
     QueryDef("q126_cms_topk", q126, Some(q126Oracle)),
     QueryDef("q127_bucketed_join", q127, Some(q127Oracle)),
