@@ -107,6 +107,109 @@ object SketchOps {
       .orderBy(col("exact_cnt").desc, col(keyCol))
   }
 
+  /** KMV (k-minimum-values) sketch overlap: estimate |A|, |B|, |A∪B|
+    * and |A∩B| for two subsets of `keyCol`'s domain from three k-row
+    * sketches — the MERGEABLE distinct-counting sketch that, unlike
+    * HLL, supports set intersection (θ-sketch style): keep each
+    * side's k smallest key hashes; the union sketch is the k smallest
+    * of their merge; |S| ≈ (k−1)·P / θ where θ is the k-th smallest
+    * hash, Jaccard ≈ |{h ∈ union-k : h ∈ kA ∧ h ∈ kB}| / k, and
+    * |A∩B| ≈ J·|A∪B|. A side with fewer than k distinct hashes is
+    * its own exact count (the standard KMV fallback). Hashing is
+    * [[MixOps.portableHash2]] — engine-portable arithmetic — and
+    * every estimate is a single fixed expression over exact BIGINTs,
+    * so the DuckDB oracle reproduces the sketch AND the estimates
+    * bit-for-bit. Exact counts ride along (the engine's
+    * sketch-vs-truth convention).
+    *
+    * Scale shape: ONE scan folds per-key membership flags
+    * (partial-aggregable groupBy on the key); every later frame is
+    * ≤ k rows via TakeOrdered — per-partition top-k then a driver
+    * merge, which is exactly the sketch's mergeability argument: at
+    * 100 TB each partition ships k values, never the key domain.
+    *
+    * Returns one row: (k, exact_a, exact_b, exact_ab, est_a, est_b,
+    * est_union, j_hits, est_ab) with estimates n4-rounded.
+    */
+  def kmvOverlap(df: DataFrame, keyCol: String, inA: Column, inB: Column,
+      k: Int, seed: Long): DataFrame = {
+    require(k > 1, s"k must be > 1: $k")
+    val keys = df.groupBy(col(keyCol).as("__k"))
+      .agg(max(when(inA, 1L).otherwise(0L)).as("__a"),
+        max(when(inB, 1L).otherwise(0L)).as("__b"))
+      .select(col("__a"), col("__b"),
+        MixOps.portableHash2(col("__k"), seed).as("h"))
+    val skA = keys.where(col("__a") === 1).select("h").distinct()
+      .orderBy("h").limit(k)
+    val skB = keys.where(col("__b") === 1).select("h").distinct()
+      .orderBy("h").limit(k)
+    val skU = skA.union(skB).distinct().orderBy("h").limit(k)
+    val exact = keys.agg(sum(col("__a")).as("exact_a"),
+      sum(col("__b")).as("exact_b"),
+      sum(col("__a") * col("__b")).as("exact_ab"))
+    val aStats = skA.agg(count(lit(1)).as("n_a"), max(col("h")).as("th_a"))
+    val bStats = skB.agg(count(lit(1)).as("n_b"), max(col("h")).as("th_b"))
+    val uStats = skU.agg(count(lit(1)).as("n_u"), max(col("h")).as("th_u"))
+    val jHits = skU.join(skA.withColumnRenamed("h", "ha"),
+        col("h") === col("ha"), "left_semi")
+      .join(skB.withColumnRenamed("h", "hb"), col("h") === col("hb"), "left_semi")
+      .agg(count(lit(1)).as("j_hits"))
+    val one = exact.crossJoin(broadcast(aStats)).crossJoin(broadcast(bStats))
+      .crossJoin(broadcast(uStats)).crossJoin(broadcast(jHits))
+    def est(n: Column, th: Column, ex: Column): Column =
+      when(n < k, ex.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(P.toDouble) / th.cast("double"))
+    val estU = est(col("n_u"), col("th_u"), col("exact_a") + col("exact_b") - col("exact_ab"))
+    one.select(lit(k.toLong).as("k"),
+      col("exact_a"), col("exact_b"), col("exact_ab"),
+      graft.queries.Norm.n4(est(col("n_a"), col("th_a"), col("exact_a"))).as("est_a"),
+      graft.queries.Norm.n4(est(col("n_b"), col("th_b"), col("exact_b"))).as("est_b"),
+      graft.queries.Norm.n4(estU).as("est_union"),
+      col("j_hits"),
+      graft.queries.Norm.n4(col("j_hits").cast("double") / col("n_u").cast("double") * estU)
+        .as("est_ab"))
+  }
+
+  /** [[kmvOverlap]] oracle rendering. `inASql`/`inBSql` are boolean
+    * expressions over the table's columns.
+    */
+  def kmvOverlapSql(table: String, keyCol: String, inASql: String,
+      inBSql: String, k: Int, seed: Long): String = {
+    val h1 = s"((__k % $P + $seed) * 48271) % $P"
+    val h = s"((($h1) + 1) * 69621) % $P"
+    val n4 = graft.etl.OracleSql.n4 _
+    def estSql(n: String, th: String, ex: String): String =
+      s"(CASE WHEN $n < $k THEN CAST($ex AS DOUBLE) " +
+        s"ELSE CAST(${k - 1} AS DOUBLE) * CAST($P AS DOUBLE) / CAST($th AS DOUBLE) END)"
+    val estU = estSql("n_u", "th_u", "(exact_a + exact_b - exact_ab)")
+    s"""WITH __keys AS (SELECT CAST($h AS BIGINT) AS h,
+       |    max(CASE WHEN $inASql THEN 1 ELSE 0 END) AS a,
+       |    max(CASE WHEN $inBSql THEN 1 ELSE 0 END) AS b
+       |  FROM (SELECT $keyCol AS __k, * FROM $table) GROUP BY __k),
+       |__ska AS (SELECT h FROM (SELECT DISTINCT h FROM __keys WHERE a = 1)
+       |  ORDER BY h LIMIT $k),
+       |__skb AS (SELECT h FROM (SELECT DISTINCT h FROM __keys WHERE b = 1)
+       |  ORDER BY h LIMIT $k),
+       |__sku AS (SELECT h FROM (SELECT h FROM __ska UNION SELECT h FROM __skb)
+       |  ORDER BY h LIMIT $k),
+       |__ex AS (SELECT CAST(sum(a) AS BIGINT) AS exact_a,
+       |    CAST(sum(b) AS BIGINT) AS exact_b,
+       |    CAST(sum(a * b) AS BIGINT) AS exact_ab FROM __keys),
+       |__sa AS (SELECT count(*) AS n_a, max(h) AS th_a FROM __ska),
+       |__sb AS (SELECT count(*) AS n_b, max(h) AS th_b FROM __skb),
+       |__su AS (SELECT count(*) AS n_u, max(h) AS th_u FROM __sku),
+       |__j AS (SELECT count(*) AS j_hits FROM __sku u
+       |  WHERE EXISTS (SELECT 1 FROM __ska x WHERE x.h = u.h)
+       |    AND EXISTS (SELECT 1 FROM __skb y WHERE y.h = u.h))
+       |SELECT CAST($k AS BIGINT) AS k, exact_a, exact_b, exact_ab,
+       |  ${n4(estSql("n_a", "th_a", "exact_a"))} AS est_a,
+       |  ${n4(estSql("n_b", "th_b", "exact_b"))} AS est_b,
+       |  ${n4(estU)} AS est_union,
+       |  CAST(j_hits AS BIGINT) AS j_hits,
+       |  ${n4(s"(CAST(j_hits AS DOUBLE) / CAST(n_u AS DOUBLE) * $estU)")} AS est_ab
+       |FROM __ex, __sa, __sb, __su, __j""".stripMargin
+  }
+
   /** [[cmsTopK]] oracle rendering. */
   def cmsTopKSql(table: String, keyCol: String, k: Int,
       depth: Int = 4, width: Int = 1024): String = {

@@ -285,8 +285,30 @@ object Round9Queries {
        |WHERE rdesc > 1 OR (end_us + $SessGapUs) // 1000 + 1 < wm_ms
        |ORDER BY user_id, session_start""".stripMargin
 
+  // -- q135: KMV sketch set overlap -----------------------------------------
+  // Distinct-set intersection the HLL family can't answer: how many
+  // parts ever ship as a single unit (some line with l_quantity = 1)
+  // AND as a pair (l_quantity = 2)? Each predicate catches a partial,
+  // overlapping slice of the part domain (~hundreds of lines per part
+  // would make broader predicates degenerate to "every part"). Three
+  // 64-row KMV sketches estimate |A|, |B|, |A∪B| and |A∩B|, exact
+  // counts alongside — the mergeable sketch a 1000-executor overlap
+  // monitor would actually keep.
+  private val KmvK = 64
+  private val KmvSeed = 9L
+
+  private def q135(spark: SparkSession, sfDir: String): DataFrame =
+    SketchOps.kmvOverlap(Tables.read(spark, sfDir, "lineitem"),
+      "l_partkey", col("l_quantity") === 1, col("l_quantity") === 2,
+      KmvK, KmvSeed)
+
+  private val q135Oracle: String =
+    SketchOps.kmvOverlapSql("lineitem", "l_partkey",
+      "l_quantity = 1", "l_quantity = 2", KmvK, KmvSeed)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q134_stream_state_sessions", q134, Some(q134Oracle)),
+    QueryDef("q135_kmv_overlap", q135, Some(q135Oracle)),
     QueryDef("q125_cdc_apply", q125, Some(q125Oracle)),
     QueryDef("q126_cms_topk", q126, Some(q126Oracle)),
     QueryDef("q127_bucketed_join", q127, Some(q127Oracle)),

@@ -83,6 +83,28 @@ class Round9Spec extends EtlSpecBase {
       Seq((1L, "X"), (2L, "B"), (3L, "C")), asOf1.toString)
   }
 
+  test("kmvOverlap: identical sets give J=1 and exact fallback below k") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 40L).map(i => (i, true)).toDF("id", "f")
+    val got = SketchOps.kmvOverlap(df, "id", col("f"), col("f"), 64, 3L)
+      .collect().head
+    // 40 < k=64 -> every estimate is the exact count; sketches coincide
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((40L, 40L, 40L)))
+    assert(got.getDouble(4) == 40.0 && got.getDouble(6) == 40.0, got.toString)
+    assert(got.getLong(7) == 40L, s"all union hashes in both sketches: $got")
+    assert(got.getDouble(8) == 40.0, got.toString)
+  }
+
+  test("kmvOverlap: disjoint sets estimate zero intersection") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 400L).map(i => (i, i % 2 == 0)).toDF("id", "even")
+    val got = SketchOps.kmvOverlap(df, "id", col("even"), !col("even"), 64, 3L)
+      .collect().head
+    assert(got.getLong(3) == 0L, got.toString)
+    assert(got.getLong(7) == 0L && got.getDouble(8) == 0.0,
+      s"no union hash can be in both sketches: $got")
+  }
+
   // ---- weightedSample ----------------------------------------------------
 
   test("weightedSample: k per stratum, zero weights excluded, dominant weight ranks first") {
