@@ -512,4 +512,60 @@ object StatsOps {
        |    / CAST(nd * st AS DOUBLE) AS idx
        |FROM dw CROSS JOIN tot ORDER BY dow""".stripMargin
   }
+
+  // ---- temporal densification + forward fill ------------------------------
+
+  /** Gap-fill to a dense per-key daily grid with forward fill — the
+    * pandas `resample('D').ffill()` of a 100 TB warehouse: per
+    * customer, every calendar day in [from, to] gets a row with that
+    * day's order count (0-filled), the cumulative floored revenue,
+    * and the LAST OBSERVED single-day revenue carried forward (NULL
+    * until the key's first order — real forward-fill semantics, not
+    * zero-fill). Keys = customers with ≥ 1 order in the window.
+    *
+    * Scale shape: the dense grid is a per-key `sequence` GENERATOR
+    * (no shuffle — |keys|·days rows built map-side), one hash join
+    * back to the sparse dailies on (key, day), one key-partitioned
+    * window. The grid is calendar-bounded, so its size is
+    * |keys|·days regardless of the fact table's row count.
+    */
+  def gapFillDaily(orders: DataFrame, from: String, to: String): DataFrame = {
+    val daily = orders
+      .where(to_date(col("o_orderdate")).between(lit(from), lit(to)))
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice")).cast(LongType)).as("rev"))
+    val grid = daily.select("o_custkey").distinct()
+      .select(col("o_custkey"), explode(expr(
+        s"sequence(to_date('$from'), to_date('$to'), interval 1 day)")).as("day"))
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("o_custkey", "day"), "left")
+      .select(col("o_custkey"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(sum(coalesce(col("rev"), lit(0L))).over(w), lit(0L)).as("rev_cum"),
+        last(col("rev"), ignoreNulls = true).over(w).as("rev_ffill"))
+      .orderBy("o_custkey", "day")
+  }
+
+  /** [[gapFillDaily]] oracle rendering. */
+  def gapFillDailySql(table: String, from: String, to: String): String =
+    s"""WITH __daily AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+       |    count(*) AS n,
+       |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM $table
+       |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '$from' AND DATE '$to'
+       |  GROUP BY 1, 2),
+       |__grid AS (SELECT o_custkey, CAST(gs AS DATE) AS day
+       |  FROM (SELECT DISTINCT o_custkey FROM __daily),
+       |    generate_series(DATE '$from', DATE '$to', INTERVAL 1 DAY) t(gs)),
+       |__j AS (SELECT g.o_custkey, g.day, d.n, d.rev
+       |  FROM __grid g LEFT JOIN __daily d
+       |    ON g.o_custkey = d.o_custkey AND g.day = d.day)
+       |SELECT o_custkey, day, CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+       |  CAST(coalesce(sum(coalesce(rev, 0)) OVER (PARTITION BY o_custkey
+       |    ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS rev_cum,
+       |  last_value(rev IGNORE NULLS) OVER (PARTITION BY o_custkey
+       |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS rev_ffill
+       |FROM __j ORDER BY o_custkey, day""".stripMargin
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{LayoutOps, MixOps, ScdOps, SketchOps, TextOps}
+import graft.ops.{LayoutOps, MixOps, ScdOps, SketchOps, StatsOps, TextOps}
 
 /** Round-9 additions: CDC log compaction and Count-Min heavy hitters. */
 object Round9Queries {
@@ -306,9 +306,21 @@ object Round9Queries {
     SketchOps.kmvOverlapSql("lineitem", "l_partkey",
       "l_quantity = 1", "l_quantity = 2", KmvK, KmvSeed)
 
+  // -- q136: daily gap-fill + forward fill ----------------------------------
+  // Temporal densification (StatsOps.gapFillDaily): 1995-Q1 daily
+  // grid per ordering customer — the resample/ffill primitive feature
+  // pipelines need before any rolling computation over sparse facts.
+  private def q136(spark: SparkSession, sfDir: String): DataFrame =
+    StatsOps.gapFillDaily(Tables.read(spark, sfDir, "orders"),
+      "1995-01-01", "1995-03-31")
+
+  private val q136Oracle: String =
+    StatsOps.gapFillDailySql("orders", "1995-01-01", "1995-03-31")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q134_stream_state_sessions", q134, Some(q134Oracle)),
     QueryDef("q135_kmv_overlap", q135, Some(q135Oracle)),
+    QueryDef("q136_gapfill_daily", q136, Some(q136Oracle)),
     QueryDef("q125_cdc_apply", q125, Some(q125Oracle)),
     QueryDef("q126_cms_topk", q126, Some(q126Oracle)),
     QueryDef("q127_bucketed_join", q127, Some(q127Oracle)),

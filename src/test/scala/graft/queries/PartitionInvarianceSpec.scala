@@ -41,7 +41,8 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q125_cdc_apply", "q126_cms_topk", "q127_bucketed_join",
     "q128_weighted_sample", "q129_partition_prune",
     "q130_pct_calibrate", "q131_k_anonymity", "q132_stream_cms",
-    "q133_scd2_asof", "q134_stream_state_sessions", "q135_kmv_overlap")
+    "q133_scd2_asof", "q134_stream_state_sessions", "q135_kmv_overlap",
+    "q136_gapfill_daily")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
