@@ -548,6 +548,77 @@ object StatsOps {
       .orderBy("o_custkey", "day")
   }
 
+  // ---- Benford first-digit audit -----------------------------------------
+
+  /** log10(1 + 1/d) for d = 1..9, as shortest-round-trip decimal
+    * strings: parsed into EXACTLY the same doubles by Scala and by
+    * DuckDB (`CAST('…' AS DOUBLE)` — a bare decimal literal would be
+    * DECIMAL and round differently), so the χ² chain is bit-identical.
+    */
+  private val benfordP: Seq[String] = Seq(
+    "0.3010299956639812", "0.17609125905568124", "0.12493873660829993",
+    "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+    "0.05799194697768673", "0.05115252244738129", "0.04575749056067514")
+
+  /** Benford first-digit audit of a positive numeric column — the
+    * classic fabricated-data / wrong-unit red flag: observed counts
+    * per leading digit vs the Benford expectation n·log10(1+1/d),
+    * plus the χ² statistic over all nine digits (repeated per row —
+    * the engine's 1-row-broadcast convention, never a global window).
+    * Each digit's χ² contribution is floored onto the 1e-6 grid
+    * BEFORE the 9-term sum (the PMI/q116 convention — a double sum's
+    * order is engine-private; the integer sum is associative), so
+    * `chi2_u` is exact micro-units. Returns
+    * (digit, n_obs, exp_n4, chi2_u) ordered by digit.
+    *
+    * Scale shape: ONE partial-aggregable 9-group count over one scan;
+    * everything after is arithmetic on a 9-row frame.
+    */
+  def benfordCheck(df: DataFrame, valueCol: Column): DataFrame = {
+    val digit = substring(floor(valueCol).cast(LongType).cast("string"), 1, 1)
+      .cast("int")
+    val g = df.where(valueCol > 0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = g.agg(sum(col("n_obs")).as("__n"))
+    val pArr = array(benfordP.map(s => lit(s.toDouble)): _*)
+    val withExp = g.crossJoin(broadcast(tot))
+      .withColumn("__exp",
+        col("__n").cast(DoubleType) * element_at(pArr, col("digit")))
+      .withColumn("__contrib_u",
+        floor((col("n_obs").cast(DoubleType) - col("__exp")) *
+          (col("n_obs").cast(DoubleType) - col("__exp")) / col("__exp") *
+          lit(1e6) + lit(0.5)).cast(LongType))
+    val chi = withExp.agg(sum(col("__contrib_u")).as("__chi2_u"))
+    withExp.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"),
+        graft.queries.Norm.n4(col("__exp")).as("exp_n4"),
+        col("__chi2_u").as("chi2_u"))
+      .orderBy("digit")
+  }
+
+  /** [[benfordCheck]] oracle rendering; `valueSql` must be positive. */
+  def benfordCheckSql(table: String, valueSql: String): String = {
+    val n4 = graft.etl.OracleSql.n4 _
+    val pCase = benfordP.zipWithIndex.map { case (p, i) =>
+      s"WHEN ${i + 1} THEN CAST('$p' AS DOUBLE)" }.mkString(" ")
+    s"""WITH __g AS (SELECT CAST(substr(CAST(CAST(floor($valueSql) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    count(*) AS n_obs
+       |  FROM $table WHERE $valueSql > 0 GROUP BY 1),
+       |__t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM __g),
+       |__e AS (SELECT digit, n_obs,
+       |    CAST(n AS DOUBLE) * (CASE digit $pCase END) AS expv
+       |  FROM __g, __t),
+       |__c AS (SELECT digit, n_obs, expv,
+       |    CAST(floor((CAST(n_obs AS DOUBLE) - expv) * (CAST(n_obs AS DOUBLE) - expv)
+       |      / expv * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS contrib_u
+       |  FROM __e),
+       |__x AS (SELECT CAST(sum(contrib_u) AS BIGINT) AS chi2_u FROM __c)
+       |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+       |  ${n4("expv")} AS exp_n4, chi2_u
+       |FROM __c, __x ORDER BY digit""".stripMargin
+  }
+
   /** [[gapFillDaily]] oracle rendering. */
   def gapFillDailySql(table: String, from: String, to: String): String =
     s"""WITH __daily AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,

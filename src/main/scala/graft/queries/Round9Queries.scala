@@ -317,10 +317,23 @@ object Round9Queries {
   private val q136Oracle: String =
     StatsOps.gapFillDailySql("orders", "1995-01-01", "1995-03-31")
 
+  // -- q137: Benford first-digit audit --------------------------------------
+  // The fabricated-data / wrong-unit red flag on order totals:
+  // observed leading-digit counts vs n·log10(1+1/d) and the exact
+  // micro-unit χ². TPC-H totalprice is range-uniform, NOT Benford —
+  // the audit flags it loudly, which is the point of the check.
+  private def q137(spark: SparkSession, sfDir: String): DataFrame =
+    StatsOps.benfordCheck(Tables.read(spark, sfDir, "orders"),
+      col("o_totalprice"))
+
+  private val q137Oracle: String =
+    StatsOps.benfordCheckSql("orders", "o_totalprice")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q134_stream_state_sessions", q134, Some(q134Oracle)),
     QueryDef("q135_kmv_overlap", q135, Some(q135Oracle)),
     QueryDef("q136_gapfill_daily", q136, Some(q136Oracle)),
+    QueryDef("q137_benford_audit", q137, Some(q137Oracle)),
     QueryDef("q125_cdc_apply", q125, Some(q125Oracle)),
     QueryDef("q126_cms_topk", q126, Some(q126Oracle)),
     QueryDef("q127_bucketed_join", q127, Some(q127Oracle)),
