@@ -530,11 +530,17 @@ object StatsOps {
     * |keys|·days regardless of the fact table's row count.
     */
   def gapFillDaily(orders: DataFrame, from: String, to: String): DataFrame = {
+    // localCheckpoint: the sparse daily frame feeds both the key-grid
+    // generator and the join back; without it the two differently-
+    // pruned lineages each rerun the orders scan + groupBy. The frame
+    // is calendar-bounded (keys x active days), so materializing it
+    // is cheap at any input scale.
     val daily = orders
       .where(to_date(col("o_orderdate")).between(lit(from), lit(to)))
       .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("o_totalprice")).cast(LongType)).as("rev"))
+      .localCheckpoint(true)
     val grid = daily.select("o_custkey").distinct()
       .select(col("o_custkey"), explode(expr(
         s"sequence(to_date('$from'), to_date('$to'), interval 1 day)")).as("day"))
@@ -560,11 +566,14 @@ object StatsOps {
     "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
     "0.05799194697768673", "0.05115252244738129", "0.04575749056067514")
 
-  /** Benford first-digit audit of a positive numeric column — the
-    * classic fabricated-data / wrong-unit red flag: observed counts
-    * per leading digit vs the Benford expectation n·log10(1+1/d),
-    * plus the χ² statistic over all nine digits (repeated per row —
-    * the engine's 1-row-broadcast convention, never a global window).
+  /** Benford first-digit audit of a numeric column — the classic
+    * fabricated-data / wrong-unit red flag: observed counts per
+    * leading digit vs the Benford expectation n·log10(1+1/d), plus
+    * the χ² statistic over all nine digits (repeated per row — the
+    * engine's 1-row-broadcast convention, never a global window).
+    * Rows with value < 1 are excluded — their integer part has no
+    * leading digit in 1..9 (digit 0 would index past the Benford
+    * table; auditing a sub-1 rate column means scaling it first).
     * Each digit's χ² contribution is floored onto the 1e-6 grid
     * BEFORE the 9-term sum (the PMI/q116 convention — a double sum's
     * order is engine-private; the integer sum is associative), so
@@ -577,7 +586,7 @@ object StatsOps {
   def benfordCheck(df: DataFrame, valueCol: Column): DataFrame = {
     val digit = substring(floor(valueCol).cast(LongType).cast("string"), 1, 1)
       .cast("int")
-    val g = df.where(valueCol > 0)
+    val g = df.where(valueCol >= 1)
       .groupBy(digit.as("digit")).agg(count(lit(1)).as("n_obs"))
     val tot = g.agg(sum(col("n_obs")).as("__n"))
     val pArr = array(benfordP.map(s => lit(s.toDouble)): _*)
@@ -596,7 +605,7 @@ object StatsOps {
       .orderBy("digit")
   }
 
-  /** [[benfordCheck]] oracle rendering; `valueSql` must be positive. */
+  /** [[benfordCheck]] oracle rendering. */
   def benfordCheckSql(table: String, valueSql: String): String = {
     val n4 = graft.etl.OracleSql.n4 _
     val pCase = benfordP.zipWithIndex.map { case (p, i) =>
@@ -604,7 +613,7 @@ object StatsOps {
     s"""WITH __g AS (SELECT CAST(substr(CAST(CAST(floor($valueSql) AS BIGINT)
        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
        |    count(*) AS n_obs
-       |  FROM $table WHERE $valueSql > 0 GROUP BY 1),
+       |  FROM $table WHERE $valueSql >= 1 GROUP BY 1),
        |__t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM __g),
        |__e AS (SELECT digit, n_obs,
        |    CAST(n AS DOUBLE) * (CASE digit $pCase END) AS expv

@@ -159,8 +159,8 @@ object Round3Queries {
   // -- q62: HLL approximate distinct, verified against exact --------------
   // The scale path (approx_count_distinct is a mergeable sketch, no
   // Expand, no value shuffle) with a correctness gate the oracle can
-  // hash: the sketch must land within 5% of the exact count (rsd=1%,
-  // so a 5-sigma margin — deterministic for a fixed input).
+  // hash: the sketch must land within 5% of the exact count (rsd=2%,
+  // so 2.5 sigma of headroom — deterministic for a fixed input).
   private val distinctCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
 
   private def q62(spark: SparkSession, sfDir: String): DataFrame = {

@@ -56,7 +56,23 @@ object Round9Queries {
   // hint pins SMJ (a broadcast would hide the co-location the query
   // exists to prove). Revenue folds as floor(o_totalprice) BIGINTs so
   // the sum is order-independent and exact on both engines.
+  /** Delete /tmp leftovers from PAST sessions' roundtrip writes (the
+    * per-applicationId naming means mode-overwrite never reclaims
+    * them). Age-gated well past any session's lifetime so a
+    * concurrently-running sibling session is never touched.
+    */
+  private def sweepStaleTmp(prefix: String): Unit = {
+    val cutoff = System.currentTimeMillis() - 12L * 3600 * 1000
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
+      .foreach { f =>
+        try org.apache.spark.network.util.JavaUtils.deleteRecursively(f)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+  }
+
   private def q127(spark: SparkSession, sfDir: String): DataFrame = {
+    sweepStaleTmp("graft_q127_")
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     val (to, tc) = (s"graft_q127_orders_$tag", s"graft_q127_customer_$tag")
     LayoutOps.writeBucketed(
@@ -111,10 +127,12 @@ object Round9Queries {
   private val PruneYear = 1995
 
   private def q129(spark: SparkSession, sfDir: String): DataFrame = {
+    sweepStaleTmp("graft_q129_")
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"/tmp/graft_q129_$tag"
     Tables.read(spark, sfDir, "orders")
-      .withColumn("o_year", year(to_date(col("o_orderdate"))))
+      .select(col("o_orderdate"), col("o_totalprice"),
+        year(to_date(col("o_orderdate"))).as("o_year"))
       .write.mode("overwrite").partitionBy("o_year").parquet(path)
     spark.read.parquet(path)
       .where(col("o_year") === PruneYear)

@@ -469,6 +469,17 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("Window"), s"no window needed:\n$plan")
   }
 
+  test("q135 KMV / q136 gap-fill: the materialized base frame is the ONLY input scan") {
+    // both ops localCheckpoint their multiply-consumed base aggregate;
+    // the final plan must read the checkpoint, never re-scan parquet
+    for (q <- Seq("q135_kmv_overlap", "q136_gapfill_daily")) {
+      val plan = planOf(q)
+      val scans = "FileScan parquet".r.findAllIn(plan).size
+      assert(scans == 0,
+        s"$q must consume the checkpointed base, got $scans parquet scans:\n$plan")
+    }
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
