@@ -115,19 +115,36 @@ object ScdOps {
         col("last_seq"): _*)
 
   /** [[cdcApply]] oracle rendering. `logSql` must yield
-    * (key, seq, op, payload...). DuckDB's per-column `arg_max` is
-    * row-atomic here because `seq` is unique per key.
+    * (key, seq, op, payload...).
+    *
+    * The payload pick MUST be a single struct-valued `arg_max` (then
+    * unpacked), mirroring Spark's `max_by(struct, seq)`: DuckDB's
+    * `arg_max(v, seq)` SKIPS rows where `v` is NULL, so a per-column
+    * rendering would resurrect a stale non-NULL value whenever the
+    * highest-seq CDC row carries a NULL payload column — common in
+    * real feeds. `struct_pack` is never NULL even when every field
+    * is, so the struct form is row-atomic regardless of payload
+    * nullness (verified: per-column arg_max over
+    * {(1,10.0),(2,20.0),(3,NULL)} returns 20.0; the struct form
+    * returns NULL).
     */
   def cdcApplySql(logSql: String, key: String, seq: String, op: String,
       payloadCols: Seq[String]): String = {
+    val packed = (s"__op := $op" +: payloadCols.map(c => s"$c := $c"))
+      .mkString(", ")
     val picks = payloadCols
-      .map(c => s"arg_max($c, $seq) AS $c").mkString(",\n  ")
-    s"""SELECT $key,
+      .map(c => s"(__last).$c AS $c").mkString(",\n  ")
+    s"""WITH __cdc_agg AS (
+       |  SELECT $key,
+       |    arg_max(struct_pack($packed), $seq) AS __last,
+       |    CAST(max($seq) AS BIGINT) AS last_seq
+       |  FROM ($logSql)
+       |  GROUP BY $key)
+       |SELECT $key,
        |  $picks,
-       |  CAST(max($seq) AS BIGINT) AS last_seq
-       |FROM ($logSql)
-       |GROUP BY $key
-       |HAVING arg_max($op, $seq) <> 'delete'""".stripMargin
+       |  last_seq
+       |FROM __cdc_agg
+       |WHERE (__last).__op <> 'delete'""".stripMargin
   }
 
   /** [[scd2Merge]] oracle rendering. `curSql` must yield (key, attr,

@@ -580,14 +580,25 @@ object StatsOps {
     * `chi2_u` is exact micro-units. Returns
     * (digit, n_obs, exp_n4, chi2_u) ordered by digit.
     *
-    * Scale shape: ONE partial-aggregable 9-group count over one scan;
-    * everything after is arithmetic on a 9-row frame.
+    * The counts are left-joined onto a dense 1..9 digit spine
+    * (n_obs coalesced to 0): a digit that NEVER appears is the
+    * most-anomalous case and must still contribute (0-exp)²/exp =
+    * exp to χ² — grouping observed digits only would silently
+    * understate the statistic exactly there. Empty input (no value
+    * ≥ 1) yields an empty result, not nine 0/0 rows.
+    *
+    * Scale shape: ONE partial-aggregable ≤9-group count over one
+    * scan; everything after is arithmetic on a 9-row frame.
     */
   def benfordCheck(df: DataFrame, valueCol: Column): DataFrame = {
     val digit = substring(floor(valueCol).cast(LongType).cast("string"), 1, 1)
       .cast("int")
-    val g = df.where(valueCol >= 1)
-      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n_obs"))
+    val counts = df.where(valueCol >= 1)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("__c"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val g = spine.join(broadcast(counts), Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("__c"), lit(0L)).as("n_obs"))
     val tot = g.agg(sum(col("n_obs")).as("__n"))
     val pArr = array(benfordP.map(s => lit(s.toDouble)): _*)
     val withExp = g.crossJoin(broadcast(tot))
@@ -599,6 +610,7 @@ object StatsOps {
           lit(1e6) + lit(0.5)).cast(LongType))
     val chi = withExp.agg(sum(col("__contrib_u")).as("__chi2_u"))
     withExp.crossJoin(broadcast(chi))
+      .where(col("__n") > 0) // empty input → empty result, not 0/0 rows
       .select(col("digit"), col("n_obs"),
         graft.queries.Norm.n4(col("__exp")).as("exp_n4"),
         col("__chi2_u").as("chi2_u"))
@@ -610,14 +622,18 @@ object StatsOps {
     val n4 = graft.etl.OracleSql.n4 _
     val pCase = benfordP.zipWithIndex.map { case (p, i) =>
       s"WHEN ${i + 1} THEN CAST('$p' AS DOUBLE)" }.mkString(" ")
-    s"""WITH __g AS (SELECT CAST(substr(CAST(CAST(floor($valueSql) AS BIGINT)
+    s"""WITH __c0 AS (SELECT CAST(substr(CAST(CAST(floor($valueSql) AS BIGINT)
        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-       |    count(*) AS n_obs
+       |    count(*) AS c
        |  FROM $table WHERE $valueSql >= 1 GROUP BY 1),
+       |__g AS (SELECT s.digit, CAST(coalesce(c.c, 0) AS BIGINT) AS n_obs
+       |  FROM (SELECT CAST(gs AS INTEGER) AS digit
+       |        FROM generate_series(1, 9) t(gs)) s
+       |  LEFT JOIN __c0 c ON s.digit = c.digit),
        |__t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM __g),
        |__e AS (SELECT digit, n_obs,
        |    CAST(n AS DOUBLE) * (CASE digit $pCase END) AS expv
-       |  FROM __g, __t),
+       |  FROM __g, __t WHERE n > 0),
        |__c AS (SELECT digit, n_obs, expv,
        |    CAST(floor((CAST(n_obs AS DOUBLE) - expv) * (CAST(n_obs AS DOUBLE) - expv)
        |      / expv * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS contrib_u

@@ -231,7 +231,13 @@ object TextOps {
 
   /** Stopword hit count (with multiplicity) for one language. */
   def stopHits(c: Column, words: Seq[String]): Column =
-    size(filter(tokens(c), t => t.isin(words.map(lit): _*)))
+    stopHitsOf(tokens(c), words)
+
+  /** [[stopHits]] over a PRE-BOUND token-array column (the hot-path
+    * form — see [[ngramsOf]] for the bind-once rationale).
+    */
+  def stopHitsOf(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
 
   def stopHitsSql(e: String, words: Seq[String]): String =
     s"len(list_filter(${tokensSql(e)}, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
@@ -240,8 +246,20 @@ object TextOps {
     * (reverse foldLeft builds the when-chain so the FIRST language with
     * the max score wins, matching the oracle's CASE order).
     */
-  def langId(c: Column): Column = {
-    val scores = langStopwords.map { case (_, ws) => stopHits(c, ws) }
+  def langId(c: Column): Column = langIdOf(tokens(c))
+
+  /** [[langId]] over a PRE-BOUND token-array column. The single-
+    * expression `langId(text)` embeds `tokens(text)` inside each of
+    * the 5 per-language `stopHits` filters plus the `greatest` — the
+    * `split` subtree evaluates up to 6× per row in one projection
+    * (higher-order-function CSE is unreliable, and CollapseProject
+    * keeps multiply-referenced non-cheap aliases apart rather than
+    * inlining them — which is exactly why callers should bind the
+    * token array in a prior projection and pass it here, mirroring
+    * the oracle's bind-once `list_transform` trick in [[langIdSql]]).
+    */
+  def langIdOf(toks: Column): Column = {
+    val scores = langStopwords.map { case (_, ws) => stopHitsOf(toks, ws) }
     val maxScore = greatest(scores: _*)
     langStopwords.zip(scores).reverse.foldLeft(lit("und")) {
       case (els, ((lang, _), s)) =>

@@ -112,7 +112,12 @@ object Round7bQueries {
   // the whole posexplode chunk subtree twice). The packing stays
   // collision-free while max(doc_id)·mult fits in a BIGINT — ~2^40
   // docs at fixture-scale chunk counts; beyond that pack into a
-  // struct key instead of arithmetic.
+  // struct key instead of arithmetic. That bound is ENFORCED, not
+  // assumed: the same one-row aggregate also carries max(doc_id),
+  // and the packing expression raise_errors if
+  // max(doc_id) > Long.MaxValue/mult - 1 (overflow-safe division
+  // form; non-ANSI Spark would otherwise wrap silently and corrupt
+  // keys) — the guard costs one branch on two broadcast literals.
   private val RagTerms = Seq("hash", "join", "spark", "window")
   private val RagK = 20
 
@@ -120,12 +125,19 @@ object Round7bQueries {
     val docs = Tables.read(spark, sfDir, "documents")
     val mult = docs.where(length(col("text")) > 0)
       .agg((max(expr("(length(text) - 1) div 150")) + 1)
-        .cast("long").as("__m"))
+        .cast("long").as("__m"),
+        max(col("doc_id")).cast("long").as("__maxdoc"))
     val raw = TextOps.charChunks(docs, "doc_id", "text",
       200, 150, withText = true)
+    // fits iff maxdoc*m + (m-1) <= Long.MaxValue, checked without
+    // overflowing the check itself: maxdoc <= LongMax/m - 1
+    val fits = col("__maxdoc") <= lit(Long.MaxValue) / col("__m") - 1
+    val packed = when(fits, col("doc_id") * col("__m") + col("chunk_idx"))
+      .otherwise(raise_error(lit(
+        "q92 chunk_key would overflow BIGINT: pack (doc_id, chunk_idx) " +
+          "into a struct key instead")).cast("long"))
     val chunks = raw.crossJoin(broadcast(mult))
-      .select((col("doc_id") * col("__m") + col("chunk_idx")).as("chunk_key"),
-        col("chunk"))
+      .select(packed.as("chunk_key"), col("chunk"))
     TextOps.bm25TopK(chunks, "chunk_key", "chunk", RagTerms, RagK)
   }
 

@@ -13,14 +13,23 @@ object Round9Queries {
   // A deterministic change log derived from orders (both engines build
   // the identical feed): key = o_custkey, offset = o_orderkey (unique,
   // totally ordered), every 7th offset is a delete, payload =
-  // (o_totalprice, o_orderstatus). Current state = highest-offset
-  // entry per key, gone if that entry is a delete — ONE map-side-
-  // combining max_by aggregate (ScdOps.cdcApply).
+  // (o_totalprice, o_orderstatus) — with NULL payload columns
+  // sprinkled in (every 11th offset NULLs the status, every 13th the
+  // price) so the gate exercises the real-feed case where the
+  // highest-seq row carries NULLs: the compacted state must surface
+  // those NULLs, not resurrect stale values (the row-atomicity
+  // contract of max_by(struct, seq); see cdcApplySql's struct
+  // arg_max note). Current state = highest-offset entry per key,
+  // gone if that entry is a delete — ONE map-side-combining max_by
+  // aggregate (ScdOps.cdcApply).
   private def q125(spark: SparkSession, sfDir: String): DataFrame = {
     val log = Tables.read(spark, sfDir, "orders").select(
       col("o_custkey"), col("o_orderkey"),
       when(col("o_orderkey") % 7 === 0, "delete").otherwise("upsert").as("op"),
-      col("o_totalprice"), col("o_orderstatus"))
+      when(col("o_orderkey") % 13 === 0, lit(null))
+        .otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(col("o_orderkey") % 11 === 0, lit(null))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"))
     ScdOps.cdcApply(log, "o_custkey", "o_orderkey", "op",
         Seq("o_totalprice", "o_orderstatus"))
       .orderBy("o_custkey")
@@ -28,7 +37,10 @@ object Round9Queries {
 
   private val q125Oracle: String = {
     val log = "SELECT o_custkey, o_orderkey, CASE WHEN o_orderkey % 7 = 0 " +
-      "THEN 'delete' ELSE 'upsert' END AS op, o_totalprice, o_orderstatus FROM orders"
+      "THEN 'delete' ELSE 'upsert' END AS op, " +
+      "CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice, " +
+      "CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus " +
+      "FROM orders"
     ScdOps.cdcApplySql(log, "o_custkey", "o_orderkey", "op",
       Seq("o_totalprice", "o_orderstatus")) + "\nORDER BY o_custkey"
   }
@@ -58,11 +70,14 @@ object Round9Queries {
   // the sum is order-independent and exact on both engines.
   /** Delete /tmp leftovers from PAST sessions' roundtrip writes (the
     * per-applicationId naming means mode-overwrite never reclaims
-    * them). Age-gated well past any session's lifetime so a
+    * them). Age-gated at 72 h — well past any session's lifetime
+    * (multi-hour sessions are documented in BASELINE.md, so a 12 h
+    * gate could have deleted a long-lived sibling's registered
+    * bucketed table out from under it; 72 h cannot) — so a
     * concurrently-running sibling session is never touched.
     */
   private def sweepStaleTmp(prefix: String): Unit = {
-    val cutoff = System.currentTimeMillis() - 12L * 3600 * 1000
+    val cutoff = System.currentTimeMillis() - 72L * 3600 * 1000
     Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
       .foreach { f =>
