@@ -540,6 +540,111 @@ object DedupOps {
   }
 
   /** Hamming distance between two simhash values. */
+  // ---- substring-granular dedup (repeated k-gram spans) ------------------
+
+  /** Element i = hash of the k-gram starting at token i (0-based),
+    * WITH multiplicity — kernel-backed positional form of
+    * [[shingleHashes]] (which is the distinct-set form for Jaccard).
+    */
+  def shingleHashSeq(textCol: Column, k: Int): Column =
+    ExprBridge.column(StaticInvoke(
+      TextKernels.getClass, ArrayType(LongType, containsNull = false), "shingleHashSeq",
+      Seq(ExprBridge.expression(textCol.cast(StringType)), Literal(k)),
+      Seq(StringType, IntegerType), propagateNull = true, returnNullable = true))
+
+  def shingleHashSeqSql(e: String, k: Int): String =
+    s"list_transform(${TextOps.ngramsSql(e, k)}, g -> ${tokenHashSql("g")})"
+
+  /** Substring-granular dedup: the repeated-k-gram spans of each
+    * document (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — arXiv:2107.06499 — at k-gram rather
+    * than suffix-array granularity). A k-gram is HOT when it occurs
+    * ≥ `minRepeats` times across the whole corpus (including within
+    * one document); per document, runs of hot k-gram positions whose
+    * starts are ≤ k apart merge into one span. Returns
+    * (id, span_start, span_end, span_tokens, n_grams) with 0-based
+    * inclusive token indices — spans as DATA, so the caller chooses
+    * cut/drop/weight (and `array_join(slice(tokens, …), ' ')`
+    * reconstructs the substring to cut).
+    *
+    * Scale shape — two corpus passes, NEVER all-pairs (the suffix
+    * array of the reference algorithm is a single-machine structure;
+    * the k-gram census is its shuffle-native projection):
+    *  1. census: groupBy(gram-hash) count — partial-aggregable, so
+    *     the shuffle carries one row per (partition, distinct gram),
+    *     and a pathologically hot gram combines map-side instead of
+    *     skewing a window partition;
+    *  2. mark: shuffle-join positions against the hot set on the
+    *     8-byte hash (ids-only: no text payload moves), then a
+    *     per-document window merges positions into spans — bounded
+    *     by each doc's own gram count, no single-partition window.
+    */
+  def repeatedKgramSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minRepeats: Long): DataFrame = {
+    require(k >= 1 && minRepeats >= 2,
+      s"need k >= 1 and minRepeats >= 2: k=$k minRepeats=$minRepeats")
+    def grams = df.select(col(idCol),
+        posexplode(shingleHashSeq(col(textCol), k)).as(Seq("pos", "gh")))
+    val hot = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") >= minRepeats)
+      .select(col("gh"))
+    val dup = grams.join(hot, Seq("gh")).select(col(idCol), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    // span break iff the gap to the previous hot start exceeds k
+    // (> k means ≥ one clean token between the two grams' coverage);
+    // lag = NULL on the first row → comparison NULL → break
+    val brk = when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0)
+      .otherwise(1)
+    val islands = dup.withColumn("__brk", brk)
+      .withColumn("__island", sum(col("__brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    islands.groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + (k - 1)).cast(LongType).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_grams"))
+  }
+
+  /** [[repeatedKgramSpans]] oracle rendering. `docsRel` is a table
+    * name or CTE name yielding (idCol, textCol); prepend extra CTEs
+    * via `extraCtes` (margin-free, per the stripMargin embedding
+    * rule).
+    */
+  def repeatedKgramSpansSql(docsRel: String, idCol: String, textCol: String,
+      k: Int, minRepeats: Long, extraCtes: String = ""): String = {
+    val pre = if (extraCtes.isEmpty) "" else extraCtes + ",\n"
+    val tok = tokensSql(textCol)
+    val gram = s"array_to_string(tok[i:i+${k - 1}], ' ')"
+    s"""WITH ${pre}__toks AS (SELECT $idCol, $tok AS tok FROM $docsRel),
+       |__gu AS (SELECT $idCol, unnest(list_transform(
+       |      range(1, greatest(len(tok) - ${k - 1}, 0) + 1),
+       |      i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+       |        gh := ${tokenHashSql(gram)}))) AS u
+       |  FROM __toks),
+       |__g AS (SELECT $idCol, (u).pos AS pos, (u).gh AS gh FROM __gu),
+       |__hot AS (SELECT gh FROM __g GROUP BY gh
+       |  HAVING count(*) >= $minRepeats),
+       |__dup AS (SELECT g.$idCol, g.pos FROM __g g
+       |  WHERE EXISTS (SELECT 1 FROM __hot h WHERE h.gh = g.gh)),
+       |__f AS (SELECT $idCol, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY $idCol ORDER BY pos)
+       |      <= $k THEN 0 ELSE 1 END AS brk
+       |  FROM __dup),
+       |__s AS (SELECT $idCol, pos,
+       |    sum(brk) OVER (PARTITION BY $idCol ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM __f)
+       |SELECT $idCol, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + ${k - 1} AS BIGINT) AS span_end,
+       |  CAST(max(pos) + ${k - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
+       |  count(*) AS n_grams
+       |FROM __s GROUP BY $idCol, island""".stripMargin
+  }
+
   def hamming32(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 

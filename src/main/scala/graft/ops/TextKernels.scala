@@ -50,6 +50,31 @@ object TextKernels {
   def tokenHashes(s: UTF8String): ArrayData =
     new GenericArrayData(tokensOf(s).map(t => rawCharHash(t) % P))
 
+  /** ALL k-shingle hashes in token order, WITH multiplicity — the
+    * positional form for substring-granular dedup: element i is the
+    * hash of the k-gram starting at token i (0-based), so a caller
+    * can posexplode it and recover exact token spans. Matches
+    * `list_transform(ngrams, g -> tokenHash(g))` in the oracle.
+    */
+  def shingleHashSeq(s: UTF8String, k: Int): ArrayData = {
+    val tok = tokensOf(s)
+    if (tok.length < k) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](tok.length - k + 1)
+    var i = 0
+    while (i <= tok.length - k) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(tok(i + j))
+        j += 1
+      }
+      out(i) = rawCharHash(sb.toString) % P
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct k-shingle hashes, first-occurrence order (distinct on
     * the shingle STRINGS first, then on the hashes — matching
     * array_distinct(transform(array_distinct(shingles), hash))).

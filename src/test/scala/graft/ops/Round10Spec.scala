@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.etl.EtlSpecBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Round-10 units: substring-granular dedup (repeated k-gram spans)
+  * and the CDC NULL-payload row-atomicity contract.
+  */
+class Round10Spec extends EtlSpecBase {
+
+  import spark.implicits._
+
+  // ---- shingleHashSeq ----------------------------------------------------
+
+  test("shingleHashSeq: positional, with multiplicity, matches the ngram formula") {
+    val df = Seq("a b a b a", "x y", "short").toDF("t")
+    val got = df.select(DedupOps.shingleHashSeq(col("t"), 2).as("seq"),
+      transform(TextOps.ngrams(col("t"), 2), g => TextOps.tokenHash(g)).as("formula"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+    // "a b a b a" has 4 bigrams: ab ba ab ba -> multiplicity kept
+    assert(got(0).getSeq[Long](0).length == 4)
+    assert(got(0).getSeq[Long](0).distinct.length == 2)
+  }
+
+  test("shingleHashSeq: doc shorter than k yields an empty array") {
+    val df = Seq("solo").toDF("t")
+    val got = df.select(DedupOps.shingleHashSeq(col("t"), 2)).as[Seq[Long]].collect()
+    assert(got.head.isEmpty)
+  }
+
+  // ---- repeatedKgramSpans ------------------------------------------------
+
+  private def spanDf(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "t")
+
+  test("repeatedKgramSpans: cross-doc hot grams, gap<=k merges, gap>k splits") {
+    // k=2, minRepeats=2. Hot bigrams: "a b" (docs 1+2), "c d" (docs 1+2).
+    val df = spanDf(
+      1L -> "a b c d e",     // hot starts 0 ("a b") and 2 ("c d"): gap 2 <= k -> ONE span 0..3
+      2L -> "a b x c d y",   // hot starts 0 and 3: gap 3 > k -> TWO spans 0..1, 3..4
+      3L -> "z z",           // "z z" occurs once in the corpus -> not hot
+      4L -> "q")             // shorter than k -> no grams at all
+    val got = DedupOps.repeatedKgramSpans(df, "doc_id", "t", 2, 2)
+      .orderBy("doc_id", "span_start").collect()
+    assert(got.toSeq == Seq(
+      Row(1L, 0L, 3L, 4L, 2L),
+      Row(2L, 0L, 1L, 2L, 1L),
+      Row(2L, 3L, 4L, 2L, 1L)), got.mkString(", "))
+  }
+
+  test("repeatedKgramSpans: WITHIN-doc repetition alone makes a gram hot") {
+    // "m n" x3 and "n m" x2 inside one doc -> every position hot -> one span
+    val df = spanDf(1L -> "m n m n m n", 2L -> "u v w")
+    val got = DedupOps.repeatedKgramSpans(df, "doc_id", "t", 2, 2).collect()
+    assert(got.toSeq == Seq(Row(1L, 0L, 5L, 6L, 5L)), got.mkString(", "))
+  }
+
+  test("repeatedKgramSpans: minRepeats raises the hotness bar") {
+    val df = spanDf(1L -> "a b c", 2L -> "a b d", 3L -> "a b e")
+    // "a b" occurs 3x -> hot at minRepeats=3; "b c"/"b d"/"b e" are not
+    val got3 = DedupOps.repeatedKgramSpans(df, "doc_id", "t", 2, 3)
+      .orderBy("doc_id").collect()
+    assert(got3.toSeq == Seq(
+      Row(1L, 0L, 1L, 2L, 1L),
+      Row(2L, 0L, 1L, 2L, 1L),
+      Row(3L, 0L, 1L, 2L, 1L)), got3.mkString(", "))
+    assert(DedupOps.repeatedKgramSpans(df, "doc_id", "t", 2, 4).count() == 0)
+  }
+
+  // ---- cdcApply NULL payloads -------------------------------------------
+
+  test("cdcApply: a NULL payload column on the winning row SURVIVES (no stale resurrection)") {
+    val log = Seq(
+      (1L, 1L, "upsert", Option(10.0), Option("A")),
+      (1L, 2L, "upsert", Option(20.0), Option("B")),
+      (1L, 3L, "upsert", None: Option[Double], None: Option[String]) // winner: all-NULL payload
+    ).toDF("k", "seq", "op", "price", "status")
+    val got = ScdOps.cdcApply(log, "k", "seq", "op", Seq("price", "status"))
+      .collect()
+    assert(got.toSeq == Seq(Row(1L, null, null, 3L)), got.mkString(", "))
+  }
+}

@@ -480,6 +480,21 @@ class PlanSpec extends EtlSpecBase {
     }
   }
 
+  test("q138 substring dedup: two census passes, map-side combine, no cartesian, per-doc window") {
+    val plan = planOf("q138_substring_dedup")
+    // two corpus passes BY DESIGN (census, then mark) — a third scan
+    // would mean a lineage recompute leak
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"expected exactly 2 corpus passes, got $scans:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the gram census must combine map-side (skew robustness):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"span marking joins on the gram hash, never all-pairs:\n$plan")
+    // the island window partitions by doc_id — never a single global partition
+    assert("Window .*doc_id".r.findFirstIn(plan).isDefined,
+      s"interval merge must be a per-document window:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
