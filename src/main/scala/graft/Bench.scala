@@ -111,6 +111,22 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // per-round archaeology (VERDICT r9 #3): the driver's BENCH_r{N}
+    // snapshot captures only a 2000-char stdout tail — too small for
+    // the ~10 KB per-query line — so every full-set run ALSO appends
+    // its complete per-query map here, timestamped, making cross-round
+    // per-query regression diffs a file read instead of a re-run.
+    // Filtered runs (SPARK_GRAFT_BENCH_ONLY) stay out of the history.
+    if (only.isEmpty) {
+      val histFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+        "BENCH_HISTORY.jsonl")
+      val stamped = s"""{"at":"${java.time.Instant.now()}",""" + full.tail
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(histFile),
+        (stamped + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     println(full)
     println(compact)
     System.out.flush()

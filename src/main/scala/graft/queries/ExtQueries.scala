@@ -408,11 +408,13 @@ object ExtQueries {
     val agged = EventOps.tumblingCounts(stream.withWatermark("ts", "2 hours"))
     val sink = "graft_q47_sink"
     spark.catalog.dropTempView(sink) // re-runnable within one session
-    val q = agged.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTuning.withStateParts(spark) {
+      val q = agged.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("ws", "event_type")
   }
 

@@ -250,11 +250,13 @@ object Round6Queries {
     val admitted = DedupOps.streaming.dedupByFingerprint(recrawled)
     val sink = "graft_q69_sink"
     spark.catalog.dropTempView(sink) // re-runnable within one session
-    val q = admitted.select("fp").writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTuning.withStateParts(spark) {
+      val q = admitted.select("fp").writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("fp")
   }
 

@@ -149,11 +149,13 @@ object Round7Queries {
     val sess = EventOps.streaming.sessionize(stream)
     val sink = "graft_q75_sink"
     spark.catalog.dropTempView(sink) // re-runnable within one session
-    val q = sess.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTuning.withStateParts(spark) {
+      val q = sess.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("user_id", "session_start")
   }
 
@@ -438,11 +440,13 @@ object Round7Queries {
         col("c_mktsegment"), col("n"))
     val sink = "graft_q87_sink"
     spark.catalog.dropTempView(sink) // re-runnable within one session
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTuning.withStateParts(spark) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("ws", "c_mktsegment")
   }
 

@@ -83,11 +83,13 @@ object Round7bQueries {
         (unix_micros(col("cts")) - unix_micros(col("vts"))).as("lag_us"))
     val sink = "graft_q91_sink"
     spark.catalog.dropTempView(sink) // re-runnable within one session
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTuning.withStateParts(spark) {
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("click_id", "view_id")
   }
 
@@ -366,14 +368,16 @@ object Round7bQueries {
     val agged = EventOps.tumblingCounts(stream.withWatermark("ts", "2 hours"))
     val db = s"graft_q98_${spark.sparkContext.applicationId}"
     val url = s"jdbc:derby:memory:$db;create=true"
-    val q = agged.writeStream
-      .outputMode("complete")
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        graft.etl.Io.writeJdbc(df, url, "window_counts")
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTuning.withStateParts(spark) {
+      val q = agged.writeStream
+        .outputMode("complete")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          graft.etl.Io.writeJdbc(df, url, "window_counts")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val out = graft.etl.Io.readJdbc(spark, url, "window_counts")
       .orderBy("ws", "event_type")
       .localCheckpoint(true) // materialize before dropping the database

@@ -220,11 +220,13 @@ object Round9Queries {
       stream.select(col("user_id")), "user_id", 4, 1024)
     val sink = "graft_q132_sink"
     spark.catalog.dropTempView(sink) // re-runnable within one session
-    val q = sk.writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTuning.withStateParts(spark) {
+      val q = sk.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("r", "b")
   }
 
@@ -286,12 +288,14 @@ object Round9Queries {
     val stream = Tables.eventsStream(spark, sfDir)
     val sink = "graft_q134_sink"
     spark.catalog.dropTempView(sink)
-    val q = graft.ops.EventOps.streaming.closedSessions(stream).toDF()
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTuning.withStateParts(spark) {
+      val q = graft.ops.EventOps.streaming.closedSessions(stream).toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("user_id", "session_start")
   }
 
