@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Data-mixing operators for training pipelines: deterministic, seeded
   * global shuffle + sharding, so example order is reproducible across
@@ -235,6 +236,90 @@ object MixOps {
     *
     * Returns (strataCol, rn, idCol, key12).
     */
+  /** Epochs-capped token-budget allocation across sources — the
+    * sampling table a pretraining mix is built from (the
+    * Llama-report recipe shape: size-flattened weights, a hard
+    * max-epochs cap per source, leftovers redistributed): given the
+    * per-source token inventory, allot a total budget of
+    * `budgetPerMille`/1000 × (corpus tokens) proportionally to
+    * sqrt(tokens) weights (sqrt flattens the head so small sources
+    * up-sample), cap every source at `epochCapPct`/100 epochs of its
+    * own inventory, then hand each capped source's surplus to the
+    * uncapped ones in ONE redistribution pass (weight-proportional,
+    * re-capped; a fixed-point loop converges in ≤ source-count passes
+    * but one pass is the standard practical recipe and keeps the
+    * arithmetic closed-form).
+    *
+    * EVERYTHING after the sqrt is exact BIGINT arithmetic (floor-div
+    * allocations, micro-epoch output), so the oracle replays it
+    * bit-for-bit; `floor(sqrt(BIGINT))` itself is cross-engine exact
+    * (IEEE sqrt is correctly rounded; perfect squares land exactly).
+    * Products are bounded by corpusTokens^1.5 · budgetPerMille/1000 —
+    * BIGINT-safe through ~2.7e12 corpus tokens, enforced with a
+    * raise_error guard (beyond that, lift the arithmetic to
+    * DECIMAL(38)/HUGEINT).
+    *
+    * Scale shape: ONE corpus scan into a source-domain aggregate;
+    * everything after is arithmetic on #sources rows (checkpointed —
+    * it feeds the totals frame, the per-source rows, and the
+    * redistribution totals). Returns
+    * (source, tok, w, alloc, epochs_u) — epochs_u in micro-epochs.
+    */
+  def tokenBudget(docs: DataFrame, srcCol: String, textCol: String,
+      budgetPerMille: Long, epochCapPct: Long): DataFrame = {
+    require(budgetPerMille > 0 && epochCapPct > 0,
+      s"budgetPerMille/epochCapPct must be positive: $budgetPerMille/$epochCapPct")
+    val srcTok = docs.groupBy(col(srcCol).as("source"))
+      .agg(sum(TextOps.nTokens(col(textCol)).cast(LongType)).as("tok"))
+      .withColumn("w", floor(sqrt(col("tok").cast(DoubleType))).cast(LongType))
+      .localCheckpoint(true) // source-domain-sized; three consumers
+    val tot = srcTok.agg(sum(col("tok")).as("TT"), sum(col("w")).as("WW"))
+    val fits = col("TT") <= lit(2700000000000L) // T^1.5·bpm/1000 < 2^63
+    val a1 = srcTok.crossJoin(broadcast(tot))
+      .withColumn("B", when(fits, expr(s"TT * $budgetPerMille div 1000"))
+        .otherwise(raise_error(lit(
+          "tokenBudget: corpus too large for BIGINT allocation arithmetic; " +
+            "lift to DECIMAL(38)")).cast(LongType)))
+      .withColumn("cap", expr(s"tok * $epochCapPct div 100"))
+      .withColumn("alloc1", least(expr("B * w div WW"), col("cap")))
+    val tot2 = a1.agg(sum(col("alloc1")).as("A1"),
+      sum(when(col("alloc1") < col("cap"), col("w")).otherwise(lit(0L))).as("W2"))
+    a1.crossJoin(broadcast(tot2))
+      .withColumn("alloc", least(
+        col("alloc1") + when(col("alloc1") < col("cap") && col("W2") > 0,
+          expr("(B - A1) * w div W2")).otherwise(lit(0L)),
+        col("cap")))
+      .select(col("source"), col("tok"), col("w"), col("alloc"),
+        expr("alloc * 1000000 div tok").as("epochs_u"))
+      .orderBy("source")
+  }
+
+  /** [[tokenBudget]] oracle rendering over (srcCol, textCol). */
+  def tokenBudgetSql(table: String, srcCol: String, textCol: String,
+      budgetPerMille: Long, epochCapPct: Long): String =
+    s"""WITH __st AS (SELECT $srcCol AS source,
+       |    CAST(sum(${TextOps.nTokensSql(textCol)}) AS BIGINT) AS tok
+       |  FROM $table GROUP BY 1),
+       |__sw AS (SELECT source, tok,
+       |    CAST(floor(sqrt(CAST(tok AS DOUBLE))) AS BIGINT) AS w FROM __st),
+       |__tot AS (SELECT CAST(sum(tok) AS BIGINT) AS TT,
+       |    CAST(sum(w) AS BIGINT) AS WW FROM __sw),
+       |__a1 AS (SELECT source, tok, w,
+       |    TT * $budgetPerMille // 1000 AS B,
+       |    tok * $epochCapPct // 100 AS cap,
+       |    least((TT * $budgetPerMille // 1000) * w // WW,
+       |      tok * $epochCapPct // 100) AS alloc1
+       |  FROM __sw, __tot),
+       |__t2 AS (SELECT CAST(sum(alloc1) AS BIGINT) AS A1,
+       |    CAST(sum(CASE WHEN alloc1 < cap THEN w ELSE 0 END) AS BIGINT) AS W2
+       |  FROM __a1),
+       |__f AS (SELECT source, tok, w,
+       |    least(alloc1 + CASE WHEN alloc1 < cap AND W2 > 0
+       |      THEN (B - A1) * w // W2 ELSE 0 END, cap) AS alloc
+       |  FROM __a1, __t2)
+       |SELECT source, tok, w, alloc, alloc * 1000000 // tok AS epochs_u
+       |FROM __f ORDER BY source""".stripMargin
+
   def weightedSample(df: DataFrame, idCol: String, strataCol: String,
       weightCol: String, k: Int, seed: Long): DataFrame = {
     require(k > 0, s"k must be positive: $k")

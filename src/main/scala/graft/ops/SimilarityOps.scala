@@ -448,6 +448,111 @@ object SimilarityOps {
          |FROM rk ORDER BY $idCol""".stripMargin
   }
 
+  // ---- PCA (top principal component, power iteration) --------------------
+
+  /** Top principal component of the embedding cloud via DETERMINISTIC
+    * power iteration — the linear-algebra primitive behind embedding
+    * whitening, drift monitoring, and low-rank debiasing. `iters`
+    * fixed matrix-free iterations of v ← normalize(Cov·v), with
+    * Cov·v never materializing the d×d covariance:
+    * Cov·v = avg_rows((x−μ)·s) with s = (x−μ)·v, i.e. ONE scan per
+    * iteration computing a per-row scalar and a per-dim aggregate
+    * (the scaling by avg instead of sum is irrelevant to the
+    * normalized direction).
+    *
+    * Determinism contract (the q76 k-means discipline): μ, every
+    * per-row score s, every aggregated component, and every
+    * normalized coordinate land on the n4 grid before reuse; the
+    * per-row dot runs against inlined literals (left-to-right kernel
+    * sum = the oracle's list_sum order); the driver-side norm is the
+    * same left-to-right d-term fold the SQL computes. Init is the
+    * uniform unit vector n4(1/√d) — data-independent, so both
+    * engines start identically. The sign of the returned component
+    * follows the init (power iteration preserves it deterministically
+    * given identical arithmetic).
+    *
+    * Scale shape: per iteration ONE scan + one (dim)-keyed partial
+    * aggregate (d groups); driver state is O(d) — the classic
+    * distributed power-method layout. `base` is persisted across the
+    * iters+1 passes like the k-means trainer.
+    *
+    * Returns (dim, loading) — d rows, the n4-rounded unit eigenvector.
+    */
+  def pcaTopComponent(df: DataFrame, dims: Int, iters: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims > 0 && iters > 0, s"dims/iters must be positive: $dims/$iters")
+    val base = df.select(asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def seqDot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val mu: Array[Double] = base
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(avg(col("x")).as("m")).collect()
+      .sortBy(_.getInt(0)).map(r => n4d(r.getDouble(1)))
+    require(mu.length == dims, s"expected $dims dims, data has ${mu.length}")
+    var v: Array[Double] = Array.fill(dims)(n4d(1.0 / math.sqrt(dims.toDouble)))
+    for (_ <- 1 to iters) {
+      val dmv = n4d(seqDot(mu, v))
+      val s4 = floor((dot(col("v"), typedLit(v.toSeq)) - lit(dmv))
+        * lit(10000d) + lit(0.5d)).cast(DoubleType) / lit(10000d)
+      val w4: Array[Double] = base.withColumn("s", s4)
+        .select(col("s"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(avg(col("s") *
+          (col("x") - element_at(typedLit(mu.toSeq), col("dim") + 1))).as("w"))
+        .collect().sortBy(_.getInt(0)).map(r => n4d(r.getDouble(1)))
+      val nrm = math.sqrt(seqDot(w4, w4))
+      v = w4.map(x => n4d(x / nrm))
+    }
+    base.unpersist()
+    val spark = df.sparkSession
+    import spark.implicits._
+    v.toSeq.zipWithIndex.map { case (l, d) => (d.toLong, l) }
+      .toDF("dim", "loading").orderBy("dim")
+  }
+
+  /** [[pcaTopComponent]] oracle rendering: the identical trajectory as
+    * CTE chains — μ and every iterate are re-derived from the table
+    * (the oracle SQL is SF-independent), landing on the same n4 grid
+    * at the same points.
+    */
+  def pcaTopComponentSql(table: String, dims: Int, iters: Int,
+      vecCol: String = "embedding"): String = {
+    def n4(e: String) = s"(floor(($e) * 10000 + 0.5) / 10000.0)"
+    def listDot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, $dims + 1), __i -> ($a)[__i] * ($b)[__i])) AS DOUBLE)"
+    val v0 = {
+      val x = math.floor(1.0 / math.sqrt(dims.toDouble) * 10000 + 0.5) / 10000
+      "[" + Seq.fill(dims)(s"CAST('$x' AS DOUBLE)").mkString(", ") + "]"
+    }
+    val head =
+      s"""WITH __b AS (SELECT list_transform($vecCol, __x -> CAST(__x AS DOUBLE)) AS v
+         |  FROM $table),
+         |__mu AS (SELECT i AS dim, ${n4("avg(v[i + 1])")} AS m
+         |  FROM __b, range($dims) t(i) GROUP BY 1),
+         |__ml AS (SELECT list(m ORDER BY dim) AS ml FROM __mu),
+         |__vl0 AS (SELECT $v0 AS vl)""".stripMargin
+    val rounds = (1 to iters).map { j =>
+      s"""__dmv$j AS (SELECT ${n4(listDot("ml", "vl"))} AS dmv
+         |  FROM __ml, __vl${j - 1}),
+         |__s$j AS (SELECT v, ${n4(s"${listDot("v", "vl")} - dmv")} AS s
+         |  FROM __b, __vl${j - 1}, __dmv$j),
+         |__w$j AS (SELECT i AS dim, ${n4("avg(s * (v[i + 1] - ml[i + 1]))")} AS w
+         |  FROM __s$j, __ml, range($dims) t(i) GROUP BY 1),
+         |__wl$j AS (SELECT list(w ORDER BY dim) AS wl FROM __w$j),
+         |__n$j AS (SELECT sqrt(${listDot("wl", "wl")}) AS nrm FROM __wl$j),
+         |__vl$j AS (SELECT list_transform(range(1, $dims + 1),
+         |    __i -> ${n4("wl[__i] / nrm")}) AS vl FROM __wl$j, __n$j)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n") +
+      s"""
+         |SELECT CAST(__i - 1 AS BIGINT) AS dim, vl[__i] AS loading
+         |FROM __vl$iters, range(1, $dims + 1) t(__i) ORDER BY dim""".stripMargin
+  }
+
   /** ANN top-k: LSH-bucket candidates (any of `tables` tables), exact
     * cosine re-rank. Recall < 1 by design; the oracle replicates the
     * same buckets so results still match exactly.

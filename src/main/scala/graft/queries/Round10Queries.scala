@@ -3,9 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.DedupOps
+import graft.ops.{DedupOps, MixOps, SimilarityOps}
 
-/** Round-10 additions: substring-granular dedup. */
+/** Round-10 additions: substring-granular dedup, token-budget mix
+  * allocation, PCA power iteration.
+  */
 object Round10Queries {
 
   // -- q138: repeated k-gram span dedup --------------------------------------
@@ -46,6 +48,42 @@ object Round10Queries {
       "\nORDER BY doc_id, span_start"
   }
 
+  // -- q139: token-budget mix allocation -------------------------------------
+  // The pretraining sampling table: a 2.0-epoch global budget split by
+  // sqrt-flattened source weights under a 2.05-epoch per-source cap.
+  // The fixture's sources are near-uniform (±15% tokens), so sqrt
+  // flattening pushes the below-average sources PAST the 2.05 cap —
+  // both the cap branch and the leftover-redistribution branch are
+  // exercised, not just the proportional path. Pure BIGINT after the
+  // sqrt; micro-epoch output.
+  private val BudgetPerMille = 2000L
+  private val EpochCapPct = 205L
+
+  private def q139(spark: SparkSession, sfDir: String): DataFrame =
+    MixOps.tokenBudget(Tables.read(spark, sfDir, "documents"),
+      "source", "text", BudgetPerMille, EpochCapPct)
+
+  private val q139Oracle: String =
+    MixOps.tokenBudgetSql("documents", "source", "text",
+      BudgetPerMille, EpochCapPct)
+
+  // -- q140: top principal component (power iteration) -----------------------
+  // Embedding-cloud PCA without materializing the covariance: three
+  // matrix-free power iterations over the 64-dim embeddings, every
+  // stat n4-gridded (the q76 discipline) so DuckDB replays the exact
+  // trajectory from the same uniform init.
+  private val PcaDims = 64
+  private val PcaIters = 3
+
+  private def q140(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.pcaTopComponent(
+      Tables.read(spark, sfDir, "embeddings"), PcaDims, PcaIters)
+
+  private val q140Oracle: String =
+    SimilarityOps.pcaTopComponentSql("embeddings", PcaDims, PcaIters)
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q138_substring_dedup", q138, Some(q138Oracle)))
+    QueryDef("q138_substring_dedup", q138, Some(q138Oracle)),
+    QueryDef("q139_token_budget", q139, Some(q139Oracle)),
+    QueryDef("q140_pca_power", q140, Some(q140Oracle)))
 }

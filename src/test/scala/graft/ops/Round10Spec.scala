@@ -71,6 +71,58 @@ class Round10Spec extends EtlSpecBase {
     assert(DedupOps.repeatedKgramSpans(df, "doc_id", "t", 2, 4).count() == 0)
   }
 
+  // ---- tokenBudget -------------------------------------------------------
+
+  private def docsOf(rows: (String, Int)*) = {
+    // (source, nDocs) -> each doc has 100 whitespace tokens
+    rows.toSeq.flatMap { case (s, n) =>
+      (1 to n).map(i => (s, Seq.fill(100)("t").mkString(" ")))
+    }.toDF("source", "text")
+  }
+
+  test("tokenBudget: cap binds on the sqrt-boosted small source; leftover redistributes") {
+    // A: 100 tokens (w=10), B: 10000 tokens (w=100); T=10100, W=110.
+    // budget=1.0 epoch of T = 10100; cap=2.0 epochs.
+    // desired_A = 10100*10 div 110 = 918 -> capped at 200
+    // desired_B = 10100*100 div 110 = 9181 (uncapped)
+    // leftover = 10100 - (200 + 9181) = 719, all to B: 9900 <= 20000
+    val df = docsOf("A" -> 1, "B" -> 100)
+    val got = MixOps.tokenBudget(df, "source", "text", 1000L, 200L)
+      .orderBy("source").collect()
+    assert(got.toSeq == Seq(
+      Row("A", 100L, 10L, 200L, 2000000L),
+      Row("B", 10000L, 100L, 9900L, 990000L)), got.mkString(", "))
+  }
+
+  test("tokenBudget: every source capped -> budget underflows, no redistribution target") {
+    // budget = 10 epochs, cap = 1 epoch: both sources pin to exactly
+    // their inventory; the un-spendable surplus is reported by the
+    // allocations summing below budget (policy belongs to the caller)
+    val df = docsOf("A" -> 1, "B" -> 100)
+    val got = MixOps.tokenBudget(df, "source", "text", 10000L, 100L)
+      .orderBy("source").collect()
+    assert(got.toSeq == Seq(
+      Row("A", 100L, 10L, 100L, 1000000L),
+      Row("B", 10000L, 100L, 10000L, 1000000L)), got.mkString(", "))
+  }
+
+  // ---- pcaTopComponent ---------------------------------------------------
+
+  test("pcaTopComponent: recovers the dominant direction of a rank-1 cloud") {
+    // zero-mean points along (0.6, 0.8): the top component IS that
+    // direction (up to the deterministic sign of the uniform init,
+    // positive here since dot((.7,.7),(.6,.8)) > 0)
+    val df = Seq(-2.0, -1.0, 1.0, 2.0)
+      .map(t => Tuple1(Array((0.6 * t).toFloat, (0.8 * t).toFloat)))
+      .toDF("embedding")
+    val v = SimilarityOps.pcaTopComponent(df, dims = 2, iters = 3)
+      .orderBy("dim").collect().map(_.getDouble(1))
+    assert(math.abs(v(0) - 0.6) < 2e-3 && math.abs(v(1) - 0.8) < 2e-3,
+      v.mkString(", "))
+    val norm = math.sqrt(v(0) * v(0) + v(1) * v(1))
+    assert(math.abs(norm - 1.0) < 2e-3, s"norm $norm")
+  }
+
   // ---- cdcApply NULL payloads -------------------------------------------
 
   test("cdcApply: a NULL payload column on the winning row SURVIVES (no stale resurrection)") {

@@ -42,7 +42,8 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q128_weighted_sample", "q129_partition_prune",
     "q130_pct_calibrate", "q131_k_anonymity", "q132_stream_cms",
     "q133_scd2_asof", "q134_stream_state_sessions", "q135_kmv_overlap",
-    "q136_gapfill_daily", "q137_benford_audit", "q138_substring_dedup")
+    "q136_gapfill_daily", "q137_benford_audit", "q138_substring_dedup",
+    "q139_token_budget", "q140_pca_power")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -495,6 +495,15 @@ class PlanSpec extends EtlSpecBase {
       s"interval merge must be a per-document window:\n$plan")
   }
 
+  test("q139 token budget: the checkpointed source aggregate is the only input") {
+    val plan = planOf("q139_token_budget")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"allocation arithmetic must consume the checkpointed source frame:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 1-row totals frames must broadcast:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
