@@ -554,6 +554,96 @@ object StatsOps {
       .orderBy("o_custkey", "day")
   }
 
+  // ---- PSI distribution drift --------------------------------------------
+
+  /** Population stability index between a reference and a current
+    * slice of `valueCol` — the binned drift audit an ingest monitor
+    * actually pages on (KS, q122, is its unbinned sibling):
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), with the conventional
+    * ≥1-count clamp on each bin (a bin EMPTY on one side is the
+    * strongest drift signal and must contribute a finite, large term,
+    * not ±∞; totals stay unclamped). Bins are `bins` fixed-width
+    * cells over the pooled [min, max] of BOTH slices, joined onto a
+    * dense 0..bins-1 spine (the q137 lesson: missing groups carry
+    * the signal). Each term is floored onto the 1e-6 grid BEFORE the
+    * sum (ln is last-ulp engine-private — the q116 convention), so
+    * `psi_u` is exact micro-units. Degenerate pooled min==max puts
+    * everything in bin 0 (width clamps to 1).
+    *
+    * Scale shape: one stats pass for the pooled bounds (1-row
+    * broadcast back, q109's histogram layout), then ONE scan
+    * aggregating both slices' bin counts map-side (conditional sums,
+    * `bins` groups); everything after is arithmetic on `bins` rows.
+    * Returns (bin, n_ref, n_cur, term_u, psi_u) ordered by bin.
+    */
+  def psiDrift(df: DataFrame, valueCol: Column, refPred: Column,
+      curPred: Column, bins: Int): DataFrame = {
+    require(bins > 1, s"bins must be > 1: $bins")
+    val pool = df.where(refPred || curPred)
+    val bounds = pool.agg(min(valueCol).as("__mn"), max(valueCol).as("__mx"))
+    val width = when(col("__mx") > col("__mn"),
+      (col("__mx") - col("__mn")) / lit(bins.toDouble)).otherwise(lit(1.0))
+    val bin = least(floor((valueCol - col("__mn")) / width).cast(LongType),
+      lit(bins - 1L))
+    val counts = pool.crossJoin(broadcast(bounds))
+      .groupBy(bin.as("bin"))
+      .agg(sum(when(refPred, 1L).otherwise(0L)).as("__r"),
+        sum(when(curPred, 1L).otherwise(0L)).as("__c"))
+    val spine = df.sparkSession.range(0, bins).select(col("id").as("bin"))
+    val dense = spine.join(broadcast(counts), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__r"), lit(0L)).as("n_ref"),
+        coalesce(col("__c"), lit(0L)).as("n_cur"))
+    val tot = dense.agg(sum(col("n_ref")).as("__nr"), sum(col("n_cur")).as("__nc"))
+    val withTerm = dense.crossJoin(broadcast(tot))
+      // an entirely-empty slice → empty result (not an ANSI div-0
+      // error): drift vs nothing is not a defined statistic
+      .where(col("__nr") > 0 && col("__nc") > 0)
+      .withColumn("__p", greatest(col("n_ref"), lit(1L)).cast(DoubleType) /
+        col("__nr").cast(DoubleType))
+      .withColumn("__q", greatest(col("n_cur"), lit(1L)).cast(DoubleType) /
+        col("__nc").cast(DoubleType))
+      .withColumn("term_u",
+        floor((col("__p") - col("__q")) * log(col("__p") / col("__q"))
+          * lit(1e6) + lit(0.5)).cast(LongType))
+    val psi = withTerm.agg(sum(col("term_u")).as("__psi"))
+    withTerm.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("term_u"),
+        col("__psi").as("psi_u"))
+      .orderBy("bin")
+  }
+
+  /** [[psiDrift]] oracle rendering. `refSql`/`curSql` are boolean
+    * predicates over the table's columns.
+    */
+  def psiDriftSql(table: String, valueSql: String, refSql: String,
+      curSql: String, bins: Int): String =
+    s"""WITH __pool AS (SELECT * FROM $table WHERE ($refSql) OR ($curSql)),
+       |__bounds AS (SELECT min($valueSql) AS mn, max($valueSql) AS mx FROM __pool),
+       |__w AS (SELECT mn, mx, CASE WHEN mx > mn
+       |    THEN (mx - mn) / CAST($bins AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS w
+       |  FROM __bounds),
+       |__cnt AS (SELECT least(CAST(floor(($valueSql - mn) / w) AS BIGINT),
+       |      ${bins - 1}) AS bin,
+       |    CAST(sum(CASE WHEN $refSql THEN 1 ELSE 0 END) AS BIGINT) AS r,
+       |    CAST(sum(CASE WHEN $curSql THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM __pool, __w GROUP BY 1),
+       |__dense AS (SELECT s.bin, CAST(coalesce(c.r, 0) AS BIGINT) AS n_ref,
+       |    CAST(coalesce(c.c, 0) AS BIGINT) AS n_cur
+       |  FROM (SELECT CAST(gs AS BIGINT) AS bin
+       |        FROM generate_series(0, ${bins - 1}) t(gs)) s
+       |  LEFT JOIN __cnt c ON s.bin = c.bin),
+       |__tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+       |    CAST(sum(n_cur) AS BIGINT) AS nc FROM __dense),
+       |__t AS (SELECT bin, n_ref, n_cur,
+       |    CAST(floor((CAST(greatest(n_ref, 1) AS DOUBLE) / nr
+       |        - CAST(greatest(n_cur, 1) AS DOUBLE) / nc)
+       |      * ln((CAST(greatest(n_ref, 1) AS DOUBLE) / nr)
+       |        / (CAST(greatest(n_cur, 1) AS DOUBLE) / nc))
+       |      * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS term_u
+       |  FROM __dense, __tot WHERE nr > 0 AND nc > 0),
+       |__s AS (SELECT CAST(sum(term_u) AS BIGINT) AS psi_u FROM __t)
+       |SELECT bin, n_ref, n_cur, term_u, psi_u FROM __t, __s ORDER BY bin""".stripMargin
+
   // ---- Benford first-digit audit -----------------------------------------
 
   /** log10(1 + 1/d) for d = 1..9, as shortest-round-trip decimal

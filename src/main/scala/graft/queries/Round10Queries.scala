@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, MixOps, SimilarityOps}
+import graft.ops.{DedupOps, MixOps, SimilarityOps, StatsOps}
 
 /** Round-10 additions: substring-granular dedup, token-budget mix
   * allocation, PCA power iteration.
@@ -82,8 +82,54 @@ object Round10Queries {
   private val q140Oracle: String =
     SimilarityOps.pcaTopComponentSql("embeddings", PcaDims, PcaIters)
 
+  // -- q141: PSI distribution drift ------------------------------------------
+  // The binned drift audit (KS q122's industry sibling): order totals,
+  // 1995 as reference vs 1996 as current (the fixture spans 1995-2001),
+  // 10 pooled-range bins with
+  // the ≥1-count clamp and dense bin spine. TPC-H years are iid by
+  // construction, so the audit reads near-zero PSI — the calibrated
+  // no-drift baseline a monitor alarms against.
+  private val PsiBins = 10
+
+  private def q141(spark: SparkSession, sfDir: String): DataFrame = {
+    val yr = year(to_date(col("o_orderdate")))
+    StatsOps.psiDrift(Tables.read(spark, sfDir, "orders"),
+      col("o_totalprice"), yr === 1995, yr === 1996, PsiBins)
+  }
+
+  private val q141Oracle: String =
+    StatsOps.psiDriftSql("orders", "o_totalprice",
+      "year(CAST(o_orderdate AS DATE)) = 1995",
+      "year(CAST(o_orderdate AS DATE)) = 1996", PsiBins)
+
+  // -- q142: l-diversity audit -----------------------------------------------
+  // q131's k-anonymity counts group SIZES; l-diversity audits what k
+  // can't see — a group can be large yet expose everyone if the
+  // SENSITIVE attribute (source here) is uniform within it. Flag each
+  // (lang, length-bucket) quasi-identifier group whose distinct
+  // sensitive count is below L. One partial-aggregable
+  // count-distinct over the quasi-identifier domain.
+  private val DivL = 3
+
+  private def q142(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents")
+      .groupBy(col("lang"), expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("source")).as("n_sensitive"))
+      .where(col("n_sensitive") < DivL)
+      .orderBy("lang", "len_bucket")
+
+  private val q142Oracle: String =
+    s"""SELECT lang, n_chars // 100 AS len_bucket, count(*) AS n,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive
+       |FROM documents GROUP BY 1, 2
+       |HAVING count(DISTINCT source) < $DivL
+       |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q138_substring_dedup", q138, Some(q138Oracle)),
     QueryDef("q139_token_budget", q139, Some(q139Oracle)),
-    QueryDef("q140_pca_power", q140, Some(q140Oracle)))
+    QueryDef("q140_pca_power", q140, Some(q140Oracle)),
+    QueryDef("q141_psi_drift", q141, Some(q141Oracle)),
+    QueryDef("q142_l_diversity", q142, Some(q142Oracle)))
 }

@@ -123,6 +123,36 @@ class Round10Spec extends EtlSpecBase {
     assert(math.abs(norm - 1.0) < 2e-3, s"norm $norm")
   }
 
+  // ---- psiDrift ----------------------------------------------------------
+
+  test("psiDrift: identical slices read zero PSI; empty bins clamp, not blow up") {
+    val df = (1 to 100).flatMap(i =>
+      Seq(("r", i.toDouble), ("c", i.toDouble))).toDF("tag", "v")
+    val got = StatsOps.psiDrift(df, col("v"), col("tag") === "r",
+      col("tag") === "c", 5).collect()
+    assert(got.length == 5)
+    assert(got.forall(_.getLong(4) == 0L), got.mkString(", "))
+  }
+
+  test("psiDrift: one-sided bin contributes a large finite term via the >=1 clamp") {
+    // ref only in [0,10), cur only in [10,20): every bin one-sided
+    val df = ((1 to 50).map(i => ("r", i % 10 + 0.5)) ++
+      (1 to 50).map(i => ("c", i % 10 + 10.5))).toDF("tag", "v")
+    val got = StatsOps.psiDrift(df, col("v"), col("tag") === "r",
+      col("tag") === "c", 2).orderBy("bin").collect()
+    assert(got.length == 2)
+    val psi = got.head.getLong(4)
+    // p=50/50 vs q=1/50 per side: term = (1 - 0.02)*ln(50) ~ 3.834 each
+    assert(psi > 7000000L, s"one-sided drift must read large PSI, got $psi")
+    assert(got.forall(_.getLong(3) > 0L), got.mkString(", "))
+  }
+
+  test("psiDrift: an empty slice yields an empty result, not a div-0 error") {
+    val df = (1 to 10).map(i => ("r", i.toDouble)).toDF("tag", "v")
+    assert(StatsOps.psiDrift(df, col("v"), col("tag") === "r",
+      col("tag") === "c", 4).count() == 0)
+  }
+
   // ---- cdcApply NULL payloads -------------------------------------------
 
   test("cdcApply: a NULL payload column on the winning row SURVIVES (no stale resurrection)") {
