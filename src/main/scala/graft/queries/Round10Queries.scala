@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, MixOps, SimilarityOps, StatsOps}
+import graft.ops.{DedupOps, MixOps, MultimodalOps, SimilarityOps, StatsOps}
 
 /** Round-10 additions: substring-granular dedup, token-budget mix
   * allocation, PCA power iteration.
@@ -126,10 +126,50 @@ object Round10Queries {
        |HAVING count(DISTINCT source) < $DivL
        |ORDER BY 1, 2""".stripMargin
 
+  // -- q143: PNG header metadata roundtrip -----------------------------------
+  // Real container-format parsing, no codec required: each doc gets a
+  // spec-correct PNG signature+IHDR payload (width/height derived
+  // deterministically from doc data; every 7th doc gets a corrupted
+  // signature), and an INDEPENDENT offset-by-offset parser reads the
+  // dimensions back, returning NULLs for the corrupted payloads. The
+  // oracle computes the expected dims algebraically from the same doc
+  // data — so a wrong offset, wrong endianness, or a crash on the
+  // corrupt path breaks the gate. The payload column is real `binary`
+  // (the multimodal column convention of q25), and the parse is a
+  // pure projection — the metadata pass a media pipeline runs before
+  // ever shipping bytes to a decoder.
+  private def q143(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents")
+    val payload = MultimodalOps.pngHeader(
+      col("n_chars") % 640 + 1, col("doc_id") % 480 + 1,
+      col("doc_id") % 7 =!= 0)
+    val dims = MultimodalOps.pngDims(col("payload"))
+    d.select(col("doc_id"), payload.as("payload"))
+      .select(col("doc_id"), dims.as("__d"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .select(col("doc_id"),
+        col("__d").getItem(0).as("width"),
+        col("__d").getItem(1).as("height"),
+        col("__d").getItem(2).as("bit_depth"),
+        col("__d").getItem(3).as("color_type"),
+        col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  private val q143Oracle: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 <> 0 THEN n_chars % 640 + 1 END AS width,
+      |  CASE WHEN doc_id % 7 <> 0 THEN doc_id % 480 + 1 END AS height,
+      |  CASE WHEN doc_id % 7 <> 0 THEN CAST(8 AS BIGINT) END AS bit_depth,
+      |  CASE WHEN doc_id % 7 <> 0 THEN CAST(6 AS BIGINT) END AS color_type,
+      |  CAST(26 AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q138_substring_dedup", q138, Some(q138Oracle)),
     QueryDef("q139_token_budget", q139, Some(q139Oracle)),
     QueryDef("q140_pca_power", q140, Some(q140Oracle)),
     QueryDef("q141_psi_drift", q141, Some(q141Oracle)),
-    QueryDef("q142_l_diversity", q142, Some(q142Oracle)))
+    QueryDef("q142_l_diversity", q142, Some(q142Oracle)),
+    QueryDef("q143_png_metadata", q143, Some(q143Oracle)))
 }

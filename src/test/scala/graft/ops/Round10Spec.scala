@@ -153,6 +153,35 @@ class Round10Spec extends EtlSpecBase {
       col("tag") === "c", 4).count() == 0)
   }
 
+  // ---- PNG header kernels ------------------------------------------------
+
+  test("pngDims: parses a hand-written spec-literal 1x1 RGBA header") {
+    // bytes straight from the PNG spec (signature + IHDR), NOT from
+    // pngHeader — pins the parser to the real format so a shared
+    // offset bug in synth+parse cannot cancel out
+    val specLiteral: Array[Byte] = Array(
+      0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0x00, 0x00, 0x00, 0x0D, // IHDR length 13
+      0x49, 0x48, 0x44, 0x52, // "IHDR"
+      0x00, 0x00, 0x00, 0x01, // width 1 (big-endian)
+      0x00, 0x00, 0x00, 0x01, // height 1
+      0x08, 0x06 // bit depth 8, color type 6
+    ).map(_.toByte)
+    val got = MultimodalKernels.pngDims(specLiteral)
+    assert(got != null && got.toLongArray().toSeq == Seq(1L, 1L, 8L, 6L))
+  }
+
+  test("pngHeader/pngDims roundtrip; corruption and truncation return null") {
+    val ok = MultimodalKernels.pngDims(
+      MultimodalKernels.pngHeader(640, 480, valid = true))
+    assert(ok.toLongArray().toSeq == Seq(640L, 480L, 8L, 6L))
+    assert(MultimodalKernels.pngDims(
+      MultimodalKernels.pngHeader(640, 480, valid = false)) == null)
+    assert(MultimodalKernels.pngDims(Array[Byte](1, 2, 3)) == null)
+    assert(MultimodalKernels.pngDims(
+      MultimodalKernels.pngHeader(640, 480, valid = true).take(20)) == null)
+  }
+
   // ---- cdcApply NULL payloads -------------------------------------------
 
   test("cdcApply: a NULL payload column on the winning row SURVIVES (no stale resurrection)") {
