@@ -480,6 +480,19 @@ object SimilarityOps {
     */
   def pcaTopComponent(df: DataFrame, dims: Int, iters: Int,
       vecCol: String = "embedding"): DataFrame = {
+    val v = pcaComponentVector(df, dims, iters, vecCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    v.toSeq.zipWithIndex.map { case (l, d) => (d.toLong, l) }
+      .toDF("dim", "loading").orderBy("dim")
+  }
+
+  /** The raw component of [[pcaTopComponent]] as a driver-side array —
+    * for composed consumers that project against it (drift monitors,
+    * whitening) without round-tripping through a 64-row frame.
+    */
+  def pcaComponentVector(df: DataFrame, dims: Int, iters: Int,
+      vecCol: String = "embedding"): Array[Double] = {
     require(dims > 0 && iters > 0, s"dims/iters must be positive: $dims/$iters")
     val base = df.select(asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -508,10 +521,7 @@ object SimilarityOps {
       v = w4.map(x => n4d(x / nrm))
     }
     base.unpersist()
-    val spark = df.sparkSession
-    import spark.implicits._
-    v.toSeq.zipWithIndex.map { case (l, d) => (d.toLong, l) }
-      .toDF("dim", "loading").orderBy("dim")
+    v
   }
 
   /** [[pcaTopComponent]] oracle rendering: the identical trajectory as
@@ -520,6 +530,18 @@ object SimilarityOps {
     * at the same points.
     */
   def pcaTopComponentSql(table: String, dims: Int, iters: Int,
+      vecCol: String = "embedding"): String =
+    "WITH " + pcaCtes(table, dims, iters, vecCol) +
+      s"""
+         |SELECT CAST(__i - 1 AS BIGINT) AS dim, vl[__i] AS loading
+         |FROM __vl$iters, range(1, $dims + 1) t(__i) ORDER BY dim""".stripMargin
+
+  /** The [[pcaTopComponentSql]] CTE chain WITHOUT the leading WITH or
+    * final SELECT — ends at `__vl<iters>` (a 1-row CTE holding the
+    * final component as list `vl`), so composed oracles (projection,
+    * drift) can embed the trajectory via their `extraCtes` hooks.
+    */
+  def pcaCtes(table: String, dims: Int, iters: Int,
       vecCol: String = "embedding"): String = {
     def n4(e: String) = s"(floor(($e) * 10000 + 0.5) / 10000.0)"
     def listDot(a: String, b: String) =
@@ -529,7 +551,7 @@ object SimilarityOps {
       "[" + Seq.fill(dims)(s"CAST('$x' AS DOUBLE)").mkString(", ") + "]"
     }
     val head =
-      s"""WITH __b AS (SELECT list_transform($vecCol, __x -> CAST(__x AS DOUBLE)) AS v
+      s"""__b AS (SELECT list_transform($vecCol, __x -> CAST(__x AS DOUBLE)) AS v
          |  FROM $table),
          |__mu AS (SELECT i AS dim, ${n4("avg(v[i + 1])")} AS m
          |  FROM __b, range($dims) t(i) GROUP BY 1),
@@ -547,10 +569,7 @@ object SimilarityOps {
          |__vl$j AS (SELECT list_transform(range(1, $dims + 1),
          |    __i -> ${n4("wl[__i] / nrm")}) AS vl FROM __wl$j, __n$j)""".stripMargin
     }
-    (Seq(head) ++ rounds).mkString(",\n") +
-      s"""
-         |SELECT CAST(__i - 1 AS BIGINT) AS dim, vl[__i] AS loading
-         |FROM __vl$iters, range(1, $dims + 1) t(__i) ORDER BY dim""".stripMargin
+    (Seq(head) ++ rounds).mkString(",\n")
   }
 
   /** ANN top-k: LSH-bucket candidates (any of `tables` tables), exact

@@ -613,11 +613,13 @@ object StatsOps {
   }
 
   /** [[psiDrift]] oracle rendering. `refSql`/`curSql` are boolean
-    * predicates over the table's columns.
+    * predicates over the table's columns; prepend extra CTEs via
+    * `extraCtes` (margin-free, per the stripMargin embedding rule).
     */
   def psiDriftSql(table: String, valueSql: String, refSql: String,
-      curSql: String, bins: Int): String =
-    s"""WITH __pool AS (SELECT * FROM $table WHERE ($refSql) OR ($curSql)),
+      curSql: String, bins: Int, extraCtes: String = ""): String = {
+    val pre = if (extraCtes.isEmpty) "" else extraCtes + ",\n"
+    s"""WITH ${pre}__pool AS (SELECT * FROM $table WHERE ($refSql) OR ($curSql)),
        |__bounds AS (SELECT min($valueSql) AS mn, max($valueSql) AS mx FROM __pool),
        |__w AS (SELECT mn, mx, CASE WHEN mx > mn
        |    THEN (mx - mn) / CAST($bins AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS w
@@ -643,6 +645,7 @@ object StatsOps {
        |  FROM __dense, __tot WHERE nr > 0 AND nc > 0),
        |__s AS (SELECT CAST(sum(term_u) AS BIGINT) AS psi_u FROM __t)
        |SELECT bin, n_ref, n_cur, term_u, psi_u FROM __t, __s ORDER BY bin""".stripMargin
+  }
 
   // ---- Benford first-digit audit -----------------------------------------
 

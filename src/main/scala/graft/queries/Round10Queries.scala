@@ -165,11 +165,48 @@ object Round10Queries {
       |  CAST(26 AS BIGINT) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- q144: embedding drift monitor (PCA projection -> PSI) -----------------
+  // The composed monitor a feature store runs on its vector column:
+  // project every embedding onto the corpus's top principal component
+  // (q140's trajectory), then PSI the projection distribution between
+  // two deterministic halves (even vs odd vec_id — iid by
+  // construction, so the calibrated no-drift baseline). Composition
+  // is the point: the projection is one kernel dot against the
+  // collected component literals (map-side), and the drift audit
+  // reuses q141's dense-bin machinery over the n4-gridded scores.
+  private val DriftBins = 8
+
+  private def q144(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val v = SimilarityOps.pcaComponentVector(emb, PcaDims, PcaIters)
+    val proj = emb.select(col("vec_id"),
+      Norm.n4(SimilarityOps.dot(
+        SimilarityOps.asDouble(col("embedding")), typedLit(v.toSeq))).as("s"))
+    StatsOps.psiDrift(proj, col("s"),
+      col("vec_id") % 2 === 0, col("vec_id") % 2 === 1, DriftBins)
+  }
+
+  private val q144Oracle: String = {
+    val dims = PcaDims
+    val projDot = "CAST(list_sum(list_transform(range(1, " + (dims + 1) +
+      "), __i -> (pv)[__i] * (vl)[__i])) AS DOUBLE)"
+    val extra = SimilarityOps.pcaCtes("embeddings", PcaDims, PcaIters) +
+      s""",
+         |__pb AS (SELECT vec_id, list_transform(embedding,
+         |    __x -> CAST(__x AS DOUBLE)) AS pv FROM embeddings),
+         |__proj AS (SELECT vec_id,
+         |    ${graft.etl.OracleSql.n4(projDot)} AS s
+         |  FROM __pb, __vl$PcaIters)""".stripMargin
+    StatsOps.psiDriftSql("__proj", "s",
+      "vec_id % 2 = 0", "vec_id % 2 = 1", DriftBins, extraCtes = extra)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q138_substring_dedup", q138, Some(q138Oracle)),
     QueryDef("q139_token_budget", q139, Some(q139Oracle)),
     QueryDef("q140_pca_power", q140, Some(q140Oracle)),
     QueryDef("q141_psi_drift", q141, Some(q141Oracle)),
     QueryDef("q142_l_diversity", q142, Some(q142Oracle)),
-    QueryDef("q143_png_metadata", q143, Some(q143Oracle)))
+    QueryDef("q143_png_metadata", q143, Some(q143Oracle)),
+    QueryDef("q144_embedding_drift", q144, Some(q144Oracle)))
 }

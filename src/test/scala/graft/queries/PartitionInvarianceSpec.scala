@@ -43,7 +43,8 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q130_pct_calibrate", "q131_k_anonymity", "q132_stream_cms",
     "q133_scd2_asof", "q134_stream_state_sessions", "q135_kmv_overlap",
     "q136_gapfill_daily", "q137_benford_audit", "q138_substring_dedup",
-    "q139_token_budget", "q140_pca_power", "q141_psi_drift")
+    "q139_token_budget", "q140_pca_power", "q141_psi_drift",
+    "q144_embedding_drift")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
