@@ -11,7 +11,8 @@ object SparkEntry {
     EtlQueries.defs ++ ExtQueries.defs ++ Round3Queries.defs ++ Round5Queries.defs ++
       Round6Queries.defs ++ Round7Queries.defs ++ Round7bQueries.defs ++
       Round7cQueries.defs ++ Round7dQueries.defs ++ Round7eQueries.defs ++
-      Round7fQueries.defs ++ Round9Queries.defs ++ Round10Queries.defs
+      Round7fQueries.defs ++ Round9Queries.defs ++ Round10Queries.defs ++
+      Round10bQueries.defs
 
   /** Flagship: full auto-cleaning ETL of the sf0.001 events table
     * (driver smoke-checks rows > 0).

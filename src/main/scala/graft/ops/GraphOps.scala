@@ -66,6 +66,141 @@ object GraphOps {
     rank.orderBy(col("r").desc, col("node"))
   }
 
+  /** Degree-ordered triangle census over an undirected edge list.
+    *
+    * Input: columns (`a`, `b`) — any direction, self-loops and
+    * duplicates tolerated (normalized away). Output: ONE row
+    * (n_nodes, n_edges, n_wedges, n_triangles, gcc_ppm) where
+    * `n_wedges = Σ_v d(v)(d(v)−1)/2` and `gcc_ppm` is the global
+    * clustering coefficient `3·T/W` in exact integer ppm.
+    *
+    * Scale shape: the naive wedge join (edges ⋈ edges on the shared
+    * endpoint) explodes quadratically on hub nodes. The fix is the
+    * standard degree orientation: direct every edge from its
+    * (degree, id)-smaller endpoint to the larger, so each triangle
+    * {x<y<z} is counted exactly once as x→y, y→z, x→z, and a node's
+    * out-degree is bounded by O(√m) — total wedge-join work is
+    * O(m^{3/2}) (the arboricity bound) instead of Σd². Both joins
+    * are plain hash joins on edge keys; no driver-side state.
+    */
+  def triangleStats(edgesIn: DataFrame): DataFrame = {
+    val und = edgesIn.select(
+        least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true) // read by degree calc + two orientation joins
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient: src = the (deg, id)-lexicographically smaller endpoint
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      .localCheckpoint(true) // read three times by the wedge/close joins
+    val wedgePaths = oriented.select(col("src").as("x"), col("dst").as("y"))
+      .join(oriented.select(col("src").as("y"), col("dst").as("z")), "y")
+    val triangles = wedgePaths
+      .join(oriented.select(col("src").as("x"), col("dst").as("z")),
+        Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
+    val edgeStats = und.agg(count(lit(1)).as("n_edges"))
+    degStats.crossJoin(broadcast(edgeStats)) // one-row stats frames
+      .crossJoin(broadcast(triangles))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("3 * n_triangles * 1000000 div n_wedges"))
+          .otherwise(lit(0L)).as("gcc_ppm"))
+  }
+
+  /** [[triangleStats]] oracle rendering over an `edgesCte` producing
+    * columns (a, b).
+    */
+  def triangleStatsSql(edgesCte: String): String =
+    s"""WITH raw AS ($edgesCte),
+       |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |        FROM raw WHERE a <> b),
+       |deg AS (SELECT node, count(*) AS deg FROM (
+       |          SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |        GROUP BY 1),
+       |ori AS (SELECT
+       |    CASE WHEN (da.deg, und.u) < (db.deg, und.v) THEN und.u ELSE und.v END AS src,
+       |    CASE WHEN (da.deg, und.u) < (db.deg, und.v) THEN und.v ELSE und.u END AS dst
+       |  FROM und JOIN deg da ON und.u = da.node JOIN deg db ON und.v = db.node),
+       |tri AS (SELECT count(*) AS n_triangles
+       |  FROM ori e1 JOIN ori e2 ON e1.dst = e2.src
+       |  JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |ds AS (SELECT count(*) AS n_nodes,
+       |         CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+       |es AS (SELECT count(*) AS n_edges FROM und)
+       |SELECT n_nodes, n_edges, n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+       |  CASE WHEN n_wedges > 0
+       |       THEN CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT)
+       |       ELSE 0 END AS gcc_ppm
+       |FROM ds, es, tri""".stripMargin
+
+  /** Frontier BFS level census from a seed predicate.
+    *
+    * Input: directed edges (`src`, `dst`) — pass both directions for
+    * an undirected graph — and a one-column seed frame (`node`).
+    * Output: (level, n_nodes) for levels 0..maxHops, where level is
+    * the FIRST hop count at which a node becomes reachable (the
+    * shortest-path level census).
+    *
+    * Scale shape: classic frontier expansion — per hop ONE join of
+    * the edge list to the current frontier plus one distinct and one
+    * anti-join against the visited set; the frontier and visited
+    * frames are node-keyed (never edge-keyed), and each hop's
+    * frontier is checkpointed so lineage stays flat. maxHops is a
+    * small constant; at 100 TB this is `hops × (one edge shuffle)`,
+    * the Pregel BFS shape without per-node mutable state.
+    */
+  def bfsLevels(edgesIn: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint(true)
+    var frontier = seeds.select(col("node")).distinct().localCheckpoint(true)
+    var visited = frontier
+    var out = frontier.select(lit(0).as("level"), col("node"))
+    for (h <- 1 to maxHops) {
+      frontier = edges
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionAll(frontier).localCheckpoint(true)
+      out = out.unionAll(frontier.select(lit(h).as("level"), col("node")))
+    }
+    out.groupBy("level").agg(count(lit(1)).as("n_nodes")).orderBy("level")
+  }
+
+  /** [[bfsLevels]] oracle rendering: unrolled per-hop CTEs (frontier
+    * = neighbors of the previous frontier minus everything seen).
+    */
+  def bfsLevelsSql(edgesCte: String, seedsCte: String, maxHops: Int): String = {
+    val hops = (1 to maxHops).map { h =>
+      s"""f$h AS (SELECT DISTINCT e.dst AS node
+         |  FROM edges e JOIN f${h - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM v${h - 1})),
+         |v$h AS (SELECT node FROM v${h - 1} UNION SELECT node FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    val levels = (0 to maxHops)
+      .map(h => s"SELECT $h AS level, count(*) AS n_nodes FROM f$h")
+      .mkString(" UNION ALL ")
+    s"""WITH edges AS ($edgesCte),
+       |f0 AS (SELECT DISTINCT node FROM ($seedsCte)),
+       |v0 AS (SELECT node FROM f0),
+       |$hops
+       |SELECT level, n_nodes FROM ($levels) WHERE n_nodes > 0 ORDER BY level""".stripMargin
+  }
+
   /** [[pageRank]] oracle rendering: the same integer recurrence as
     * `iters` chained CTEs (`//` = integer div, HUGEINT inflow sums
     * cast back through DOUBLE for the damping multiply).

@@ -98,6 +98,39 @@ object MultimodalOps {
       Seq(BinaryType), propagateNull = true, returnNullable = true))
   }
 
+  /** Kernel-backed WAV/RIFF header synthesis (see
+    * [[MultimodalKernels.wavHeader]]).
+    */
+  def wavHeader(sampleRate: Column, channels: Column, nFrames: Column,
+      valid: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, BinaryType, "wavHeader",
+      Seq(ExprBridge.expression(sampleRate.cast(IntegerType)),
+        ExprBridge.expression(channels.cast(IntegerType)),
+        ExprBridge.expression(nFrames.cast(IntegerType)),
+        ExprBridge.expression(valid.cast(BooleanType))),
+      Seq(IntegerType, IntegerType, IntegerType, BooleanType),
+      propagateNull = true, returnNullable = true))
+  }
+
+  /** Kernel-backed WAV header parse: array [sample_rate, channels,
+    * bits_per_sample, n_frames, duration_ms], NULL when the RIFF/WAVE
+    * validation fails (see [[MultimodalKernels.wavDims]]).
+    */
+  def wavDims(payload: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, ArrayType(LongType, containsNull = false),
+      "wavDims",
+      Seq(ExprBridge.expression(payload.cast(BinaryType))),
+      Seq(BinaryType), propagateNull = true, returnNullable = true))
+  }
+
   /** Frame sampling (the video-pipeline shape): split a payload into
     * `n` contiguous frames and compute one feature per frame — here a
     * code-unit sum standing in for a real per-frame decode (the
@@ -184,6 +217,98 @@ object MultimodalKernels {
       bytes(15) != 'R') return null
     new GenericArrayData(Array(readBE(bytes, 16), readBE(bytes, 20),
       (bytes(24) & 0xff).toLong, (bytes(25) & 0xff).toLong))
+  }
+
+  // ---- WAV/RIFF container header (REAL format, LITTLE-endian) ------------
+  // The audio sibling of the PNG pass above, and deliberately the
+  // OPPOSITE byte order: RIFF/WAVE fields are little-endian per the
+  // public WAVE format documentation (RIFF chunk + "WAVE" form +
+  // canonical 16-byte PCM "fmt " chunk + "data" chunk = 44 bytes), so
+  // a parser that silently reuses the PNG big-endian reader fails the
+  // oracle on every multi-byte field. The parser validates all four
+  // magic tags, the PCM format code, AND the two REDUNDANT fields the
+  // spec derives from the primaries (byte_rate, block_align) — a
+  // metadata pass must reject internally-inconsistent headers, not
+  // just truncated ones.
+
+  private def writeLE32(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v & 0xff).toByte
+    out(off + 1) = ((v >>> 8) & 0xff).toByte
+    out(off + 2) = ((v >>> 16) & 0xff).toByte
+    out(off + 3) = ((v >>> 24) & 0xff).toByte
+  }
+
+  private def writeLE16(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v & 0xff).toByte
+    out(off + 1) = ((v >>> 8) & 0xff).toByte
+  }
+
+  private def readLE32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def readLE16(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
+
+  private val WavBits = 16 // canonical PCM-16 fixture payloads
+
+  /** Spec-correct 44-byte canonical WAV header: RIFF size, "WAVE",
+    * PCM "fmt " chunk (format 1, derived byte_rate/block_align), and
+    * a "data" chunk sized `nFrames * block_align`. `valid=false`
+    * writes the big-endian "RIFX" container tag instead of "RIFF" —
+    * a real byte-order variant this little-endian parser must reject.
+    */
+  def wavHeader(sampleRate: Int, channels: Int, nFrames: Int,
+      valid: Boolean): Array[Byte] = {
+    val blockAlign = channels * (WavBits / 8)
+    val dataSize = nFrames * blockAlign
+    val out = new Array[Byte](44)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'
+    out(3) = if (valid) 'F' else 'X'
+    writeLE32(out, 4, 36 + dataSize)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    writeLE32(out, 16, 16) // canonical PCM fmt-chunk size
+    writeLE16(out, 20, 1) // audio format: PCM
+    writeLE16(out, 22, channels)
+    writeLE32(out, 24, sampleRate)
+    writeLE32(out, 28, sampleRate * blockAlign) // byte rate (derived)
+    writeLE16(out, 32, blockAlign)
+    writeLE16(out, 34, WavBits)
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    writeLE32(out, 40, dataSize)
+    out
+  }
+
+  /** Parse (sample_rate, channels, bits_per_sample, n_frames,
+    * duration_ms) out of a canonical WAV header; NULL (not an
+    * exception) for short buffers, wrong magics, non-PCM format, or
+    * derived-field inconsistency. duration_ms is exact integer floor
+    * (frames*1000 div rate) so both engines agree without float math.
+    */
+  def wavDims(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 44) return null
+    if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+      bytes(3) != 'F') return null
+    if (bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' ||
+      bytes(11) != 'E') return null
+    if (bytes(12) != 'f' || bytes(13) != 'm' || bytes(14) != 't' ||
+      bytes(15) != ' ') return null
+    if (readLE32(bytes, 16) != 16L || readLE16(bytes, 20) != 1L) return null
+    if (bytes(36) != 'd' || bytes(37) != 'a' || bytes(38) != 't' ||
+      bytes(39) != 'a') return null
+    val channels = readLE16(bytes, 22)
+    val rate = readLE32(bytes, 24)
+    val bits = readLE16(bytes, 34)
+    val blockAlign = readLE16(bytes, 32)
+    if (channels < 1 || rate < 1 || bits % 8 != 0) return null
+    if (blockAlign != channels * (bits / 8)) return null
+    if (readLE32(bytes, 28) != rate * blockAlign) return null
+    val dataSize = readLE32(bytes, 40)
+    if (dataSize % blockAlign != 0) return null
+    val nFrames = dataSize / blockAlign
+    new GenericArrayData(Array(rate, channels, bits, nFrames,
+      nFrames * 1000L / rate))
   }
 
   /** Frame i covers code units [i*len/n, (i+1)*len/n) (integer floor);

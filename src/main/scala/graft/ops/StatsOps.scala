@@ -737,6 +737,152 @@ object StatsOps {
        |FROM __c, __x ORDER BY digit""".stripMargin
   }
 
+  // ---- t-closeness audit -------------------------------------------------
+
+  /** t-closeness audit: for each quasi-identifier group, the total
+    * variation distance between the group's SENSITIVE-attribute
+    * distribution and the corpus-wide one —
+    * `t = ½ Σ_s |n_gs/n_g − N_s/N|` (equal-ground-distance EMD for a
+    * categorical attribute). Completes the privacy ladder:
+    * k-anonymity (q131) sees group SIZE, l-diversity (q142) sees
+    * sensitive CARDINALITY, t-closeness sees sensitive SKEW — a large
+    * group with 5 distinct sources can still leak if 99% of it is one
+    * source.
+    *
+    * Exactness: `t = Σ_s |n_gs·N − N_s·n_g| / (2·n_g·N)` — the
+    * numerator is exact BIGINT. Sources ABSENT from a group still
+    * contribute `N_s·n_g` each; rather than densifying on a
+    * group×source spine, that tail is closed-form:
+    * `Σ_{s∉g} N_s = N − Σ_{s∈g} N_s`, so the absent-source
+    * contribution is `n_g·(N − Σ_{s∈g} N_s)` — no spine, no zero-row
+    * bookkeeping (the Benford dense-spine lesson, solved
+    * algebraically this time).
+    *
+    * Scale shape: one partial-aggregable (group, sensitive) count,
+    * one broadcast join of the tiny per-sensitive totals, one
+    * partial-aggregable group rollup. No spine cross join; the only
+    * non-keyed exchange is the one-row (N) literal.
+    */
+  def tCloseness(df: DataFrame, groupExprs: Seq[(String, Column)],
+      sensitive: Column): DataFrame = {
+    val gNames = groupExprs.map(_._1)
+    val cells = df
+      .groupBy(groupExprs.map { case (n, c) => c.as(n) } :+ sensitive.as("__s"): _*)
+      .agg(count(lit(1)).as("__ngs"))
+      .localCheckpoint(true) // feeds the three totals AND the per-cell terms
+    val sTotals = cells.groupBy(col("__s")).agg(sum(col("__ngs")).as("__ns"))
+    val gTotals = cells.groupBy(gNames.map(col): _*)
+      .agg(sum(col("__ngs")).as("__ng"))
+    val nTotal = cells.agg(sum(col("__ngs")).as("__n"))
+    // cells and gTotals share the group-key partitioning from their
+    // groupBys, so this join re-uses the exchange; sTotals/nTotal are
+    // tiny broadcast/one-row frames
+    cells
+      .join(gTotals, gNames)
+      .join(broadcast(sTotals), "__s")
+      .crossJoin(broadcast(nTotal))
+      .groupBy(gNames.map(col): _*)
+      .agg(
+        first(col("__ng")).as("n"),
+        sum(abs(col("__ngs") * col("__n") - col("__ns") * col("__ng")))
+          .as("__numPresent"),
+        sum(col("__ns")).as("__nsPresent"),
+        first(col("__n")).as("__nt"))
+      // absent-source tail: Σ_{s∉g} |0·N − N_s·n_g| = n_g·(N − Σ_{s∈g} N_s)
+      .select((gNames.map(col) ++ Seq(col("n"),
+        graft.queries.Norm.n4((col("__numPresent") +
+          col("n") * (col("__nt") - col("__nsPresent"))).cast(DoubleType) /
+          (lit(2L) * col("n") * col("__nt")).cast(DoubleType)).as("t_n4"))): _*)
+  }
+
+  /** [[tCloseness]] oracle rendering. `groupExprs` are (alias, SQL)
+    * pairs; `sensitiveSql` the sensitive-attribute expression.
+    */
+  def tClosenessSql(table: String, groupExprs: Seq[(String, String)],
+      sensitiveSql: String): String = {
+    val n4 = graft.etl.OracleSql.n4 _
+    val gAlias = groupExprs.map(_._1).mkString(", ")
+    val gDefs = groupExprs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    s"""WITH __cells AS (SELECT $gDefs, $sensitiveSql AS __s,
+       |    count(*) AS __ngs FROM $table GROUP BY ALL),
+       |__st AS (SELECT __s, CAST(sum(__ngs) AS BIGINT) AS __ns
+       |  FROM __cells GROUP BY 1),
+       |__gt AS (SELECT $gAlias, CAST(sum(__ngs) AS BIGINT) AS __ng
+       |  FROM __cells GROUP BY ALL),
+       |__nt AS (SELECT CAST(sum(__ngs) AS BIGINT) AS __n FROM __cells)
+       |SELECT $gAlias, any_value(__ng) AS n,
+       |  ${n4("CAST(CAST(sum(abs(__ngs * __n - __ns * __ng)) AS BIGINT) + " +
+        "any_value(__ng) * (any_value(__n) - CAST(sum(__ns) AS BIGINT)) AS DOUBLE)" +
+        " / CAST(2 * any_value(__ng) * any_value(__n) AS DOUBLE)")} AS t_n4
+       |FROM __cells
+       |JOIN __gt USING ($gAlias)
+       |JOIN __st USING (__s)
+       |CROSS JOIN __nt
+       |GROUP BY $gAlias""".stripMargin
+  }
+
+  // ---- CUSUM change-point scan -------------------------------------------
+
+  /** Daily CUSUM change-point scan over a revenue stream: the
+    * mean-centered cumulative sum `S_i = Σ_{j≤i}(x_j − x̄)`, whose
+    * |max| excursion marks the most likely level-shift point (Page's
+    * CUSUM in its offline scan form — the monitoring sibling of the
+    * KS (q122) and PSI (q141) distribution drifts, which are blind to
+    * WHEN a shift happened).
+    *
+    * Exactness: centering by the mean in one division would leave a
+    * non-representable x̄; instead everything is scaled by n —
+    * `d_i = x_i·n − T` (exact BIGINT, `T` = total) and
+    * `S_i·n = Σ d_j` — so the whole trajectory is integer-exact and
+    * the flagged argmax is tie-broken by earliest day. Output: the
+    * full (day, rev_u, s_u, is_cp) trajectory — what a monitor plots
+    * — with `s_u` in cent·n units.
+    *
+    * Scale shape: one partial-aggregable day rollup; the cumulative
+    * window then runs on the DAY GRAIN (calendar-bounded, same
+    * argument as [[ewmaDaily]]); the scan stats are one-row broadcast
+    * literals.
+    */
+  def cusumDaily(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(centsU(col("o_totalprice")).cast(LongType)).as("rev_u"))
+    val stats = daily.agg(count(lit(1)).as("__n"), sum(col("rev_u")).as("__t"))
+    // the trajectory feeds THREE consumers (max scan, argmax pick,
+    // final projection): checkpoint the day-grain frame (calendar-
+    // bounded rows) so the corpus rollup runs once
+    val cum = daily.crossJoin(broadcast(stats))
+      .withColumn("s_u",
+        sum(col("rev_u") * col("__n") - col("__t"))
+          .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      .localCheckpoint(true)
+    val mx = cum.agg(max(abs(col("s_u"))).as("__mx"))
+    val cp = cum.crossJoin(broadcast(mx))
+      .where(abs(col("s_u")) === col("__mx"))
+      .agg(min(col("day")).as("__cp"))
+    cum.crossJoin(broadcast(cp))
+      .select(col("day"), col("rev_u"), col("s_u"),
+        (col("day") === col("__cp")).as("is_cp"))
+      .orderBy("day")
+  }
+
+  /** [[cusumDaily]] oracle rendering. */
+  def cusumDailySql(table: String): String =
+    s"""WITH __daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(${centsUSql("o_totalprice")}) AS BIGINT) AS rev_u
+       |  FROM $table GROUP BY 1),
+       |__st AS (SELECT count(*) AS __n, CAST(sum(rev_u) AS BIGINT) AS __t
+       |  FROM __daily),
+       |__cum AS (SELECT day, rev_u,
+       |    CAST(sum(rev_u * __n - __t) OVER (ORDER BY day
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_u
+       |  FROM __daily CROSS JOIN __st),
+       |__mx AS (SELECT max(abs(s_u)) AS __mx FROM __cum),
+       |__cp AS (SELECT min(day) AS __cp FROM __cum CROSS JOIN __mx
+       |  WHERE abs(s_u) = __mx)
+       |SELECT day, rev_u, s_u, day = __cp AS is_cp
+       |FROM __cum CROSS JOIN __cp ORDER BY day""".stripMargin
+
   /** [[gapFillDaily]] oracle rendering. */
   def gapFillDailySql(table: String, from: String, to: String): String =
     s"""WITH __daily AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,

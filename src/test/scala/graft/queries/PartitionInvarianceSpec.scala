@@ -44,7 +44,13 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q133_scd2_asof", "q134_stream_state_sessions", "q135_kmv_overlap",
     "q136_gapfill_daily", "q137_benford_audit", "q138_substring_dedup",
     "q139_token_budget", "q140_pca_power", "q141_psi_drift",
-    "q144_embedding_drift")
+    "q144_embedding_drift",
+    // round-10b: degree-orientation join order (q146), absent-source
+    // algebra over a checkpointed cell frame (q147), percentile-cut
+    // scoring (q148), day-grain cumulative window + argmax tie (q149),
+    // frontier distinct/anti-join order (q150)
+    "q146_triangle_census", "q147_t_closeness", "q148_rfm_segments",
+    "q149_cusum_changepoint", "q150_bfs_levels")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

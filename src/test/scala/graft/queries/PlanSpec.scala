@@ -504,6 +504,72 @@ class PlanSpec extends EtlSpecBase {
       s"the 1-row totals frames must broadcast:\n$plan")
   }
 
+  test("q145 WAV metadata: kernel synth+parse stay inside whole-stage codegen, no hash exchange") {
+    val plan = planOf("q145_wav_metadata")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"metadata extraction is a pure projection:\n$plan")
+    // codegen span asserted on the projection alone (planOf's final
+    // ORDER BY wraps the plan in a not-yet-finalized AQE node that
+    // hides the codegen markers)
+    val proj = Tables.read(spark, sf, "documents")
+      .select(graft.ops.MultimodalOps.wavDims(
+        graft.ops.MultimodalOps.wavHeader(lit(8000), lit(1),
+          col("n_chars"), lit(true))).as("w"))
+      .queryExecution.executedPlan.toString
+    assert(proj.contains("*("), proj)
+    assert(proj.contains("static_invoke(graft.ops.MultimodalKernels.wavDims"), proj)
+  }
+
+  test("q146 triangle census: checkpointed edge frames only, no cartesian") {
+    val plan = planOf("q146_triangle_census")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"wedge/close joins must consume the checkpointed oriented edges:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"all joins are keyed (degree orientation, never all-pairs):\n$plan")
+  }
+
+  test("q147 t-closeness: checkpointed cell frame only; totals broadcast") {
+    val plan = planOf("q147_t_closeness")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"every consumer must read the checkpointed (group, source) cells:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"the per-source totals must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no group-by-source spine cross join (closed-form absent tail):\n$plan")
+  }
+
+  test("q148 RFM: checkpointed customer frame scored map-side against broadcast cuts, no window") {
+    val plan = planOf("q148_rfm_segments")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"cuts AND scoring must consume the checkpointed per-customer frame:\n$plan")
+    assert(!plan.contains("Window"),
+      s"percentile-boundary binning needs no ntile window:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"the 9-double cuts row must broadcast:\n$plan")
+  }
+
+  test("q149 CUSUM: one parquet pass into the day-grain checkpoint; stats broadcast") {
+    // the trajectory is checkpointed; the visible plan (final
+    // projection + argmax literals) must not re-roll the corpus
+    val plan = planOf("q149_cusum_changepoint")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"all three consumers must read the checkpointed trajectory:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 1-row max/argmax frames must broadcast:\n$plan")
+  }
+
+  test("q150 BFS: frontier joins consume checkpoints; no cartesian") {
+    val plan = planOf("q150_bfs_levels")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"the level census must read the checkpointed frontiers:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"keyed joins only:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
