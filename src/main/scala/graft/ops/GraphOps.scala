@@ -148,6 +148,78 @@ object GraphOps {
        |       ELSE 0 END AS gcc_ppm
        |FROM ds, es, tri""".stripMargin
 
+  /** Fixed-round k-core peeling census.
+    *
+    * Input: undirected edges (`a`, `b`), normalized like
+    * [[triangleStats]]. Each round removes every node whose CURRENT
+    * degree is below `k` (with its edges), the standard iterative
+    * peel whose fixpoint is the k-core. Output: one row per round —
+    * (round, n_removed, n_nodes_after, n_edges_after) — the
+    * densification trace an analyst reads to pick k (`rounds` is a
+    * small constant; rounds-to-fixpoint is data-dependent, so a
+    * bounded-round TRACE is the distributed-friendly contract, the
+    * same shape as pageRank's fixed iterations).
+    *
+    * Scale shape: per round one partial-aggregable degree count and
+    * one semi-join of the edge list against the surviving nodes
+    * (edge-keyed shuffles only), with the surviving edge frame
+    * checkpointed per round to keep lineage flat. Driver state is
+    * `rounds × 4` scalars.
+    */
+  def kCorePeel(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    var cur = edgesIn.select(
+        least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Int, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val deg = cur.select(col("u").as("node"))
+        .unionAll(cur.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true) // feeds the census AND both semi-joins
+      val keep = deg.where(col("deg") >= k)
+      val nBefore = deg.count()
+      val nAfter = keep.count()
+      cur = cur
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+      out += ((r, nBefore - nAfter, nAfter, cur.count()))
+    }
+    out.result().toDF("round", "n_removed", "n_nodes_after", "n_edges_after")
+      .orderBy("round")
+  }
+
+  /** [[kCorePeel]] oracle rendering: unrolled degree/keep/filter CTE
+    * blocks over an `edgesCte` producing columns (a, b).
+    */
+  def kCorePeelSql(edgesCte: String, k: Int, rounds: Int): String = {
+    val blocks = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+         |  GROUP BY 1),
+         |k$r AS (SELECT node FROM d$r WHERE deg >= $k),
+         |e$r AS (SELECT u, v FROM e${r - 1}
+         |  WHERE u IN (SELECT node FROM k$r) AND v IN (SELECT node FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT $r AS round,
+         |  (SELECT count(*) FROM d$r) - (SELECT count(*) FROM k$r) AS n_removed,
+         |  (SELECT count(*) FROM k$r) AS n_nodes_after,
+         |  (SELECT count(*) FROM e$r) AS n_edges_after""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM ($edgesCte) WHERE a <> b),
+       |$blocks
+       |SELECT round, n_removed, n_nodes_after, n_edges_after FROM (
+       |  $rows)
+       |ORDER BY round""".stripMargin
+  }
+
   /** Frontier BFS level census from a seed predicate.
     *
     * Input: directed edges (`src`, `dst`) — pass both directions for

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GraphOps, LmOps, SimilarityOps}
+
+/** Round-10 third wave: market-basket association rules, in-engine
+  * BPE merge learning, k-core peeling, and ANN recall evaluation
+  * (grading q23's LSH index against q22's exact ground truth).
+  */
+object Round10cQueries {
+
+  // -- q151: association rules (support / confidence / lift) -----------------
+  // The market-basket classic over order baskets: directed rules
+  // a→b ranked by lift, all three statistics exact integers
+  // (confidence and lift in ppm — single integer divisions, no
+  // floats). Pair generation is bounded by the per-order item cap
+  // (the q146 discipline); the rule ranking ships k rows via
+  // TakeOrdered. Support floor keeps the tail noise out, mirroring
+  // every production implementation.
+  private val ArMaxItems = 20
+  // support floor 2: the fixture's part domain grows with SF, so pair
+  // repeats thin out (max co-occurrence is 3 at sf0.1) — 2 keeps the
+  // rule set non-empty at every SF while still dropping singletons
+  private val ArMinPairs = 2L
+  private val ArTopK = 25
+
+  private def q151(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.read(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(true) // basket frame feeds counts + both join sides
+    val eligible = items.groupBy("ok").agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") <= ArMaxItems).select("ok")
+      .localCheckpoint(true)
+    val baskets = items.join(eligible, "ok").localCheckpoint(true)
+    val nOrders = baskets.agg(countDistinct(col("ok")).as("__n"))
+    val itemCnt = baskets.groupBy("pk").agg(count(lit(1)).as("c"))
+    val und = baskets.select(col("ok"), col("pk").as("a"))
+      .join(baskets.select(col("ok"), col("pk").as("b")), "ok")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= ArMinPairs)
+    val rules = und.select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
+      .unionAll(und.select(col("b").as("ante"), col("a").as("cons"), col("n_ab")))
+    rules
+      .join(itemCnt.select(col("pk").as("ante"), col("c").as("c_a")), "ante")
+      .join(itemCnt.select(col("pk").as("cons"), col("c").as("c_b")), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("n_ab"),
+        expr("n_ab * 1000000 div c_a").as("conf_ppm"),
+        expr("n_ab * __n * 1000000 div (c_a * c_b)").as("lift_u"))
+      .orderBy(col("lift_u").desc, col("ante"), col("cons"))
+      .limit(ArTopK)
+  }
+
+  private val q151Oracle: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |el AS (SELECT ok FROM items GROUP BY ok HAVING count(*) <= $ArMaxItems),
+       |baskets AS (SELECT ok, pk FROM items JOIN el USING (ok)),
+       |nn AS (SELECT count(DISTINCT ok) AS __n FROM baskets),
+       |ic AS (SELECT pk, count(*) AS c FROM baskets GROUP BY 1),
+       |und AS (SELECT ia.pk AS a, ib.pk AS b, count(*) AS n_ab
+       |  FROM baskets ia JOIN baskets ib USING (ok) WHERE ia.pk < ib.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $ArMinPairs),
+       |rules AS (SELECT a AS ante, b AS cons, n_ab FROM und
+       |  UNION ALL SELECT b, a, n_ab FROM und)
+       |SELECT ante, cons, CAST(n_ab AS BIGINT) AS n_ab,
+       |  CAST(n_ab * 1000000 // ca.c AS BIGINT) AS conf_ppm,
+       |  CAST(n_ab * __n * 1000000 // (ca.c * cb.c) AS BIGINT) AS lift_u
+       |FROM rules
+       |JOIN ic ca ON rules.ante = ca.pk
+       |JOIN ic cb ON rules.cons = cb.pk
+       |CROSS JOIN nn
+       |ORDER BY lift_u DESC, ante, cons LIMIT $ArTopK""".stripMargin
+
+  // -- q152: BPE merge learning ----------------------------------------------
+  // Tokenizer training inside the engine: the first 4 BPE merges
+  // learned from the documents corpus via the space-form replace
+  // trick — see [[LmOps.bpeMerges]] for why one string replace per
+  // iteration IS the reference merge semantics.
+  private val BpeIters = 4
+
+  private def q152(spark: SparkSession, sfDir: String): DataFrame =
+    LmOps.bpeMerges(Tables.read(spark, sfDir, "documents"), "text", BpeIters)
+
+  private val q152Oracle: String =
+    LmOps.bpeMergesSql("documents", "text", BpeIters)
+
+  // -- q153: k-core peeling census -------------------------------------------
+  // Density structure of the co-purchase graph (q146's edges): three
+  // peel rounds toward the 3-core, reported as the removal trace —
+  // see [[GraphOps.kCorePeel]].
+  private val CoreK = 3
+  private val CoreRounds = 3
+  private val CoreMinQty = 40
+  private val CoreMaxItems = 20
+
+  private def q153(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.read(spark, sfDir, "lineitem")
+      .where(col("l_quantity") >= CoreMinQty)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(true)
+    val eligible = items.groupBy("ok").agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") <= CoreMaxItems).select("ok")
+    val edges = items.select(col("ok"), col("pk").as("a"))
+      .join(items.select(col("ok"), col("pk").as("b")), "ok")
+      .where(col("a") < col("b"))
+      .join(eligible, "ok")
+      .select("a", "b")
+    GraphOps.kCorePeel(edges, CoreK, CoreRounds)
+  }
+
+  private val q153Oracle: String = GraphOps.kCorePeelSql(
+    s"""SELECT ia.pk AS a, ib.pk AS b
+       |FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |      FROM lineitem WHERE l_quantity >= $CoreMinQty) ia
+       |JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |      FROM lineitem WHERE l_quantity >= $CoreMinQty) ib USING (ok)
+       |JOIN (SELECT ok FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |        FROM lineitem WHERE l_quantity >= $CoreMinQty)
+       |      GROUP BY ok HAVING count(*) <= $CoreMaxItems) el USING (ok)
+       |WHERE ia.pk < ib.pk""".stripMargin, CoreK, CoreRounds)
+
+  // -- q154: ANN recall@k evaluation -----------------------------------------
+  // The eval every approximate index owes its users: recall@5 of the
+  // hyperplane-LSH index (q23's machinery) against exact brute-force
+  // ground truth (q22's), per query. The join is on (query, neighbor)
+  // ids — k-row frames per query on both sides, so the eval costs
+  // O(|queries|·k), not another corpus pass.
+  private val RecallK = 5
+  private val RecallQueries = 25
+  private val RecallTables = 2
+  private val RecallBits = 8
+
+  private def q154(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.read(spark, sfDir, "embeddings")
+    val queries = emb.where(col("vec_id") < RecallQueries)
+    val truth = SimilarityOps.bruteForceTopK(emb, queries, RecallK)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true) // feeds the hit join AND the per-query size
+    val approx = SimilarityOps.annTopK(emb, queries, RecallK,
+        tables = RecallTables, bits = RecallBits)
+      .select(col("query_id"), col("vec_id"))
+    val hits = approx.join(truth, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("__h"), lit(0L)).as("n_hits"),
+        Norm.n4(coalesce(col("__h"), lit(0L)).cast("double") /
+          col("n_true").cast("double")).as("recall_n4"))
+      .orderBy("query_id")
+  }
+
+  private val q154Oracle: String = {
+    def buckets(alias: String) = (0 until RecallTables).map(t =>
+      s"WHEN $t THEN ${SimilarityOps.bucketSql(alias, t, 64, RecallBits)}")
+      .mkString("CASE t ", " ", " END")
+    val n4 = graft.etl.OracleSql.n4 _
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c
+       |      WHERE vec_id < $RecallQueries),
+       |bscored AS (SELECT query_id, vec_id,
+       |  ${n4(SimilarityOps.cosineSql("qv", "v"))} AS cos
+       |  FROM c, q WHERE vec_id != query_id),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rank FROM bscored)
+       |  WHERE rank <= $RecallK),
+       |cb AS (SELECT vec_id, v, t, ${buckets("v")} AS bk
+       |  FROM c, unnest([0, 1]) AS u(t)),
+       |qb AS (SELECT query_id, qv, t, ${buckets("qv")} AS bk
+       |  FROM q, unnest([0, 1]) AS u(t)),
+       |cand AS (SELECT DISTINCT query_id, vec_id, qv, v
+       |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bk = qb.bk
+       |  WHERE vec_id != query_id),
+       |ascored AS (SELECT query_id, vec_id,
+       |  ${n4(SimilarityOps.cosineSql("qv", "v"))} AS cos FROM cand),
+       |approx AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rank FROM ascored)
+       |  WHERE rank <= $RecallK),
+       |hits AS (SELECT query_id, count(*) AS h
+       |  FROM approx JOIN truth USING (query_id, vec_id) GROUP BY 1)
+       |SELECT t.query_id, count(*) AS n_true,
+       |  CAST(coalesce(any_value(h), 0) AS BIGINT) AS n_hits,
+       |  ${n4("CAST(coalesce(any_value(h), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+       |    AS recall_n4
+       |FROM truth t LEFT JOIN hits USING (query_id)
+       |GROUP BY t.query_id
+       |ORDER BY query_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q151_assoc_rules", q151, Some(q151Oracle)),
+    QueryDef("q152_bpe_merges", q152, Some(q152Oracle)),
+    QueryDef("q153_kcore_peel", q153, Some(q153Oracle)),
+    QueryDef("q154_ann_recall", q154, Some(q154Oracle)))
+}

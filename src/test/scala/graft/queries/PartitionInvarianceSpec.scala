@@ -50,7 +50,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // scoring (q148), day-grain cumulative window + argmax tie (q149),
     // frontier distinct/anti-join order (q150)
     "q146_triangle_census", "q147_t_closeness", "q148_rfm_segments",
-    "q149_cusum_changepoint", "q150_bfs_levels")
+    "q149_cusum_changepoint", "q150_bfs_levels",
+    // round-10c: lift-tie top-k boundary (q151), iterated argmax
+    // tie-break + replace chain (q152), per-round peel counts (q153),
+    // rank-tie hit join (q154)
+    "q151_assoc_rules", "q152_bpe_merges", "q153_kcore_peel",
+    "q154_ann_recall")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -570,6 +570,25 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("CartesianProduct"), s"keyed joins only:\n$plan")
   }
 
+  test("q151 association rules: checkpointed basket frame, k-row TakeOrdered, no cartesian") {
+    val plan = planOf("q151_assoc_rules")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"counts and both pair sides must read the checkpointed baskets:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation joins on the order key, never all-pairs:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=25"),
+      s"rule ranking must ship k rows, not a global sort:\n$plan")
+  }
+
+  test("q154 ANN recall: rank pruned per-partition, hit join keyed") {
+    val plan = planOf("q154_ann_recall")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must prune before the per-query exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the truth/approx hit join is keyed on (query, neighbor):\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
