@@ -138,6 +138,28 @@ object LmOps {
   def bpeMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeCore(docs, textCol, iters)._1
+      .toDF("step", "l_sym", "r_sym", "merged", "freq")
+      .orderBy("step")
+  }
+
+  /** Vocabulary census AFTER applying [[bpeMerges]]'s learned merges:
+    * the top-`topK` subword tokens by frequency-weighted occurrence —
+    * the encode side of BPE (what the trained tokenizer actually
+    * emits), sharing the merge loop with the trainer. Ties break
+    * lexicographically.
+    */
+  def bpeVocab(docs: DataFrame, textCol: String, iters: Int,
+      topK: Int): DataFrame = {
+    val finalReps = bpeCore(docs, textCol, iters)._2
+    finalReps
+      .select(explode(split(trim(col("rep")), "  ")).as("token"), col("freq"))
+      .groupBy("token").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topK)
+  }
+
+  private def bpeCore(docs: DataFrame, textCol: String, iters: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val words = docs
       .select(explode(TextOps.tokens(lower(col(textCol)))).as("w"))
       .where(col("w").rlike("^[a-z]{2,20}$"))
@@ -167,8 +189,7 @@ object LmOps {
       cur = cur.select(replace(col("rep"), lit(s" $l  $r "), lit(s" $l$r "))
         .as("rep"), col("freq"))
     }
-    merges.result().toDF("step", "l_sym", "r_sym", "merged", "freq")
-      .orderBy("step")
+    (merges.result(), cur)
   }
 
   /** [[bpeMerges]] oracle rendering: `iters` unrolled
@@ -176,6 +197,27 @@ object LmOps {
     * positional parallel unnest of the two shifted list slices).
     */
   def bpeMergesSql(table: String, textCol: String, iters: Int): String = {
+    val out = (1 to iters).map(i =>
+      s"SELECT $i AS step, l_sym, r_sym, l_sym || r_sym AS merged, f AS freq FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeChainSql(table, textCol, iters)}
+       |SELECT step, l_sym, r_sym, merged, freq FROM (
+       |  $out)
+       |ORDER BY step""".stripMargin
+  }
+
+  /** [[bpeVocab]] oracle rendering: the same chain, read out as the
+    * post-merge token census.
+    */
+  def bpeVocabSql(table: String, textCol: String, iters: Int,
+      topK: Int): String =
+    s"""WITH ${bpeChainSql(table, textCol, iters)}
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS n
+       |FROM (SELECT unnest(string_split(trim(rep), '  ')) AS token, freq
+       |      FROM w$iters)
+       |GROUP BY token ORDER BY n DESC, token LIMIT $topK""".stripMargin
+
+  private def bpeChainSql(table: String, textCol: String, iters: Int): String = {
     val blocks = (1 to iters).map { i =>
       s"""p$i AS (SELECT unnest(l[1:len(l)-1]) AS l_sym,
          |    unnest(l[2:len(l)]) AS r_sym, freq
@@ -186,19 +228,16 @@ object LmOps {
          |    ' ' || l_sym || r_sym || ' ') AS rep, freq
          |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to iters).map(i =>
-      s"SELECT $i AS step, l_sym, r_sym, l_sym || r_sym AS merged, f AS freq FROM m$i")
-      .mkString("\n  UNION ALL ")
-    s"""WITH w0 AS (SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'))
-       |    || ' ' AS rep, freq
+    // the continuation concat lives mid-line: a line-LEADING `||`
+    // would be re-eaten as a margin when this chain is embedded in a
+    // caller's stripMargin template (the documented re-strip trap)
+    s"""w0 AS (SELECT
+       |    ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS rep, freq
        |  FROM (SELECT w, count(*) AS freq
        |        FROM (SELECT unnest(${TextOps.tokensSql(s"lower($textCol)")}) AS w
        |              FROM $table)
        |        WHERE regexp_matches(w, '^[a-z]{2,20}$$') GROUP BY w)),
-       |$blocks
-       |SELECT step, l_sym, r_sym, merged, freq FROM (
-       |  $out)
-       |ORDER BY step""".stripMargin
+       |$blocks""".stripMargin
   }
 
   def dsirWeightsSql(table: String, idCol: String, textCol: String,

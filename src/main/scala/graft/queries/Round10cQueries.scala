@@ -195,9 +195,129 @@ object Round10cQueries {
        |ORDER BY query_id""".stripMargin
   }
 
+  // -- q155: BPE vocabulary census (the encode side) -------------------------
+  // What the trained tokenizer of q152 actually emits: the
+  // frequency-weighted top-20 subword tokens after applying the 4
+  // learned merges — the vocab table a tokenizer ships with.
+  private val BpeVocabK = 20
+
+  private def q155(spark: SparkSession, sfDir: String): DataFrame =
+    LmOps.bpeVocab(Tables.read(spark, sfDir, "documents"), "text",
+      BpeIters, BpeVocabK)
+
+  private val q155Oracle: String =
+    LmOps.bpeVocabSql("documents", "text", BpeIters, BpeVocabK)
+
+  // -- q156: schema-evolution merge read -------------------------------------
+  // The day-201 pipeline reality: batch 2 added a column. Two batches
+  // with different schemas land as separate parquet writes; the
+  // mergeSchema read unions them with NULL fill for the pre-evolution
+  // rows. The oracle recomputes the merged table algebraically from
+  // orders, so a dropped column, misaligned fill, or type clash in
+  // the merge path breaks the gate.
+  private def q156(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.read(spark, sfDir, "orders")
+    val dir = "/tmp/graft_q156_roundtrip"
+    orders.where(col("o_custkey") % 2 === 0)
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+      .write.mode("overwrite").parquet(s"$dir/b1")
+    orders.where(col("o_custkey") % 2 =!= 0)
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"),
+        to_date(col("o_orderdate")).as("odate"))
+      .write.mode("overwrite").parquet(s"$dir/b2")
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
+      .orderBy("id")
+  }
+
+  private val q156Oracle: String =
+    """SELECT o_orderkey AS id, o_totalprice AS price,
+      |  CASE WHEN o_custkey % 2 <> 0 THEN CAST(o_orderdate AS DATE) END AS odate
+      |FROM orders ORDER BY id""".stripMargin
+
+  // -- q157: near-dup detector eval (precision/recall vs exact truth) --------
+  // The q154 discipline applied to dedup: grade the PRODUCTION
+  // MinHash+LSH run (q20's exact configuration over q20's corpus)
+  // against exact all-pairs Jaccard ground truth on a BOUNDED eval
+  // subset (every 10th doc + its planted near-copy — the slice where
+  // truth is known to contain positives). The all-pairs truth join is
+  // the sanctioned brute-force-on-an-eval-set pattern (q22/q154):
+  // quadratic in the SUBSET, never in the corpus.
+  private def q157(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = ExtQueries.nearDupCorpus(spark, sfDir)
+    val sub = corpus.where(col("doc_id") % 10 === 0 ||
+      col("doc_id") >= 1000000L)
+    val hs = sub.select(col("doc_id").as("id"),
+        graft.ops.DedupOps.shingleHashes(col("text")).as("h"))
+      .where(size(col("h")) > 0)
+      .localCheckpoint(true) // feeds truth sides, membership filters
+    val truth = hs.select(col("id").as("id_a"), col("h").as("ha"))
+      .join(hs.select(col("id").as("id_b"), col("h").as("hb")),
+        col("id_a") < col("id_b"))
+      .where(Norm.n4(graft.ops.DedupOps.jaccard(col("ha"), col("hb"))) >=
+        ExtQueries.JacThreshold)
+      .select("id_a", "id_b")
+      .localCheckpoint(true) // feeds the hit join AND the census
+    val lsh = graft.ops.DedupOps.nearDupPairs(corpus, "doc_id", "text",
+        ExtQueries.MinHashes, ExtQueries.Bands, ExtQueries.JacThreshold)
+      .join(hs.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(hs.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val hits = lsh.join(truth, Seq("id_a", "id_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_truth"), col("n_lsh"), col("n_hits"),
+        Norm.n4(col("n_hits").cast("double") / col("n_lsh").cast("double"))
+          .as("precision_n4"),
+        Norm.n4(col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .as("recall_n4"))
+  }
+
+  private val q157Oracle: String = {
+    val n4 = graft.etl.OracleSql.n4 _
+    val r = ExtQueries.MinHashes / ExtQueries.Bands
+    import graft.ops.DedupOps.{shingleHashesSql, jaccardSql, minhashSignatureSql, bandKeysSql}
+    s"""WITH corpus AS (${ExtQueries.nearDupCorpusSql}),
+       |sub AS (SELECT id, text FROM corpus
+       |        WHERE id % 10 = 0 OR id >= 1000000),
+       |shs AS (SELECT id, h FROM (
+       |    SELECT id, ${shingleHashesSql("text")} AS h FROM sub)
+       |  WHERE len(h) > 0),
+       |truth AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM shs a JOIN shs b ON a.id < b.id
+       |  WHERE ${n4(jaccardSql("a.h", "b.h"))} >= ${ExtQueries.JacThreshold}),
+       |hs2 AS (SELECT id, ${shingleHashesSql("text")} AS h FROM corpus),
+       |sigs AS (SELECT id, h,
+       |    ${minhashSignatureSql("h", ExtQueries.MinHashes)} AS sig
+       |  FROM hs2 WHERE len(h) > 0),
+       |bands AS (SELECT id,
+       |    unnest(${bandKeysSql("sig", ExtQueries.Bands, r)}) AS band FROM sigs),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+       |verified AS (SELECT id_a, id_b,
+       |    ${n4(jaccardSql("ha.h", "hb.h"))} AS jac
+       |  FROM cand JOIN sigs ha ON cand.id_a = ha.id
+       |  JOIN sigs hb ON cand.id_b = hb.id),
+       |lshp AS (SELECT id_a, id_b FROM verified
+       |  WHERE jac >= ${ExtQueries.JacThreshold}
+       |    AND id_a IN (SELECT id FROM shs) AND id_b IN (SELECT id FROM shs)),
+       |hits AS (SELECT count(*) AS c FROM lshp
+       |  JOIN truth USING (id_a, id_b)),
+       |tc AS (SELECT count(*) AS n_truth FROM truth),
+       |lc AS (SELECT count(*) AS n_lsh FROM lshp)
+       |SELECT n_truth, n_lsh, CAST(c AS BIGINT) AS n_hits,
+       |  ${n4("CAST(c AS DOUBLE) / CAST(n_lsh AS DOUBLE)")} AS precision_n4,
+       |  ${n4("CAST(c AS DOUBLE) / CAST(n_truth AS DOUBLE)")} AS recall_n4
+       |FROM tc, lc, hits""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q151_assoc_rules", q151, Some(q151Oracle)),
     QueryDef("q152_bpe_merges", q152, Some(q152Oracle)),
     QueryDef("q153_kcore_peel", q153, Some(q153Oracle)),
-    QueryDef("q154_ann_recall", q154, Some(q154Oracle)))
+    QueryDef("q154_ann_recall", q154, Some(q154Oracle)),
+    QueryDef("q155_bpe_vocab", q155, Some(q155Oracle)),
+    QueryDef("q156_schema_merge", q156, Some(q156Oracle)),
+    QueryDef("q157_neardup_eval", q157, Some(q157Oracle)))
 }

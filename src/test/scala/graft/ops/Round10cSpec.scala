@@ -37,6 +37,13 @@ class Round10cSpec extends EtlSpecBase {
     assert(got.toSeq == Seq(Row(1, "a", "b", "ab", 1L)), got.mkString(", "))
   }
 
+  test("bpeVocab: census reflects the post-merge symbolization") {
+    // after merge (t,o): 'to' x3 -> [to]; 'tot' -> [to, t]
+    val docs = Seq("to to to tot").toDF("text")
+    val got = LmOps.bpeVocab(docs, "text", iters = 1, topK = 5).collect()
+    assert(got.toSeq == Seq(Row("to", 4L), Row("t", 1L)), got.mkString(", "))
+  }
+
   // ---- kCorePeel -----------------------------------------------------------
 
   test("kCorePeel: peels the chain tail off a triangle+path, round by round") {

@@ -55,7 +55,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // tie-break + replace chain (q152), per-round peel counts (q153),
     // rank-tie hit join (q154)
     "q151_assoc_rules", "q152_bpe_merges", "q153_kcore_peel",
-    "q154_ann_recall")
+    "q154_ann_recall",
+    // round-10d: census count ties at the vocab top-k boundary
+    // (q155), LSH pair set vs truth set joins (q157)
+    "q155_bpe_vocab", "q157_neardup_eval")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -589,6 +589,22 @@ class PlanSpec extends EtlSpecBase {
       s"the truth/approx hit join is keyed on (query, neighbor):\n$plan")
   }
 
+  test("q155 BPE vocab: census reads the checkpointed word frame, k-row TakeOrdered") {
+    val plan = planOf("q155_bpe_vocab")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"the census must consume the checkpointed vocab frame:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=20"),
+      s"top-k vocab must ship k rows, not a global sort:\n$plan")
+  }
+
+  test("q157 near-dup eval: readout consumes checkpointed pair frames only") {
+    val plan = planOf("q157_neardup_eval")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"the count readout must read the checkpointed truth/lsh pairs:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
