@@ -220,6 +220,75 @@ object GraphOps {
        |ORDER BY round""".stripMargin
   }
 
+  /** Synchronous label propagation (fixed rounds) + community census.
+    *
+    * Input: undirected edges (`a`, `b`), normalized like
+    * [[triangleStats]]. Labels start as node ids; each round every
+    * node adopts the most frequent label among its NEIGHBORS (ties →
+    * smallest label; isolated nodes cannot occur — every node has an
+    * edge by construction). After `rounds` rounds, returns the top
+    * `topK` communities as (label, n_members), ties → smallest label.
+    * Fixed rounds, like [[pageRank]]: rounds-to-convergence is
+    * data-dependent, so a bounded-round snapshot is the distributed
+    * contract.
+    *
+    * Scale shape: per round ONE edge-keyed join of the label frame +
+    * one (node, label) partial-aggregable count + a per-node argmax
+    * via WindowGroupLimit — no driver state at all; the census ships
+    * `topK` rows by TakeOrdered.
+    */
+  def labelPropagation(edgesIn: DataFrame, rounds: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edgesIn.select(
+        least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    // both directions: neighbor lists are symmetric
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val nbrLabels = adj
+        .join(labels.withColumnRenamed("node", "nbr")
+          .withColumnRenamed("lbl", "nlbl"), "nbr")
+        .groupBy(col("node"), col("nlbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("nlbl").asc)
+      labels = nbrLabels
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("node"), col("nlbl").as("lbl"))
+        .localCheckpoint(true) // flatten the per-round lineage
+    }
+    labels.groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label"))
+      .limit(topK)
+  }
+
+  /** [[labelPropagation]] oracle rendering. */
+  def labelPropagationSql(edgesCte: String, rounds: Int, topK: Int): String = {
+    val blocks = (1 to rounds).map { i =>
+      s"""l$i AS (SELECT node, nlbl AS lbl FROM (
+         |    SELECT adj.node, p.lbl AS nlbl, count(*) AS c,
+         |      row_number() OVER (PARTITION BY adj.node
+         |        ORDER BY count(*) DESC, p.lbl ASC) AS rn
+         |    FROM adj JOIN l${i - 1} p ON adj.nbr = p.node
+         |    GROUP BY adj.node, p.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM ($edgesCte) WHERE a <> b),
+       |adj AS (SELECT u AS node, v AS nbr FROM und
+       |  UNION ALL SELECT v, u FROM und),
+       |l0 AS (SELECT DISTINCT node AS node, node AS lbl FROM adj),
+       |$blocks
+       |SELECT lbl AS label, count(*) AS n_members FROM l$rounds
+       |GROUP BY 1 ORDER BY n_members DESC, label LIMIT $topK""".stripMargin
+  }
+
   /** Frontier BFS level census from a seed predicate.
     *
     * Input: directed edges (`src`, `dst`) — pass both directions for

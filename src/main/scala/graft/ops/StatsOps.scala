@@ -883,6 +883,141 @@ object StatsOps {
        |SELECT day, rev_u, s_u, day = __cp AS is_cp
        |FROM __cum CROSS JOIN __cp ORDER BY day""".stripMargin
 
+  // ---- differentially-private release (discrete Laplace) -----------------
+
+  /** ε for the DP release and the derived discrete-Laplace CDF table.
+    *
+    * The noise is the two-sided geometric ("discrete Laplace")
+    * distribution P(k) ∝ e^{−ε|k|} — the standard integer-valued DP
+    * mechanism for counts. Like [[ewmaWeights]], the inverse-CDF
+    * thresholds are materialized ONCE here (driver-side, k ∈ [−20,20],
+    * tail mass ~2e-9 clamped into the ends) and injected as literals
+    * into BOTH engines, so no runtime exp/ln — whose last-ulp libm
+    * behavior differs across engines — ever executes. The only
+    * runtime math is one integer hash, one exact division, and a
+    * threshold CASE: bit-identical everywhere.
+    */
+  val DpEpsilon = 1.0
+  private val DpMaxK = 20
+  private[ops] val dpThresholds: Seq[(Double, Int)] = {
+    val alpha = math.exp(-DpEpsilon)
+    val p0 = (1.0 - alpha) / (1.0 + alpha)
+    val ks = (-DpMaxK to DpMaxK)
+    val probs = ks.map(k => p0 * math.pow(alpha, math.abs(k)))
+    val total = probs.sum // renormalize the clamped tails
+    val cum = probs.map(_ / total).scanLeft(0.0)(_ + _).tail
+    // (upper CDF bound, k); the last bucket catches u=1 exactly
+    cum.zip(ks).dropRight(1) :+ (1.1, DpMaxK)
+  }
+
+  /** Seeded deterministic uniform in (0,1) for a STRING key: the
+    * kernel token hash (already in [0, 1e9)) pushed through the
+    * two-round Lehmer mix. Deterministic stand-in for the mechanism's
+    * randomness so the release is gate-verifiable; production swaps
+    * this one column for a true RNG.
+    */
+  private def dpU01(key: Column, seed: Long): Column = {
+    val h = TextOps.tokenHash(key)
+    val r2 = ((((h % MixOps.P + MixOps.P) % MixOps.P + lit(seed)) * lit(48271L))
+      % MixOps.P + lit(1L)) * lit(69621L) % MixOps.P
+    (r2.cast(DoubleType) + lit(0.5d)) / lit(MixOps.P.toDouble)
+  }
+
+  private def dpU01Sql(keyE: String, seed: Long): String = {
+    val h = TextOps.tokenHashSql(keyE)
+    val p = MixOps.P
+    s"(CAST(((($h % $p + $p) % $p + $seed) * 48271 % $p + 1) * 69621 % $p AS DOUBLE) + CAST('0.5' AS DOUBLE)) / CAST('$p' AS DOUBLE)"
+  }
+
+  /** ε=1 differentially-private per-group count release over a string
+    * group column: `n_noisy = n + DiscreteLaplace(ε)`, noise drawn by
+    * inverse CDF from the seeded per-group uniform. Output is pure
+    * BIGINT — no float ever crosses an engine boundary. One
+    * partial-aggregable count; the noise is a map-side projection of
+    * the group key.
+    */
+  def dpCounts(df: DataFrame, groupCol: String, seed: Long): DataFrame = {
+    val u = dpU01(col(groupCol), seed)
+    val noise = dpThresholds.reverse.foldLeft(lit(DpMaxK)) {
+      case (acc, (t, k)) => when(u < lit(t), lit(k)).otherwise(acc)
+    }
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol), (col("__n") + noise.cast(LongType)).as("n_noisy"))
+      .orderBy(groupCol)
+  }
+
+  /** [[dpCounts]] oracle rendering. */
+  def dpCountsSql(table: String, groupCol: String, seed: Long): String = {
+    val u = dpU01Sql(groupCol, seed)
+    val cases = dpThresholds.dropRight(1).map { case (t, k) =>
+      s"WHEN __u < CAST('$t' AS DOUBLE) THEN $k"
+    }.mkString("\n    ")
+    s"""WITH __g AS (SELECT $groupCol, count(*) AS __n, $u AS __u
+       |  FROM $table GROUP BY 1)
+       |SELECT $groupCol, CAST(__n + (CASE
+       |    $cases
+       |    ELSE $DpMaxK END) AS BIGINT) AS n_noisy
+       |FROM __g ORDER BY $groupCol""".stripMargin
+  }
+
+  // ---- autocorrelation function ------------------------------------------
+
+  /** Daily-revenue autocorrelation at lags 1..`maxLag`:
+    * `r_ℓ = Σ_t d_t·d_{t+ℓ} / Σ_t d_t²` with `d_t = x_t·n − T` (the
+    * q149 scaled-centering trick, so every term is an exact integer;
+    * products reach ~1e25·days, summed in DECIMAL(38,0)/HUGEINT —
+    * the corrMatrix discipline). The seasonality probe that tells a
+    * forecaster which lags carry signal.
+    *
+    * Scale shape: one day-grain rollup (calendar-bounded), the lag
+    * joins run on that tiny frame — explode 7 shifted copies, one
+    * day-keyed join, one grouped moment sum.
+    */
+  def acfDaily(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(centsU(col("o_totalprice")).cast(LongType)).as("x"))
+    val stats = daily.agg(count(lit(1)).as("__n"), sum(col("x")).as("__t"))
+    val d = daily.crossJoin(broadcast(stats))
+      .select(col("day"), (col("x") * col("__n") - col("__t")).as("d"))
+      .localCheckpoint(true) // base for the denominator AND every lag side
+    val den = d.agg(sum((col("d").cast(dec)) * col("d").cast(dec)).as("__den"))
+    val shifted = d.withColumn("lag", explode(array((1 to maxLag).map(lit): _*)))
+      .select(col("lag"), date_add(col("day"), col("lag")).as("day"),
+        col("d").as("d_lag"))
+    d.join(shifted, "day")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("d").cast(dec) * col("d_lag").cast(dec)).as("__num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        graft.queries.Norm.n4(col("__num").cast(DoubleType) /
+          col("__den").cast(DoubleType)).as("acf_n4"))
+      .orderBy("lag")
+  }
+
+  /** [[acfDaily]] oracle rendering. */
+  def acfDailySql(table: String, maxLag: Int = 7): String = {
+    val n4 = graft.etl.OracleSql.n4 _
+    s"""WITH __daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(${centsUSql("o_totalprice")}) AS BIGINT) AS x
+       |  FROM $table GROUP BY 1),
+       |__st AS (SELECT count(*) AS __n, CAST(sum(x) AS BIGINT) AS __t
+       |  FROM __daily),
+       |__d AS (SELECT day, x * __n - __t AS d FROM __daily CROSS JOIN __st),
+       |__den AS (SELECT sum(CAST(d AS HUGEINT) * d) AS __den FROM __d),
+       |__sh AS (SELECT lag, day + CAST(lag AS INTEGER) AS day, d AS d_lag
+       |  FROM __d, unnest(range(1, ${maxLag + 1})) AS u(lag)),
+       |__m AS (SELECT lag, count(*) AS n_pairs,
+       |    sum(CAST(__d.d AS HUGEINT) * __sh.d_lag) AS __num
+       |  FROM __d JOIN __sh USING (day) GROUP BY 1)
+       |SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+       |  ${n4("CAST(__num AS DOUBLE) / CAST(__den AS DOUBLE)")} AS acf_n4
+       |FROM __m CROSS JOIN __den ORDER BY lag""".stripMargin
+  }
+
   /** [[gapFillDaily]] oracle rendering. */
   def gapFillDailySql(table: String, from: String, to: String): String =
     s"""WITH __daily AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,

@@ -58,7 +58,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q154_ann_recall",
     // round-10d: census count ties at the vocab top-k boundary
     // (q155), LSH pair set vs truth set joins (q157)
-    "q155_bpe_vocab", "q157_neardup_eval")
+    "q155_bpe_vocab", "q157_neardup_eval",
+    // round-10e: hash-keyed noise projection (q158), per-round label
+    // argmax ties (q159), lag-join moment sums (q160), median-cut
+    // confusion counts (q161)
+    "q158_dp_counts", "q159_label_prop", "q160_acf_daily",
+    "q161_confusion_f1")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -605,6 +605,43 @@ class PlanSpec extends EtlSpecBase {
       s"the count readout must read the checkpointed truth/lsh pairs:\n$plan")
   }
 
+  test("q158 DP release: one scan, map-side combining count, noise is a projection") {
+    val plan = planOf("q158_dp_counts")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"the release is one aggregate over one scan:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"group counts must combine map-side:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"the noise draw is a per-group projection, not a join/window:\n$plan")
+  }
+
+  test("q159 LPA: per-node argmax prunes per-partition; census is a k-row TakeOrdered") {
+    val plan = planOf("q159_label_prop")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"the census must read the checkpointed final labels:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=20"),
+      s"community census ships k rows:\n$plan")
+  }
+
+  test("q160 ACF: checkpointed day-grain frame only; moment frames broadcast") {
+    val plan = planOf("q160_acf_daily")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"denominator and lag sides must read the checkpointed d-frame:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 1-row moment frames must broadcast:\n$plan")
+  }
+
+  test("q161 confusion: checkpointed scored frame; median cut broadcasts; no window") {
+    val plan = planOf("q161_confusion_f1")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"cut and confusion passes must read the checkpointed joined frame:\n$plan")
+    assert(plan.contains("Broadcast"), s"the 1-row cut must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no ranking window needed:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
