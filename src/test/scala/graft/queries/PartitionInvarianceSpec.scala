@@ -63,7 +63,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // argmax ties (q159), lag-join moment sums (q160), median-cut
     // confusion counts (q161)
     "q158_dp_counts", "q159_label_prop", "q160_acf_daily",
-    "q161_confusion_f1")
+    "q161_confusion_f1",
+    // round-10f: digest-shard census (q162), dual ignore-null window
+    // scan (q163), merge-order of bloom partials (q164), partial-state
+    // union merge (q165)
+    "q162_content_hash", "q163_linear_interp", "q164_bloom_fpr",
+    "q165_partial_merge")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -642,6 +642,40 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("Window"), s"no ranking window needed:\n$plan")
   }
 
+  test("q162 digest census: two pruned text scans, no join") {
+    val plan = planOf("q162_content_hash")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 2,
+      s"base refs + planted re-refs are the only two scans:\n$plan")
+    assert(!plan.contains("Join"), s"the census is aggregate-only:\n$plan")
+  }
+
+  test("q163 linear interp: checkpointed sparse series; calendar windows only") {
+    val plan = planOf("q163_linear_interp")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"bounds and grid join must read the checkpointed daily frame:\n$plan")
+  }
+
+  test("q164 bloom FPR: probe pass reads the checkpoint; bloom ships as a literal") {
+    val plan = planOf("q164_bloom_fpr")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"probes must read the checkpointed key column:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"the probe must be the native codegen'd bloom expression:\n$plan")
+    assert(!plan.contains("Join"), s"no join — the filter is a literal:\n$plan")
+  }
+
+  test("q165 partial merge: two batch scans by design, map-side partials, no window") {
+    val plan = planOf("q165_partial_merge")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"one scan per half-batch:\n$plan")
+    assert(plan.contains("partial_"),
+      s"batch partials must combine map-side:\n$plan")
+    assert(!plan.contains("Window"), s"merge is pure aggregation:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
