@@ -78,6 +78,52 @@ object LayoutOps {
     df.write.mode("overwrite").option("path", path)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Global dense rank over (`valueCol`, `tieCol`) WITHOUT a
+    * single-partition window — the two-level bucketed ranking every
+    * "assign global ordinals to 100 TB" job needs (a bare
+    * `row_number() OVER (ORDER BY ...)` funnels the whole table
+    * through one task; Spark even warns).
+    *
+    * Level 1: rows are bucketed by comparing `valueCol` against
+    * `nBuckets−1` exact interpolated percentile cuts (a one-row stats
+    * literal — the q43/q148 parity class; strict `>` comparisons keep
+    * value ties in one bucket). Level 2: per-bucket counts (a tiny
+    * nBuckets-row frame) prefix-sum into bucket offsets, and
+    * `rank = offset + row_number()` within each bucket — every window
+    * is PARTITIONED by bucket. Equal-value rows order by `tieCol`,
+    * making the rank total and layout-independent.
+    *
+    * Output: input columns + `rank` (1-based dense global ordinal).
+    */
+  def globalRank(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      tieCol: String, nBuckets: Int = 32): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 1, s"nBuckets must exceed 1: $nBuckets")
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = df.agg(percentile(col(valueCol),
+      array(fracs.map(lit): _*)).as("__cuts"))
+    val bucketed = df.crossJoin(broadcast(cuts))
+      .withColumn("__bkt", (1 until nBuckets).foldLeft(lit(1)) {
+        case (acc, i) =>
+          acc + when(col(valueCol).cast("double") >
+            element_at(col("__cuts"), i), 1).otherwise(0)
+      })
+      .drop("__cuts")
+      .localCheckpoint(true) // feeds the offset census AND the rank pass
+    // offsets: an nBuckets-row frame; the cumulative window is bounded
+    // by the CONFIG constant, not the data (the day-grain argument)
+    val offsets = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(Window.orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val w = Window.partitionBy("__bkt")
+      .orderBy(col(valueCol).asc, col(tieCol).asc)
+    bucketed.join(broadcast(offsets), "__bkt")
+      .withColumn("rank", col("__off") + row_number().over(w))
+      .drop("__bkt", "__off")
+  }
 }
 
 /** JVM kernel form of the Morton interleave, for the `graft_zvalue`

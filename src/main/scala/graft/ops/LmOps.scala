@@ -71,6 +71,65 @@ object LmOps {
        |GROUP BY $idCol""".stripMargin
   }
 
+  /** [[bigramSurprisal]] with a TRAIN/EVAL split: the add-one bigram
+    * model is fit ONLY on `trainPred` rows and scores ONLY the
+    * held-out rows — the leakage-free perplexity eval (a model scored
+    * on its own training corpus reads optimistically low surprisal;
+    * q106 measures corpus self-statistics, this measures
+    * generalization). Unseen eval bigrams/unigrams hit the add-one
+    * floor via left joins (`c = 0`), exactly as at inference time.
+    *
+    * Same scale shape as [[bigramSurprisal]] — the split predicate
+    * rides the token stream; no extra pass.
+    */
+  def bigramSurprisalHeldout(df: DataFrame, idCol: String, textCol: String,
+      trainPred: org.apache.spark.sql.Column): DataFrame = {
+    val toks = df.select(col(idCol), trainPred.as("__tr"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val train = toks.where(col("__tr"))
+    val uni = train.select(explode(col("__toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).cast(DoubleType).as("v"))
+    val bcnt = train.select(explode(TextOps.ngramsOf(col("__toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val evalBig = toks.where(!col("__tr")).select(col(idCol),
+      explode(TextOps.ngramsOf(col("__toks"), 2)).as("bg"))
+    val surp = gridU(-log(
+      (coalesce(col("cb"), lit(0L)).cast(DoubleType) + lit(1.0)) /
+        (coalesce(col("cu"), lit(0L)).cast(DoubleType) + col("v"))))
+    evalBig.join(bcnt, Seq("bg"), "left")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_big"), sum(surp).as("surp_u"))
+  }
+
+  /** [[bigramSurprisalHeldout]] oracle rendering; `trainPredSql` is
+    * the split predicate over the source table's columns.
+    */
+  def bigramSurprisalHeldoutSql(table: String, idCol: String, textCol: String,
+      trainPredSql: String): String = {
+    val surp =
+      "-ln((CAST(coalesce(cb, 0) AS DOUBLE) + 1.0) / (CAST(coalesce(cu, 0) AS DOUBLE) + v))"
+    s"""WITH base AS (SELECT $idCol, ($trainPredSql) AS tr,
+       |    ${TextOps.tokensSql(textCol)} AS tk,
+       |    ${TextOps.ngramsSql(textCol, 2)} AS bgs
+       |  FROM $table),
+       |uni AS (SELECT w1, count(*) AS cu FROM (
+       |    SELECT unnest(tk) AS w1 FROM base WHERE tr) GROUP BY 1),
+       |vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+       |bcnt AS (SELECT bg, count(*) AS cb FROM (
+       |    SELECT unnest(bgs) AS bg FROM base WHERE tr) GROUP BY 1),
+       |ebig AS (SELECT $idCol, unnest(bgs) AS bg FROM base WHERE NOT tr)
+       |SELECT $idCol, count(*) AS n_big,
+       |  CAST(sum(CAST(floor(($surp) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS surp_u
+       |FROM ebig LEFT JOIN bcnt USING (bg)
+       |LEFT JOIN uni ON split_part(bg, ' ', 1) = w1
+       |CROSS JOIN vocab
+       |GROUP BY $idCol""".stripMargin
+  }
+
   // ---- DSIR importance weights -------------------------------------------
 
   /** DSIR importance weight of every doc against a target slice of

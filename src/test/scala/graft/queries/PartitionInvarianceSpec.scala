@@ -68,7 +68,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // scan (q163), merge-order of bloom partials (q164), partial-state
     // union merge (q165)
     "q162_content_hash", "q163_linear_interp", "q164_bloom_fpr",
-    "q165_partial_merge")
+    "q165_partial_merge",
+    // round-10g: bucket-boundary value ties (q166), split-hash train
+    // membership (q167), census ties at the top-k boundary (q168),
+    // per-user window tie order (q169)
+    "q166_global_rank", "q167_heldout_surprisal", "q168_zipf_slope",
+    "q169_position_attribution")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

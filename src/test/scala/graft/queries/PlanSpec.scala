@@ -676,6 +676,32 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("Window"), s"merge is pure aggregation:\n$plan")
   }
 
+  test("q166 global rank: every data window is bucket-partitioned; offsets broadcast") {
+    val plan = planOf("q166_global_rank")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"offset census and rank pass must read the checkpointed buckets:\n$plan")
+    assert("windowspecdefinition\\(__bkt".r.findFirstIn(plan).isDefined,
+      s"the row_number window must partition by bucket, never global:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"the nBuckets-row offsets frame must broadcast:\n$plan")
+  }
+
+  test("q168 Zipf: census ships k rows (TakeOrdered); moments read the checkpoint") {
+    val plan = planOf("q168_zipf_slope")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"rank and moment passes must read the checkpointed top-k census:\n$plan")
+  }
+
+  test("q169 attribution: per-user windows, keyed conversion join, no cartesian") {
+    val plan = planOf("q169_position_attribution")
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(plan).isDefined,
+      s"credit windows must partition by user:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the conversion join is keyed on user_id:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
