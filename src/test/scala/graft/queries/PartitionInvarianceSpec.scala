@@ -73,7 +73,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // membership (q167), census ties at the top-k boundary (q168),
     // per-user window tie order (q169)
     "q166_global_rank", "q167_heldout_surprisal", "q168_zipf_slope",
-    "q169_position_attribution")
+    "q169_position_attribution",
+    // round-10h: top-10 revenue ties (q170), grouping-set expand
+    // (q171), range-frame peers (q172), null-safe key matching
+    // (q173), digest sums + full-outer drill (q174)
+    "q170_tpch_q3", "q171_grouping_sets", "q172_range_window",
+    "q173_nullsafe_join", "q174_merkle_diff")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -702,6 +702,51 @@ class PlanSpec extends EtlSpecBase {
       s"the conversion join is keyed on user_id:\n$plan")
   }
 
+  test("q170 TPC-H Q3: customer broadcasts, top-10 ships via TakeOrdered, no cartesian") {
+    val plan = planOf("q170_tpch_q3")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the segment-filtered customer dim must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=10"),
+      s"top-10 must be a TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"keyed joins only:\n$plan")
+  }
+
+  test("q171 grouping sets: one scan through an Expand, map-side partials") {
+    val plan = planOf("q171_grouping_sets")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"all three sets come from ONE scan:\n$plan")
+    assert(plan.contains("Expand"),
+      s"grouping sets plan through Expand:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"set counts must combine map-side:\n$plan")
+  }
+
+  test("q172 range window: customer-partitioned RANGE frame, single exchange") {
+    val plan = planOf("q172_range_window")
+    assert("windowspecdefinition\\(o_custkey".r.findFirstIn(plan).isDefined,
+      s"the trailing window must partition by customer:\n$plan")
+    assert(plan.contains("RangeFrame"),
+      s"the 30-day frame must be a RANGE frame, not ROWS:\n$plan")
+  }
+
+  test("q173 null-safe join: hash-joined (coalesced keys), never cartesian") {
+    val plan = planOf("q173_nullsafe_join")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"census and probe must read the checkpointed frame:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"<=> must plan as an equi-join on coalesced keys:\n$plan")
+  }
+
+  test("q174 Merkle diff: checkpointed snapshots only; digest sums combine map-side") {
+    val plan = planOf("q174_merkle_diff")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"digest and drill passes must read the checkpointed snapshots:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"keyed joins only:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
