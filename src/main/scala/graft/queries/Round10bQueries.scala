@@ -71,19 +71,12 @@ object Round10bQueries {
   private val TriMaxItems = 20
 
   private def q146(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.read(spark, sfDir, "lineitem")
-      .where(col("l_quantity") >= TriMinQty)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint(true) // feeds both join sides + the fan-out cap
-    // cap pair fan-out per order: the quadratic risk in co-occurrence
-    // edge GENERATION (the census itself is degree-bounded downstream)
-    val eligible = items.groupBy("ok").agg(count(lit(1)).as("__cnt"))
-      .where(col("__cnt") <= TriMaxItems).select("ok")
-    val edges = items.select(col("ok"), col("pk").as("a"))
-      .join(items.select(col("ok"), col("pk").as("b")), "ok")
-      .where(col("a") < col("b"))
-      .join(eligible, "ok")
+    // pair generation via the capped-basket collect (one reused
+    // exchange, map-side expansion) — see [[GraphOps.basketPairs]]
+    val edges = GraphOps.basketPairs(
+      Tables.read(spark, sfDir, "lineitem")
+        .where(col("l_quantity") >= TriMinQty),
+      col("l_orderkey"), col("l_partkey"), TriMaxItems)
       .select("a", "b")
     GraphOps.triangleStats(edges)
   }

@@ -27,21 +27,30 @@ object Round10cQueries {
   private val ArTopK = 25
 
   private def q151(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.read(spark, sfDir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint(true) // basket frame feeds counts + both join sides
-    val eligible = items.groupBy("ok").agg(count(lit(1)).as("__cnt"))
-      .where(col("__cnt") <= ArMaxItems).select("ok")
-      .localCheckpoint(true)
-    val baskets = items.join(eligible, "ok").localCheckpoint(true)
-    val nOrders = baskets.agg(countDistinct(col("ok")).as("__n"))
-    val itemCnt = baskets.groupBy("pk").agg(count(lit(1)).as("c"))
-    val und = baskets.select(col("ok"), col("pk").as("a"))
-      .join(baskets.select(col("ok"), col("pk").as("b")), "ok")
-      .where(col("a") < col("b"))
+    // capped basket arrays: ONE distinct shuffle + a reused-exchange
+    // collect (the previous self-join + eligibility-pass formulation
+    // cost two extra corpus-sized shuffles and three corpus-sized
+    // checkpoints — measured superlinear at 10×); the array frame is
+    // basket-cardinality, the only frame worth materializing
+    val baskets = GraphOps.cappedBaskets(
+      Tables.read(spark, sfDir, "lineitem"),
+      col("l_orderkey"), col("l_partkey"), ArMaxItems)
+      .localCheckpoint(true) // feeds pair census, item counts, order count
+    val nOrders = baskets.agg(count(lit(1)).as("__n"))
+    val und = GraphOps.pairsFromBaskets(baskets)
       .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= ArMinPairs)
+      .localCheckpoint(true) // tiny rule frame: keys + both rule directions
+    // support counts only for items that actually appear in a rule:
+    // the broadcast key set filters the basket explode MAP-SIDE, so
+    // the per-item aggregate shuffles ~|rules| rows, not the item
+    // domain (counting everything first measured as the 10× join cost)
+    val ruleKeys = und.select(col("a").as("pk"))
+      .unionAll(und.select(col("b").as("pk"))).distinct()
+    val itemCnt = baskets
+      .select(explode(col("ps")).as("pk"))
+      .join(broadcast(ruleKeys), Seq("pk"), "left_semi")
+      .groupBy("pk").agg(count(lit(1)).as("c"))
     val rules = und.select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
       .unionAll(und.select(col("b").as("ante"), col("a").as("cons"), col("n_ab")))
     rules
@@ -99,17 +108,10 @@ object Round10cQueries {
   private val CoreMaxItems = 20
 
   private def q153(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.read(spark, sfDir, "lineitem")
-      .where(col("l_quantity") >= CoreMinQty)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint(true)
-    val eligible = items.groupBy("ok").agg(count(lit(1)).as("__cnt"))
-      .where(col("__cnt") <= CoreMaxItems).select("ok")
-    val edges = items.select(col("ok"), col("pk").as("a"))
-      .join(items.select(col("ok"), col("pk").as("b")), "ok")
-      .where(col("a") < col("b"))
-      .join(eligible, "ok")
+    val edges = GraphOps.basketPairs(
+      Tables.read(spark, sfDir, "lineitem")
+        .where(col("l_quantity") >= CoreMinQty),
+      col("l_orderkey"), col("l_partkey"), CoreMaxItems)
       .select("a", "b")
     GraphOps.kCorePeel(edges, CoreK, CoreRounds)
   }

@@ -40,17 +40,10 @@ object Round10dQueries {
   private val LpaMaxItems = 20
 
   private def q159(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.read(spark, sfDir, "lineitem")
-      .where(col("l_quantity") >= LpaMinQty)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint(true)
-    val eligible = items.groupBy("ok").agg(count(lit(1)).as("__cnt"))
-      .where(col("__cnt") <= LpaMaxItems).select("ok")
-    val edges = items.select(col("ok"), col("pk").as("a"))
-      .join(items.select(col("ok"), col("pk").as("b")), "ok")
-      .where(col("a") < col("b"))
-      .join(eligible, "ok")
+    val edges = GraphOps.basketPairs(
+      Tables.read(spark, sfDir, "lineitem")
+        .where(col("l_quantity") >= LpaMinQty),
+      col("l_orderkey"), col("l_partkey"), LpaMaxItems)
       .select("a", "b")
     GraphOps.labelPropagation(edges, LpaRounds, LpaTopK)
   }

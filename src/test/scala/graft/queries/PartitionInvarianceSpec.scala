@@ -78,7 +78,11 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // (q171), range-frame peers (q172), null-safe key matching
     // (q173), digest sums + full-outer drill (q174)
     "q170_tpch_q3", "q171_grouping_sets", "q172_range_window",
-    "q173_nullsafe_join", "q174_merkle_diff")
+    "q173_nullsafe_join", "q174_merkle_diff",
+    // round-10i: integer-mean backtest joins (q175), per-user rank
+    // fold + census top-k ties (q176), Wilson-grid rank boundary
+    // (q177)
+    "q175_forecast_backtest", "q176_path_census", "q177_wilson_topk")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -747,6 +747,34 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("CartesianProduct"), s"keyed joins only:\n$plan")
   }
 
+  test("q175 backtest: models broadcast onto the checkpointed daily frame") {
+    val plan = planOf("q175_forecast_backtest")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"train and test passes must read the checkpointed daily frame:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"the 7-row dow model and 1-row baseline must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"model frames must never shuffle-join the test days:\n$plan")
+  }
+
+  test("q176 path census: user-partitioned rank, census ships k rows") {
+    val plan = planOf("q176_path_census")
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(plan).isDefined,
+      s"the first-k rank must partition by user:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=20"),
+      s"the path census must ship k rows:\n$plan")
+  }
+
+  test("q177 Wilson ranking: brand rollup combines map-side; top-10 via TakeOrdered") {
+    val plan = planOf("q177_wilson_topk")
+    assert(plan.contains("partial_count"),
+      s"brand counts must combine map-side:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=10"),
+      s"ranking must ship k rows, not sort globally:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"keyed part join only:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
