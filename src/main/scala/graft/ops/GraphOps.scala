@@ -230,8 +230,11 @@ object GraphOps {
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .localCheckpoint(true) // feeds the census AND both semi-joins
       val keep = deg.where(col("deg") >= k)
-      val nBefore = deg.count()
-      val nAfter = keep.count()
+      // both round counts in ONE job over the checkpointed degree frame
+      val stats = deg.agg(count(lit(1)).as("nb"),
+        sum(when(col("deg") >= k, 1L).otherwise(0L)).as("na")).head()
+      val nBefore = stats.getLong(0)
+      val nAfter = Option(stats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
       cur = cur
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
@@ -365,7 +368,9 @@ object GraphOps {
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint(true)
-      visited = visited.unionAll(frontier).localCheckpoint(true)
+      // visited is a union of already-checkpointed frontiers: lineage
+      // is flat without materializing it again each hop
+      visited = visited.unionAll(frontier)
       out = out.unionAll(frontier.select(lit(h).as("level"), col("node")))
     }
     out.groupBy("level").agg(count(lit(1)).as("n_nodes")).orderBy("level")
