@@ -82,7 +82,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // round-10i: integer-mean backtest joins (q175), per-user rank
     // fold + census top-k ties (q176), Wilson-grid rank boundary
     // (q177)
-    "q175_forecast_backtest", "q176_path_census", "q177_wilson_topk")
+    "q175_forecast_backtest", "q176_path_census", "q177_wilson_topk",
+    // round-10j: cross-bucket sweep carry (q178), per-user lead order
+    // (q179), equi-depth boundary ties (q180)
+    "q178_skyline", "q179_twap", "q180_equidepth_stats")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

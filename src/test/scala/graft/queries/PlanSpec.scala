@@ -775,6 +775,32 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("CartesianProduct"), s"keyed part join only:\n$plan")
   }
 
+  test("q178 skyline: bucket-partitioned sweep windows, carry broadcast") {
+    val plan = planOf("q178_skyline")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"cuts, carry and sweep must read the checkpointed points:\n$plan")
+    assert("windowspecdefinition\\(__bkt".r.findFirstIn(plan).isDefined,
+      s"the sweep window must partition by price bucket:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"the per-bucket carry maxima must broadcast:\n$plan")
+  }
+
+  test("q179 TWAP: per-user lead window, one grouped fold") {
+    val plan = planOf("q179_twap")
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(plan).isDefined,
+      s"the lead must partition by user:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no joins at all:\n$plan")
+  }
+
+  test("q180 equi-depth stats: cuts broadcast, bucket assignment map-side, no window on data") {
+    val plan = planOf("q180_equidepth_stats")
+    assert(plan.contains("Broadcast"),
+      s"the 15-double cuts row must broadcast:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"bucket assignment is a projection, not a ranking window:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
