@@ -85,7 +85,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q175_forecast_backtest", "q176_path_census", "q177_wilson_topk",
     // round-10j: cross-bucket sweep carry (q178), per-user lead order
     // (q179), equi-depth boundary ties (q180)
-    "q178_skyline", "q179_twap", "q180_equidepth_stats")
+    "q178_skyline", "q179_twap", "q180_equidepth_stats",
+    // round-10k: day-grain lag frames (q181), smoothing divisions
+    // (q182), slot census + distinct fold (q183)
+    "q181_lag_features", "q182_target_encoding", "q183_feature_hashing")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

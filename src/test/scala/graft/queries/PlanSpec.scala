@@ -801,6 +801,23 @@ class PlanSpec extends EtlSpecBase {
       s"bucket assignment is a projection, not a ranking window:\n$plan")
   }
 
+  test("q182 target encoding: global mean broadcast, one grouped fold") {
+    val plan = planOf("q182_target_encoding")
+    assert(plan.contains("Broadcast"),
+      s"the 1-row global mean must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"encoding is one aggregate + a broadcast literal:\n$plan")
+  }
+
+  test("q183 feature hashing: checkpointed token frame, k-row TakeOrdered") {
+    val plan = planOf("q183_feature_hashing")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"slot census and headline must read the checkpointed tokens:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=15"),
+      s"the hot-slot report ships k rows:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
