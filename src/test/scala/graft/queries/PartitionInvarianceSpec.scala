@@ -88,7 +88,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q178_skyline", "q179_twap", "q180_equidepth_stats",
     // round-10k: day-grain lag frames (q181), smoothing divisions
     // (q182), slot census + distinct fold (q183)
-    "q181_lag_features", "q182_target_encoding", "q183_feature_hashing")
+    "q181_lag_features", "q182_target_encoding", "q183_feature_hashing",
+    // round-10l: integer-grid centroid moments (q184), key-census
+    // percentiles (q185)
+    "q184_source_centroids", "q185_join_skew_stats")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

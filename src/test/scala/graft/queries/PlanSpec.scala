@@ -818,6 +818,24 @@ class PlanSpec extends EtlSpecBase {
       s"the hot-slot report ships k rows:\n$plan")
   }
 
+  test("q184 source centroids: checkpointed moment frame; pair join on dim only") {
+    val plan = planOf("q184_source_centroids")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"both pair sides must read the checkpointed (source,dim) sums:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the pair join keys on dim (source domain bounded):\n$plan")
+  }
+
+  test("q185 join-skew stats: one key census, one-row readout, no join") {
+    val plan = planOf("q185_join_skew_stats")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"one scan of the fact table:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the key census must combine map-side:\n$plan")
+    assert(!plan.contains("Join"), s"diagnostics are aggregate-only:\n$plan")
+  }
+
   test("q122 KS: value-domain shuffle only; totals broadcast back") {
     val plan = planOf("q122_ks_drift")
     assert(!plan.contains("SortMergeJoin"),
