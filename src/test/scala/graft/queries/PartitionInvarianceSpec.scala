@@ -91,7 +91,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q181_lag_features", "q182_target_encoding", "q183_feature_hashing",
     // round-10l: integer-grid centroid moments (q184), key-census
     // percentiles (q185)
-    "q184_source_centroids", "q185_join_skew_stats")
+    "q184_source_centroids", "q185_join_skew_stats",
+    // round-10m: distinct-side token sums (q186), bucketed-rank
+    // percentile ties (q187)
+    "q186_dedup_savings", "q187_quantile_norm")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
