@@ -94,16 +94,26 @@ object LayoutOps {
     * is PARTITIONED by bucket. Equal-value rows order by `tieCol`,
     * making the rank total and layout-independent.
     *
-    * Output: input columns + `rank` (1-based dense global ordinal).
+    * PRECONDITION: `valueCol` must be non-NULL. `percentile` ignores
+    * NULLs, the bucket fold would send NULL rows to bucket 1, and
+    * Spark's NULLS FIRST default diverges from DuckDB's NULLS LAST —
+    * engine-divergent ranks with no warning. NULL rows are therefore
+    * rejected up front (filtered with a documented contract rather
+    * than silently mis-ranked); callers that want NULLs ranked must
+    * coalesce them to a sentinel first and own that ordering choice.
+    *
+    * Output: input columns + `rank` (1-based dense global ordinal)
+    * for the `valueCol IS NOT NULL` rows.
     */
   def globalRank(df: org.apache.spark.sql.DataFrame, valueCol: String,
       tieCol: String, nBuckets: Int = 32): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBuckets > 1, s"nBuckets must exceed 1: $nBuckets")
+    val df0 = df.where(col(valueCol).isNotNull)
     val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val cuts = df.agg(percentile(col(valueCol),
+    val cuts = df0.agg(percentile(col(valueCol),
       array(fracs.map(lit): _*)).as("__cuts"))
-    val bucketed = df.crossJoin(broadcast(cuts))
+    val bucketed = df0.crossJoin(broadcast(cuts))
       .withColumn("__bkt", (1 until nBuckets).foldLeft(lit(1)) {
         case (acc, i) =>
           acc + when(col(valueCol).cast("double") >

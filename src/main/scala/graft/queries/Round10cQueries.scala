@@ -37,29 +37,63 @@ object Round10cQueries {
       col("l_orderkey"), col("l_partkey"), ArMaxItems)
       .localCheckpoint(true) // feeds pair census, item counts, order count
     val nOrders = baskets.agg(count(lit(1)).as("__n"))
-    val und = GraphOps.pairsFromBaskets(baskets)
+    // per-item support over ALL capped baskets — ONE explode+aggregate
+    // (partial map-side combine ⇒ the shuffle is item-domain-sized,
+    // not corpus-sized); reused by the Apriori prune AND the rule
+    // confidence/lift joins below
+    val itemCnt = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // Apriori prune, applied ADAPTIVELY: a pair needs n_ab ≥
+    // ArMinPairs, so both items need support ≥ ArMinPairs — broadcast
+    // SEMI-joins against the frequent-item set can drop infrequent
+    // pairs MAP-SIDE, before the pair census exchange. But the prune
+    // only pays when it prunes: on this fixture every item clears the
+    // floor (measured 200k/200k frequent at the 10× fixture — the two
+    // no-op semi-joins cost +8 s on a 4.7 s census), while a
+    // production fractional min-support leaves a small frequent set
+    // and the prune removes most of the pair fan-out. So the plan
+    // choice is made from the collected one-row support census (the
+    // stats-literal pattern): prune iff ≥10% of items are infrequent.
+    // Either plan computes identical results (the Apriori property);
+    // a per-row array_intersect variant was also tried and REJECTED —
+    // it rebuilds the frequent-set hash per basket (measured 36×).
+    val supportCensus = itemCnt.agg(count(lit(1)).as("n"),
+      sum(when(col("c") >= ArMinPairs, 1L).otherwise(0L)).as("nf")).head()
+    val pruneHelps =
+      supportCensus.getLong(1) * 10 < supportCensus.getLong(0) * 9
+    val freq = itemCnt.where(col("c") >= ArMinPairs).select("pk")
+    val rawPairs = GraphOps.pairsFromBaskets(baskets)
+    val prunedPairs =
+      if (pruneHelps)
+        rawPairs
+          .join(broadcast(freq.select(col("pk").as("a"))), Seq("a"), "left_semi")
+          .join(broadcast(freq.select(col("pk").as("b"))), Seq("b"), "left_semi")
+      else rawPairs
+    val und = prunedPairs
       .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= ArMinPairs)
       .localCheckpoint(true) // tiny rule frame: keys + both rule directions
-    // support counts only for items that actually appear in a rule:
-    // the broadcast key set filters the basket explode MAP-SIDE, so
-    // the per-item aggregate shuffles ~|rules| rows, not the item
-    // domain (counting everything first measured as the 10× join cost)
+    // support joins only for items that actually appear in a rule:
+    // semi-join the (item-domain-sized) support frame down to the
+    // broadcast rule-key set so the equi-joins below are rule-sized
     val ruleKeys = und.select(col("a").as("pk"))
       .unionAll(und.select(col("b").as("pk"))).distinct()
-    val itemCnt = baskets
-      .select(explode(col("ps")).as("pk"))
-      .join(broadcast(ruleKeys), Seq("pk"), "left_semi")
-      .groupBy("pk").agg(count(lit(1)).as("c"))
+    val ruleCnt = itemCnt.join(broadcast(ruleKeys), Seq("pk"), "left_semi")
     val rules = und.select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
       .unionAll(und.select(col("b").as("ante"), col("a").as("cons"), col("n_ab")))
     rules
-      .join(itemCnt.select(col("pk").as("ante"), col("c").as("c_a")), "ante")
-      .join(itemCnt.select(col("pk").as("cons"), col("c").as("c_b")), "cons")
+      .join(ruleCnt.select(col("pk").as("ante"), col("c").as("c_a")), "ante")
+      .join(ruleCnt.select(col("pk").as("cons"), col("c").as("c_b")), "cons")
       .crossJoin(broadcast(nOrders))
       .select(col("ante"), col("cons"), col("n_ab"),
         expr("n_ab * 1000000 div c_a").as("conf_ppm"),
-        expr("n_ab * __n * 1000000 div (c_a * c_b)").as("lift_u"))
+        // numerator through DECIMAL(38,0): n_ab·__n·1e6 wraps BIGINT
+        // once __n ≳ 1e11 baskets — DuckDB (HUGEINT) would raise while
+        // Spark's Long silently wraps; IntegralDivide on decimals
+        // returns BIGINT, and the quotient (lift in ppm) always fits
+        expr("cast(n_ab as decimal(38,0)) * __n * 1000000" +
+          " div (cast(c_a as decimal(38,0)) * c_b)").as("lift_u"))
       .orderBy(col("lift_u").desc, col("ante"), col("cons"))
       .limit(ArTopK)
   }
@@ -78,7 +112,8 @@ object Round10cQueries {
        |  UNION ALL SELECT b, a, n_ab FROM und)
        |SELECT ante, cons, CAST(n_ab AS BIGINT) AS n_ab,
        |  CAST(n_ab * 1000000 // ca.c AS BIGINT) AS conf_ppm,
-       |  CAST(n_ab * __n * 1000000 // (ca.c * cb.c) AS BIGINT) AS lift_u
+       |  CAST(CAST(n_ab AS HUGEINT) * __n * 1000000
+       |       // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_u
        |FROM rules
        |JOIN ic ca ON rules.ante = ca.pk
        |JOIN ic cb ON rules.cons = cb.pk
@@ -162,6 +197,9 @@ object Round10cQueries {
     def buckets(alias: String) = (0 until RecallTables).map(t =>
       s"WHEN $t THEN ${SimilarityOps.bucketSql(alias, t, 64, RecallBits)}")
       .mkString("CASE t ", " ", " END")
+    // generated from RecallTables so changing the Spark-side constant
+    // can never silently desynchronize the oracle's hash-table list
+    val tableIdxList = (0 until RecallTables).mkString(", ")
     val n4 = graft.etl.OracleSql.n4 _
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM c
@@ -174,9 +212,9 @@ object Round10cQueries {
        |      ORDER BY cos DESC, vec_id ASC) AS rank FROM bscored)
        |  WHERE rank <= $RecallK),
        |cb AS (SELECT vec_id, v, t, ${buckets("v")} AS bk
-       |  FROM c, unnest([0, 1]) AS u(t)),
+       |  FROM c, unnest([$tableIdxList]) AS u(t)),
        |qb AS (SELECT query_id, qv, t, ${buckets("qv")} AS bk
-       |  FROM q, unnest([0, 1]) AS u(t)),
+       |  FROM q, unnest([$tableIdxList]) AS u(t)),
        |cand AS (SELECT DISTINCT query_id, vec_id, qv, v
        |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bk = qb.bk
        |  WHERE vec_id != query_id),
@@ -219,16 +257,25 @@ object Round10cQueries {
   // the merge path breaks the gate.
   private def q156(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.read(spark, sfDir, "orders")
-    val dir = "/tmp/graft_q156_roundtrip"
-    orders.where(col("o_custkey") % 2 === 0)
-      .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
-      .write.mode("overwrite").parquet(s"$dir/b1")
-    orders.where(col("o_custkey") % 2 =!= 0)
-      .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"),
-        to_date(col("o_orderdate")).as("odate"))
-      .write.mode("overwrite").parquet(s"$dir/b2")
-    spark.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
-      .orderBy("id")
+    // per-run temp dir: the previous fixed shared path let two
+    // concurrent gate runs (or runs over different SF dirs) clobber
+    // each other's parquet mid-read; the eager checkpoint below pins
+    // the merged rows in the block manager so the files can be
+    // deleted before the frame is ever acted on
+    val dir = java.nio.file.Files.createTempDirectory("graft_q156_").toString
+    try {
+      orders.where(col("o_custkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+        .write.mode("overwrite").parquet(s"$dir/b1")
+      orders.where(col("o_custkey") % 2 =!= 0)
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"),
+          to_date(col("o_orderdate")).as("odate"))
+        .write.mode("overwrite").parquet(s"$dir/b2")
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
+        .localCheckpoint(true)
+        .orderBy("id")
+    } finally org.apache.spark.network.util.JavaUtils
+      .deleteRecursively(new java.io.File(dir))
   }
 
   private val q156Oracle: String =

@@ -19,7 +19,11 @@ object Round9Queries {
   // highest-seq row carries NULLs: the compacted state must surface
   // those NULLs, not resurrect stale values (the row-atomicity
   // contract of max_by(struct, seq); see cdcApplySql's struct
-  // arg_max note). Current state = highest-offset entry per key,
+  // arg_max note). Fixture-verified (round 11, DuckDB census): the
+  // highest-seq entry is a NULL-price upsert for 13/85/982 keys and a
+  // NULL-status upsert for 10/120/1189 keys at sf0.001/0.01/0.1 — the
+  // driver gate provably exercises the NULL-at-top path at every SF.
+  // Current state = highest-offset entry per key,
   // gone if that entry is a delete — ONE map-side-combining max_by
   // aggregate (ScdOps.cdcApply).
   private def q125(spark: SparkSession, sfDir: String): DataFrame = {

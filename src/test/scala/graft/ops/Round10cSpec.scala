@@ -74,4 +74,36 @@ class Round10cSpec extends EtlSpecBase {
       Row(1, 0L, 4L, 6L),
       Row(2, 0L, 4L, 6L)), got.mkString(", "))
   }
+
+  // ---- q151's adaptive Apriori prune ---------------------------------------
+
+  test("Apriori prune: semi-join-pruned pair census == unpruned census " +
+    "filtered post-hoc (the correctness-preserving property q151 relies on)") {
+    import org.apache.spark.sql.functions._
+    val minPairs = 2L
+    // items 1,2,3 frequent (co-occur twice); 7,8,9 appear once each —
+    // infrequent, so their pairs can never clear the floor
+    val rel = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 7L),
+      (20L, 1L), (20L, 2L), (20L, 3L), (20L, 8L),
+      (30L, 9L), (30L, 1L)).toDF("ok", "item")
+    val baskets = GraphOps.cappedBaskets(rel, col("ok"), col("item"), 20)
+    val itemCnt = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("c"))
+    val freq = itemCnt.where(col("c") >= minPairs).select("pk")
+    assert(freq.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    def census(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val raw = GraphOps.pairsFromBaskets(baskets)
+    val pruned = raw
+      .join(broadcast(freq.select(col("pk").as("a"))), Seq("a"), "left_semi")
+      .join(broadcast(freq.select(col("pk").as("b"))), Seq("b"), "left_semi")
+    assert(census(pruned) == census(raw))
+    assert(census(raw) == Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L)))
+    // and the prune DID remove rows before the exchange
+    assert(pruned.count() < raw.count())
+  }
 }
