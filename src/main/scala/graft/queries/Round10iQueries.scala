@@ -118,7 +118,10 @@ object Round10iQueries {
   // q43 parity class), per bucket the row count, exact bounds, and
   // exact NDV. Bucket assignment is map-side against the broadcast
   // cuts; NDV is the only extra exchange. Near-equal bucket counts
-  // here are the property equi-depth promises.
+  // here are the property equi-depth promises. Exactness is this
+  // query's contract (the P4 parity class); the 100 TB scale path —
+  // GK-sketch cuts + HLL NDV — is wired and gated as q188
+  // (Round11Queries), per VERDICT r10 #2.
   private val DepthBuckets = 16
 
   private def q180(spark: SparkSession, sfDir: String): DataFrame = {

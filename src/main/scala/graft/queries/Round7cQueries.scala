@@ -23,7 +23,7 @@ object Round7cQueries {
 
   private val q102Oracle: String = StatsOps.corrMatrixSql("lineitem", CorrCols)
 
-  // -- q103: MAD robust outlier census -------------------------------------
+  // -- q103: MAD robust outlier census (exact; sketch path gated as q189) ----
   private def q103(spark: SparkSession, sfDir: String): DataFrame =
     StatsOps.madOutliers(
       Tables.read(spark, sfDir, "lineitem"), "l_returnflag", "l_extendedprice")
