@@ -52,4 +52,42 @@ class Round10fSpec extends EtlSpecBase {
     assert(LmOps.bigramSurprisalHeldout(df, "doc_id", "text", col("tr"))
       .count() == 0)
   }
+
+  // ---- globalRank: ties straddling cuts (VERDICT r10 #4) --------------------
+
+  test("globalRank: one value carrying 60% of the mass collapses " +
+    "several cuts onto it — still a dense 1..n total order") {
+    // 30 of 50 rows share v=5.0, so cuts 2..4 of an 8-bucket split all
+    // equal 5.0; the strict > fold must route the whole tie block into
+    // ONE bucket (leaving others empty) without breaking density
+    val rows = (1 to 10).map(i => (i.toDouble / 100, i.toLong)) ++
+      (11 to 40).map(i => (5.0, i.toLong)) ++
+      (41 to 50).map(i => (100.0 + i, i.toLong))
+    val df = rows.toDF("v", "id")
+    val got = LayoutOps.globalRank(df, "v", "id", nBuckets = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.sortBy { case (v, id) => (v, id) }
+      .zipWithIndex.map { case ((v, id), i) => (v, id, i + 1L) }
+    assert(got.toSeq == expected, got.take(10).mkString(", "))
+  }
+
+  test("globalRank: an all-equal column degenerates to the tie order") {
+    val df = (1 to 20).map(i => (7.0, i.toLong)).toDF("v", "id")
+    val got = LayoutOps.globalRank(df, "v", "id", nBuckets = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == (1 to 20).map(i => (i.toLong, i.toLong)),
+      got.mkString(", "))
+  }
+
+  test("globalRank: NULL values are rejected up front (documented " +
+    "contract), non-NULL rows rank densely") {
+    val df = Seq((Some(3.0), 1L), (None, 2L), (Some(1.0), 3L),
+      (None, 4L), (Some(2.0), 5L)).toDF("v", "id")
+    val got = LayoutOps.globalRank(df, "v", "id", nBuckets = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1.0, 3L, 1L), (2.0, 5L, 2L), (3.0, 1L, 3L)),
+      got.mkString(", "))
+  }
 }
