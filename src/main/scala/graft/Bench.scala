@@ -101,12 +101,19 @@ object Bench {
     val totalSpread = results.map(_._3).sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"spread":$totalSpread,"queries":$qs,"query_spread":$spreads,"failed":$failed,"sf":"$sfDir"}"""
-    // Compact total-only line LAST: the full per-query line is ~4 KB and
-    // overflows the driver's stdout tail-capture window (BENCH_r04
-    // parsed:null started mid-line). The detailed line goes first (and
-    // to the BENCH.json file); the final stdout line fits any window.
+    // Compact line LAST: the full per-query line is ~10 KB and
+    // overflows the driver's 2000-char stdout tail-capture window
+    // (BENCH_r04 parsed:null started mid-line). The detailed line goes
+    // first (and to the BENCH.json file); the final stdout line must
+    // fit the window. Per-query data still rides along (VERDICT r10
+    // #8) as `q_ms`: integer milliseconds in SORTED-QUERY-NAME order —
+    // ~5 chars/query instead of ~45, so ~250 queries fit with room to
+    // spare, and the name list is reconstructible (sorted keys of the
+    // registry at `git_head`, also in BENCH.json/BENCH_HISTORY.jsonl).
+    val qMs = results.map { case (_, v, _, _) => (v * 1000).round }
+      .mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"spread":$totalSpread,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"spread":$totalSpread,"n_queries":${results.size},"q_ms":$qMs,"failed":$failed,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
