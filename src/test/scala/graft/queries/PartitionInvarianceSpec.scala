@@ -94,7 +94,13 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q184_source_centroids", "q185_join_skew_stats",
     // round-10m: distinct-side token sums (q186), bucketed-rank
     // percentile ties (q187)
-    "q186_dedup_savings", "q187_quantile_norm")
+    "q186_dedup_savings", "q187_quantile_norm",
+    // round-11: sketch-vs-exact gates (q188/q189 — the GK/HLL merge
+    // order varies with partitioning; the gate booleans must not),
+    // key-census squares (q190), kernel-vs-reason router (q191),
+    // sim²-tie top-k boundary (q193), rank-cut pivot census (q194)
+    "q188_equidepth_approx", "q189_mad_approx", "q190_join_size_preflight",
+    "q191_quarantine_channel", "q193_item_recs", "q194_top_revenue_share")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -864,4 +864,56 @@ class PlanSpec extends EtlSpecBase {
       s"partition col must prune directories, not row-filter:\n$plan")
     assert(pruned.count() == 25)
   }
+
+  // ---- round-11 guards -------------------------------------------------------
+
+  test("q190 join-size preflight: never materializes the join it sizes") {
+    val plan = planOf("q190_join_size_preflight")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"one scan of orders:\n$plan")
+    assert(!plan.contains("Join"), s"the preflight is aggregate-only:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the key census must combine map-side:\n$plan")
+  }
+
+  test("q191 quarantine channel: one scan, reason census combines map-side") {
+    val plan = planOf("q191_quarantine_channel")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"one scan of lineitem:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-reason counts must combine map-side:\n$plan")
+    assert(!plan.contains("Join"), s"routing is a pure projection:\n$plan")
+  }
+
+  test("q192 HOF vector stats: pure codegen projection, no exchange before sort") {
+    val plan = planOf("q192_vector_hof_stats")
+    assert(!plan.contains("Join"), s"per-row lambdas, no join:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"no aggregate — all three lambdas are per-row:\n$plan")
+    // only the final ORDER BY exchanges; the lambdas are one Project
+    // straight over the scan
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"single range exchange for the sort:\n$plan")
+  }
+
+  test("q193 item recs: top-k per item via WindowGroupLimit, no cartesian") {
+    val plan = planOf("q193_item_recs")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the per-item top-3 must rank-limit before the full sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q194 top-share: rank windows stay bucket-partitioned (no global data window)") {
+    val plan = planOf("q194_top_revenue_share")
+    val globalWindows = plan.linesIterator.filter(l =>
+      l.contains("Window") && !l.contains("WindowGroupLimit") &&
+        !l.contains("windowspecdefinition(__bkt") &&
+        l.contains("windowspecdefinition(")).toSeq
+    // the only unpartitioned window allowed is the nBuckets-row offset
+    // prefix-sum (bounded by config, not data) — identified by its
+    // input being the tiny bucket-count frame (sum(__n))
+    globalWindows.foreach { l =>
+      assert(l.contains("__n"), s"unexpected global data window: $l\n$plan")
+    }
+  }
 }

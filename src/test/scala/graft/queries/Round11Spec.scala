@@ -1,0 +1,97 @@
+package graft.queries
+
+/** Hand-computed units for the round-11 additions (q190-q194),
+  * driven through the REAL registered queries on planted fixtures.
+  */
+class Round11Spec extends PlantedQuerySpec {
+
+  import spark.implicits._
+
+  test("q190: exact Σc² self-join size vs the independence estimate, " +
+    "hand-computed") {
+    // day counts 3 / 1 / 2: exact = 9+1+4 = 14, indep = 36 div 3 = 12,
+    // blowup = 14000 div 12 = 1166, top share = 9e6 div 14 = 642857
+    val orders = (Seq.fill(3)("1970-01-02") ++ Seq("1970-01-03") ++
+      Seq.fill(2)("1970-01-04"))
+      .map(d => (ts(s"${d}T00:00:00Z"), 1.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = run("q190_join_size_preflight", plant("orders" -> orders))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq((6L, 3L, 3L, 14L, 12L, 1166L, 642857L)),
+      got.mkString(", "))
+  }
+
+  test("q191: router separates ok / null_like / unparseable with the " +
+    "real C1 kernel as the verdict") {
+    // l_linenumber % 5 picks the dirt class (see q191Dirty)
+    val li = Seq(
+      (1L, 1, 1234.56, 10.0), // "1234,56"   -> euro decimal, cleans OK
+      (2L, 2, 99.5, 7.0),     // "7.0.000,25"-> multi-dot, unparseable
+      (3L, 3, 1.0, 1.0),      // "N/A"       -> strips to "", null_like
+      (4L, 4, 1.0, 1.0),      // "n.a."      -> strips to "..", unparseable
+      (5L, 5, 50.25, 1.0)     // "50.25"     -> clean passthrough (5%5=0)
+    ).toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    val got = run("q191_quarantine_channel", plant("lineitem" -> li))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val expected = Seq(
+      ("null_like", 1L, "N/A", 3L),
+      ("ok", 2L, "1234,56", 5L),        // string-min sample
+      ("unparseable", 2L, "7.0.000,25", 4L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q192: lambda trio on hand vectors — strict > on the filter, " +
+    "floor-grid on norm and head (incl. a negative head)") {
+    val emb = Seq(
+      (1L, Array(3f, 4f)),      // l2 5.0 -> 50000; both large; head 30000
+      (2L, Array(0.5f, -0.5f)), // strict >0.5 excludes both; l2 ~0.7071
+      (3L, Array(-0.2f, 0f))    // negative head floors to -2000
+    ).toDF("vec_id", "embedding")
+    val got = run("q192_vector_hof_stats", plant("embeddings" -> emb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    val expected = Seq(
+      (1L, 50000L, 2, 30000L),
+      (2L, 7071L, 0, 5000L),
+      (3L, 2000L, 0, -2000L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q193: cosine² ranking with a deliberate tie broken by partner " +
+    "id, and a below-floor pair dropped") {
+    // baskets {1,2,3} x2, {1,2}, {4,5}: pair (4,5) has support 1 -> out
+    // c1=3 c2=3 c3=2; sim²: (1,2)=9e9/9=1e9, (1,3)=(2,3)=4e9/6
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 1L), (30L, 2L),
+      (40L, 4L), (40L, 5L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = run("q193_item_recs", plant("lineitem" -> li))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val tie = 4000000000L / 6
+    val expected = Seq(
+      (1L, 1, 2L, 3L, 1000000000L), (1L, 2, 3L, 2L, tie),
+      (2L, 1, 1L, 3L, 1000000000L), (2L, 2, 3L, 2L, tie),
+      (3L, 1, 1L, 2L, tie), (3L, 2, 2L, 2L, tie))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q194: the top-1% cut is an integer rank comparison — 2 of 200 " +
+    "customers, hand-computed share") {
+    // 199 customers at $1.00, customer 200 at $100.00
+    val orders = ((1 to 199).map(c => (c.toLong, 1.0)) :+ (200L, 100.0))
+      .toDF("o_custkey", "o_totalprice")
+      .withColumn("o_orderdate",
+        org.apache.spark.sql.functions.lit(ts("2024-01-01T00:00:00Z")))
+    val got = run("q194_top_revenue_share", plant("orders" -> orders))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val share = 10100L * 1000000L / 29900L
+    assert(got.toSeq == Seq((200L, 2L, 10100L, 29900L, share)),
+      got.mkString(", "))
+  }
+}
