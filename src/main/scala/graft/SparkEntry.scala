@@ -15,7 +15,8 @@ object SparkEntry {
       Round10bQueries.defs ++ Round10cQueries.defs ++ Round10dQueries.defs ++
       Round10eQueries.defs ++ Round10fQueries.defs ++ Round10gQueries.defs ++
       Round10hQueries.defs ++ Round10iQueries.defs ++ Round10jQueries.defs ++
-      Round10kQueries.defs ++ Round10lQueries.defs ++ Round11Queries.defs
+      Round10kQueries.defs ++ Round10lQueries.defs ++ Round11Queries.defs ++
+      Round11bQueries.defs
 
   /** Flagship: full auto-cleaning ETL of the sf0.001 events table
     * (driver smoke-checks rows > 0).

@@ -130,7 +130,7 @@ object Round11Queries {
   // the expression spec for the reason, so the census is the cleaner's
   // own confusion matrix. Dirt is derived deterministically from
   // lineitem so both engines see the identical feed.
-  private def q191Dirty(castStr: String => String): String =
+  private[queries] def q191Dirty(castStr: String => String): String =
     s"""(CASE l_linenumber % 5
        | WHEN 1 THEN replace(${castStr("l_extendedprice")}, '.', ',')
        | WHEN 2 THEN concat(${castStr("l_quantity")}, '.', '000,', '25')
@@ -139,25 +139,35 @@ object Round11Queries {
        | ELSE ${castStr("l_extendedprice")}
        | END)""".stripMargin.replaceAll("\n", " ")
 
-  private def q191(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (l_orderkey, raw, reason) routing projection over a lineitem
+    * frame — shared by the batch census (q191) and its streaming twin
+    * (q195, Round11bQueries): one routing definition, two execution
+    * modes, one oracle.
+    */
+  private[queries] def quarantineRouted(
+      li: DataFrame): DataFrame = {
     import graft.etl.Cleaners
     val raw = expr(q191Dirty(e => s"CAST($e AS STRING)"))
     val stripped = regexp_replace(col("raw"), "[^0-9.,+-]", "")
     val nulled = Cleaners.mapNullLikes(translate(stripped, ",", "."),
       Cleaners.numericNullLikes)
-    Tables.read(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), raw.as("raw"))
+    li.select(col("l_orderkey"), raw.as("raw"))
       .select(col("l_orderkey"), col("raw"),
         when(Cleaners.cleanNumeric(col("raw")).isNotNull, "ok")
           .when(nulled.isNull, "null_like")
           .otherwise("unparseable").as("reason"))
-      .groupBy("reason")
-      .agg(count(lit(1)).as("n"), min(col("raw")).as("sample_raw"),
-        max(col("l_orderkey")).as("max_key"))
-      .orderBy("reason")
   }
 
-  private val q191Oracle: String = {
+  private[queries] def quarantineCensus(routed: DataFrame): DataFrame =
+    routed.groupBy("reason")
+      .agg(count(lit(1)).as("n"), min(col("raw")).as("sample_raw"),
+        max(col("l_orderkey")).as("max_key"))
+
+  private def q191(spark: SparkSession, sfDir: String): DataFrame =
+    quarantineCensus(quarantineRouted(Tables.read(spark, sfDir, "lineitem")))
+      .orderBy("reason")
+
+  private[queries] val q191Oracle: String = {
     import graft.etl.{Cleaners, OracleSql}
     val dirty = q191Dirty(e => s"CAST($e AS VARCHAR)")
     val stripped = "regexp_replace(raw, '[^0-9.,+-]', '', 'g')"
