@@ -131,6 +131,39 @@ object MultimodalOps {
       Seq(BinaryType), propagateNull = true, returnNullable = true))
   }
 
+  /** Kernel-backed JPEG/JFIF header synthesis (see
+    * [[MultimodalKernels.jpegHeader]]).
+    */
+  def jpegHeader(width: Column, height: Column, comLen: Column,
+      valid: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, BinaryType, "jpegHeader",
+      Seq(ExprBridge.expression(width.cast(IntegerType)),
+        ExprBridge.expression(height.cast(IntegerType)),
+        ExprBridge.expression(comLen.cast(IntegerType)),
+        ExprBridge.expression(valid.cast(BooleanType))),
+      Seq(IntegerType, IntegerType, IntegerType, BooleanType),
+      propagateNull = true, returnNullable = true))
+  }
+
+  /** Kernel-backed JPEG marker-walk parse: array [width, height,
+    * precision, n_components], NULL when SOI validation or the
+    * segment walk fails (see [[MultimodalKernels.jpegDims]]).
+    */
+  def jpegDims(payload: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, ArrayType(LongType, containsNull = false),
+      "jpegDims",
+      Seq(ExprBridge.expression(payload.cast(BinaryType))),
+      Seq(BinaryType), propagateNull = true, returnNullable = true))
+  }
+
   /** Frame sampling (the video-pipeline shape): split a payload into
     * `n` contiguous frames and compute one feature per frame — here a
     * code-unit sum standing in for a real per-frame decode (the
@@ -309,6 +342,102 @@ object MultimodalKernels {
     val nFrames = dataSize / blockAlign
     new GenericArrayData(Array(rate, channels, bits, nFrames,
       nFrames * 1000L / rate))
+  }
+
+  // ---- JPEG/JFIF container header (REAL format, marker WALK) --------------
+  // The third container family, and structurally the hardest: JPEG
+  // metadata is NOT at a fixed offset — the SOF frame header sits
+  // behind a variable number of variable-LENGTH marker segments
+  // (JPEG/JFIF public spec: SOI, then FF-prefixed segments each
+  // carrying a big-endian 16-bit length that INCLUDES the length
+  // field). The synthesizer writes SOI + a variable-length COM
+  // segment + APP0/JFIF + SOF0, so the parser can only find the
+  // dimensions by actually walking the segment chain — a fixed-offset
+  // reader (the PNG/WAV shortcut) fails on every comLen > 0 payload.
+
+  private def writeBE16(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = ((v >>> 8) & 0xff).toByte
+    out(off + 1) = (v & 0xff).toByte
+  }
+
+  private def readBE16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** SOI + COM(2+2+comLen) + APP0/JFIF(18) + SOF0(2+19 for 3
+    * components). `valid=false` corrupts the SOI second byte (a
+    * non-JPEG payload the walk must reject up front). comLen filler
+    * bytes are 'x'.
+    */
+  def jpegHeader(width: Int, height: Int, comLen: Int,
+      valid: Boolean): Array[Byte] = {
+    val sofLen = 2 + 1 + 2 + 2 + 1 + 3 * 3 // 17: len+prec+h+w+ncomp+3 comps
+    val out = new Array[Byte](2 + (4 + comLen) + 18 + 2 + sofLen)
+    var p = 0
+    out(p) = 0xFF.toByte; out(p + 1) = 0xD8.toByte; p += 2 // SOI
+    out(p) = 0xFF.toByte; out(p + 1) = 0xFE.toByte         // COM
+    writeBE16(out, p + 2, 2 + comLen)
+    var i = 0
+    while (i < comLen) { out(p + 4 + i) = 'x'; i += 1 }
+    p += 4 + comLen
+    out(p) = 0xFF.toByte; out(p + 1) = 0xE0.toByte         // APP0
+    writeBE16(out, p + 2, 16)
+    val jfif = Array[Byte]('J', 'F', 'I', 'F', 0)
+    System.arraycopy(jfif, 0, out, p + 4, 5)
+    out(p + 9) = 1; out(p + 10) = 1 // version 1.1
+    out(p + 11) = 0                 // units: none
+    writeBE16(out, p + 12, 1); writeBE16(out, p + 14, 1) // densities
+    out(p + 16) = 0; out(p + 17) = 0 // no thumbnail
+    p += 18
+    out(p) = 0xFF.toByte; out(p + 1) = 0xC0.toByte         // SOF0
+    writeBE16(out, p + 2, sofLen)
+    out(p + 4) = 8 // precision
+    writeBE16(out, p + 5, height)
+    writeBE16(out, p + 7, width)
+    out(p + 9) = 3 // components
+    var c = 0
+    while (c < 3) { // id, sampling 0x11, quant table 0
+      out(p + 10 + 3 * c) = (c + 1).toByte
+      out(p + 11 + 3 * c) = 0x11
+      out(p + 12 + 3 * c) = 0
+      c += 1
+    }
+    if (!valid) out(1) = 0x00
+    out
+  }
+
+  /** Walk the marker chain to the first SOF segment and return
+    * [width, height, precision, n_components]; NULL (never a throw)
+    * on bad SOI, a broken chain, short buffers, or a chain that ends
+    * (EOI/SOS/EOF) before any SOF.
+    */
+  def jpegDims(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 4) return null
+    if (bytes(0) != 0xFF.toByte || bytes(1) != 0xD8.toByte) return null
+    var p = 2
+    while (p + 4 <= bytes.length) {
+      if (bytes(p) != 0xFF.toByte) return null
+      val m = bytes(p + 1) & 0xff
+      if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        p += 2 // standalone markers carry no length
+      } else if (m == 0xD9 || m == 0xDA) {
+        return null // EOI / start-of-scan before any SOF
+      } else {
+        val len = readBE16(bytes, p + 2)
+        if (len < 2 || p + 2 + len > bytes.length) return null
+        val isSof = (m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 &&
+          m != 0xCC // DHT/JPG/DAC are not frame headers
+        if (isSof) {
+          if (len < 8) return null
+          return new GenericArrayData(Array(
+            readBE16(bytes, p + 7).toLong, // width
+            readBE16(bytes, p + 5).toLong, // height
+            (bytes(p + 4) & 0xff).toLong,  // precision
+            (bytes(p + 9) & 0xff).toLong)) // components
+        }
+        p += 2 + len
+      }
+    }
+    null
   }
 
   /** Frame i covers code units [i*len/n, (i+1)*len/n) (integer floor);

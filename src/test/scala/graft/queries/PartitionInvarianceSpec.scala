@@ -100,7 +100,14 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // key-census squares (q190), kernel-vs-reason router (q191),
     // sim²-tie top-k boundary (q193), rank-cut pivot census (q194)
     "q188_equidepth_approx", "q189_mad_approx", "q190_join_size_preflight",
-    "q191_quarantine_channel", "q193_item_recs", "q194_top_revenue_share")
+    "q191_quarantine_channel", "q193_item_recs", "q194_top_revenue_share",
+    // round-11b/c: streaming census state merge (q195), per-key lead
+    // interval build + residual range join (q196), per-source census
+    // (q197), marker-walk census (q198), anti/semi purge counts
+    // (q199), dedup-rep min + median cut + xor digest (q200)
+    "q195_stream_quarantine", "q196_temporal_dim_join",
+    "q197_sentence_stats", "q198_jpeg_metadata", "q199_erasure_audit",
+    "q200_freeze_manifest")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

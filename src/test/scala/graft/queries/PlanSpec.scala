@@ -903,6 +903,33 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("q196 temporal join: equi-join on the key with a residual range " +
+    "filter — never a nested-loop/cartesian interval join") {
+    val plan = planOf("q196_temporal_dim_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the range predicate must ride an equi-join as a residual:\n$plan")
+  }
+
+  test("q199 erasure audit: purges are broadcast anti-joins, leak scans " +
+    "broadcast semi-joins — the deletion list never shuffles a store") {
+    val plan = planOf("q199_erasure_audit")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti") && plan.contains("LeftSemi"),
+      s"purge/leak joins must broadcast the deletion list:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no store-sized shuffle for the tiny deletion list:\n$plan")
+  }
+
+  test("q200 freeze manifest: the quality cut broadcasts; the manifest " +
+    "census combines map-side") {
+    val plan = planOf("q200_freeze_manifest")
+    assert(plan.contains("Broadcast"),
+      s"the 1-row median-cut frame must broadcast:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"manifest counts must combine map-side:\n$plan")
+  }
+
   test("q194 top-share: rank windows stay bucket-partitioned (no global data window)") {
     val plan = planOf("q194_top_revenue_share")
     val globalWindows = plan.linesIterator.filter(l =>

@@ -80,6 +80,77 @@ class Round11Spec extends PlantedQuerySpec {
     assert(got.toSeq == expected, got.mkString(", "))
   }
 
+  test("q196: fact before the first version reports UNMATCHED; a " +
+    "same-day version tie closes the earlier one into an empty interval") {
+    val orders = Seq(
+      // cust 1: A valid [day1, day9), B valid [day9, inf)
+      (1L, 11L, ts("1970-01-02T00:00:00Z"), "A"),
+      (1L, 21L, ts("1970-01-10T00:00:00Z"), "B"),
+      // cust 2: single order, orderkey % 5 == 0 -> fact probes at -1
+      // day, BEFORE the only version -> UNMATCHED
+      (2L, 5L, ts("1970-01-05T00:00:00Z"), "C"),
+      // cust 3: two versions on the SAME day: D closes empty, E wins
+      (3L, 31L, ts("1970-01-03T00:00:00Z"), "D"),
+      (3L, 32L, ts("1970-01-03T00:00:00Z"), "E")
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val got = run("q196_temporal_dim_join", plant("orders" -> orders))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // facts: ok11 ts=day16 -> B; ok21 ts=day24 -> B; ok5 ts=day3 ->
+    // UNMATCHED; ok31/ok32 ts=day17 -> E (never D)
+    val expected = Seq(("B", 2L, 1L), ("E", 2L, 1L), ("UNMATCHED", 1L, 1L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q197: sentence census — trailing enders yield no empty " +
+    "sentence, an unpunctuated doc is one sentence, an enders-only " +
+    "doc has zero (NULL ratio)") {
+    val docs = Seq(
+      (1L, "Hello world. Bye!", "s"),
+      (2L, "no punct", "s"),
+      (3L, "...", "t")
+    ).toDF("doc_id", "text", "source")
+    val got = run("q197_sentence_stats", plant("documents" -> docs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val expected = Seq(
+      ("s", 2L, 3L, 5L, Some(5000L / 3L)), // 3 sents, 5 tokens
+      ("t", 1L, 0L, 1L, None))             // "..." is 1 token, 0 sents
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q199: purge drops exactly the deletion set from every store " +
+    "and the leak re-scan is zero") {
+    // ids 1..34; ids 1 and 17 are long enough for TWO chunks; 17 and
+    // 34 are in the deletion set (id % 17 == 0)
+    val docs = (1L to 34L)
+      .map(i => (i, if (i == 1 || i == 17) "b" * 200 else "a" * 100))
+      .toDF("doc_id", "text")
+    val got = run("q199_erasure_audit", plant("documents" -> docs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expected = Seq(
+      ("chunks", 36L, 33L, 0L), // 34 + 2 extras; purge drops 17's 2 + 34's 1
+      ("documents", 34L, 32L, 0L),
+      ("fingerprints", 34L, 32L, 0L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q200: exact-duplicate texts across sources collapse to one " +
+    "manifest document under the min-id canonical source") {
+    val docs = Seq(
+      (7L, "the very same text appears twice", "src_b"),
+      (3L, "the very same text appears twice", "src_a")
+    ).toDF("doc_id", "text", "source")
+    val got = run("q200_freeze_manifest", plant("documents" -> docs))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // one distinct text -> one rep (doc 3, src_a); median == its own
+    // q4 so the floor keeps it; 6 whitespace tokens
+    assert(got.length == 1, got.mkString(", "))
+    assert(got.head._2 == "src_a" && got.head._3 == 1L && got.head._4 == 6L,
+      got.mkString(", "))
+  }
+
   test("q194: the top-1% cut is an integer rank comparison — 2 of 200 " +
     "customers, hand-computed share") {
     // 199 customers at $1.00, customer 200 at $100.00
