@@ -107,7 +107,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // (q199), dedup-rep min + median cut + xor digest (q200)
     "q195_stream_quarantine", "q196_temporal_dim_join",
     "q197_sentence_stats", "q198_jpeg_metadata", "q199_erasure_audit",
-    "q200_freeze_manifest")
+    "q200_freeze_manifest",
+    // round-11d: global-df prefix rank ties (q201), per-stratum hash
+    // order rank cuts (q202)
+    "q201_prefix_simjoin", "q202_stratified_split")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -930,6 +930,24 @@ class PlanSpec extends EtlSpecBase {
       s"manifest counts must combine map-side:\n$plan")
   }
 
+  test("q201 prefix simjoin: candidates come from the prefix equi-join, " +
+    "never a cartesian; per-doc ranks are keyed windows") {
+    val plan = planOf("q201_prefix_simjoin")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the prefix-token equi-join:\n$plan")
+    assert(plan.contains("windowspecdefinition(id"),
+      s"the prefix rank must be keyed by doc id:\n$plan")
+  }
+
+  test("q202 stratified split: every window is stratum-keyed") {
+    val plan = planOf("q202_stratified_split")
+    val bad = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(") &&
+        !l.contains("windowspecdefinition(source")).toSeq
+    assert(bad.isEmpty, s"unkeyed window in:\n$plan")
+  }
+
   test("q194 top-share: rank windows stay bucket-partitioned (no global data window)") {
     val plan = planOf("q194_top_revenue_share")
     val globalWindows = plan.linesIterator.filter(l =>

@@ -151,6 +151,36 @@ class Round11Spec extends PlantedQuerySpec {
       got.mkString(", "))
   }
 
+  test("q201: prefix filtering finds the above-threshold shingle pair " +
+    "and exact verification rejects the near-miss") {
+    // doc 1 "a b c d e"   -> shingles {abc, bcd, cde}
+    // doc 2 "a b c d e f" -> + {def}: jac = 3/4 = 750000 ppm >= 600000
+    // doc 3 "a b c d x"   -> {abc, bcd, cdx}: jac with 1 = 2/4 = 0.5 -> out
+    // doc 4 "x y z w"     -> unrelated
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e f"), (3L, "a b c d x"),
+      (4L, "x y z w")
+    ).toDF("doc_id", "text")
+    val got = run("q201_prefix_simjoin", plant("documents" -> docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 750000L)), got.mkString(", "))
+  }
+
+  test("q202: exact-proportion split floors tiny strata (a 3-doc source " +
+    "gets 2/0/1, never a hash-lottery 0-train)") {
+    val docs = ((1L to 10L).map(i => (i, "s")) ++
+      (11L to 13L).map(i => (i, "t")))
+      .toDF("doc_id", "source")
+    val got = run("q202_stratified_split", plant("documents" -> docs))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val expected = Seq(
+      ("s", "test", 1L, 100000L), ("s", "train", 8L, 800000L),
+      ("s", "val", 1L, 100000L),
+      ("t", "test", 1L, 333333L), ("t", "train", 2L, 666666L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
   test("q194: the top-1% cut is an integer rank comparison — 2 of 200 " +
     "customers, hand-computed share") {
     // 199 customers at $1.00, customer 200 at $100.00
