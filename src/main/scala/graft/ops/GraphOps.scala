@@ -420,4 +420,86 @@ object GraphOps {
        |$iterCtes
        |SELECT node, r FROM r$iters ORDER BY r DESC, node""".stripMargin
   }
+
+  /** Weighted single-source-set shortest-path distance census —
+    * min-plus Bellman-Ford, frontier-restricted (the label-correcting
+    * SSSP every routing/blast-radius job over a weighted graph needs;
+    * [[bfsLevels]] is the unit-weight special case).
+    *
+    * Input: directed edges (`src`, `dst`, `w`) with BIGINT weights
+    * `w ≥ 0` (pass both directions for undirected), and a one-column
+    * seed frame (`node`) — all seeds start at distance 0. Output:
+    * (dist, n_nodes) over nodes reachable within `rounds` edges,
+    * where dist = exact min-plus distance over paths of ≤ `rounds`
+    * edges (the Bellman-Ford invariant).
+    *
+    * Scale shape: per round, edges join ONLY the frontier (nodes
+    * whose distance improved last round) — the delta-restriction is
+    * exact because an improvement at round r propagates at round r+1,
+    * so after r rounds both the full relaxation and the restricted
+    * one have minimized over every ≤ r-edge path. Candidate
+    * distances pre-aggregate per dst (map-side combine) BEFORE
+    * joining the running distance map, and each round checkpoints
+    * frontier + distances so lineage stays flat. Per round: one
+    * edge-keyed shuffle + two node-keyed shuffles, the Pregel SSSP
+    * shape — at 100 TB the cost is `rounds × (edge shuffle)` with a
+    * frontier that shrinks as labels settle, never a node×node
+    * structure.
+    */
+  def ssspDistances(edgesIn: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val edges = edgesIn.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("d")).localCheckpoint(true)
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = relaxOnce(edges, frontier)
+      val improved = cand
+        .join(dist.withColumnRenamed("d", "__old"), Seq("node"), "left_outer")
+        .where(col("__old").isNull || col("d") < col("__old"))
+        .select(col("node"), col("d"))
+        .localCheckpoint(true)
+      // improved rows shadow their stale entries through the min
+      dist = dist.unionAll(improved)
+        .groupBy("node").agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      frontier = improved
+    }
+    dist.groupBy("d").agg(count(lit(1)).as("n_nodes"))
+      .select(col("d").as("dist"), col("n_nodes"))
+      .orderBy("dist")
+  }
+
+  /** One SSSP relaxation round: candidate distances through the
+    * frontier's out-edges, pre-aggregated to one min per dst (the
+    * map-side-combining edge shuffle PlanSpec pins).
+    */
+  private[graft] def relaxOnce(edges: DataFrame,
+      frontier: DataFrame): DataFrame =
+    edges
+      .join(frontier.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      .groupBy("node").agg(min(col("d")).as("d"))
+
+  /** [[ssspDistances]] oracle rendering: the UNRESTRICTED relaxation
+    * unrolled (relax every labeled node each round) — equivalent to
+    * the frontier-restricted form after the same number of rounds,
+    * per the propagation argument in the scaladoc above.
+    */
+  def ssspDistancesSql(edgesCte: String, seedsCte: String,
+      rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT node, min(d) AS d FROM (
+         |    SELECT node, d FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.d + e.w AS d
+         |    FROM edges e JOIN d${r - 1} p ON e.src = p.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesCte),
+       |d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS d FROM ($seedsCte)),
+       |$iters
+       |SELECT d AS dist, count(*) AS n_nodes FROM d$rounds
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

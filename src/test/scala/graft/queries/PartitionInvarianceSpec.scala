@@ -110,7 +110,14 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q200_freeze_manifest",
     // round-11d: global-df prefix rank ties (q201), per-stratum hash
     // order rank cuts (q202)
-    "q201_prefix_simjoin", "q202_stratified_split")
+    "q201_prefix_simjoin", "q202_stratified_split",
+    // round-11e: frontier improve/min merge order (q203), per-part
+    // size-desc prefix-sum bin folds (q204), bucketed prefix-max
+    // carry + within-bucket window order (q205)
+    "q203_sssp_census", "q204_compaction_plan", "q205_lateness_census",
+    // round-11f: FD cell-census merge order (q206), day-grain window
+    // + broadcast residual join (q207), flag census (q208)
+    "q206_fd_profile", "q207_seasonal_decompose", "q208_mojibake_census")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

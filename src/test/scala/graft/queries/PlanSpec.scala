@@ -961,4 +961,67 @@ class PlanSpec extends EtlSpecBase {
       assert(l.contains("__n"), s"unexpected global data window: $l\n$plan")
     }
   }
+
+  test("q203 sssp: a relaxation round is an equi-join with map-side " +
+    "candidate mins (the per-round plans hide behind checkpoints, so " +
+    "the round is planned directly)") {
+    import spark.implicits._
+    val edges = Tables.read(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("src"), col("l_suppkey").as("dst"),
+        col("l_linenumber").cast("long").as("w"))
+    val frontier = Seq((1L, 0L)).toDF("node", "d")
+    val plan = graft.ops.GraphOps.relaxOnce(edges, frontier)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"relaxation must be the edge⋈frontier equi-join:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"per-dst candidate mins must pre-aggregate map-side:\n$plan")
+  }
+
+  test("q204 compaction plan: every window is partition-keyed") {
+    val plan = planOf("q204_compaction_plan")
+    val bad = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(") &&
+        !l.contains("windowspecdefinition(part")).toSeq
+    assert(bad.isEmpty, s"unkeyed window in:\n$plan")
+  }
+
+  test("q205 lateness: running-max windows stay bucket-partitioned; the " +
+    "only unpartitioned window is the 32-row carry prefix") {
+    val plan = planOf("q205_lateness_census")
+    val globalWindows = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(") &&
+        !l.contains("windowspecdefinition(__bkt")).toSeq
+    globalWindows.foreach { l =>
+      assert(l.contains("__bmax"), s"unexpected global data window: $l\n$plan")
+    }
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q206 fd profile: pure aggregation — no joins, cell census " +
+    "combines map-side") {
+    val plan = planOf("q206_fd_profile")
+    assert(!plan.contains("Join"), s"FD metrics need no join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"cell census must combine map-side:\n$plan")
+  }
+
+  test("q207 seasonal: the 7-row seasonal frame broadcasts back; daily " +
+    "rollup combines map-side") {
+    val plan = planOf("q207_seasonal_decompose")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the seasonal frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join against a 7-row frame:\n$plan")
+  }
+
+  test("q208 mojibake census: projection + one census aggregate — no " +
+    "joins, no windows") {
+    val plan = planOf("q208_mojibake_census")
+    assert(!plan.contains("Join") && !plan.contains("windowspecdefinition"),
+      s"flag probes are map-side:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"census must combine map-side:\n$plan")
+  }
 }

@@ -195,4 +195,122 @@ class Round11Spec extends PlantedQuerySpec {
     assert(got.toSeq == Seq((200L, 2L, 10100L, 29900L, share)),
       got.mkString(", "))
   }
+
+  test("q203: a cheap 3-edge path found at round 3 CORRECTS the " +
+    "expensive 1-edge label assigned at round 1") {
+    // customers 1, 2 (nodes 2, 4); suppliers 1, 2 (nodes 3, 5); seed is
+    // cust 1 (custkey % 100 == 1). Weights = 1 + min floor(qty):
+    //   (c1,s1) w=5, (c2,s1) w=3, (c2,s2) w=10, (c1,s2) w=26.
+    // Round 1 labels s2 at 26 via the direct edge; round 3 improves it
+    // to 0+5+3+10 = 18 via s1→c2 — the label-correcting case.
+    val orders = Seq((10L, 1L), (20L, 2L), (30L, 1L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (10L, 1L, 4.7), (20L, 1L, 2.0), (20L, 2L, 9.9), (30L, 2L, 25.0)
+    ).toDF("l_orderkey", "l_suppkey", "l_quantity")
+    val got = run("q203_sssp_census", plant("orders" -> orders, "lineitem" -> li))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L), (5L, 1L), (8L, 1L), (18L, 1L)),
+      got.mkString(", "))
+  }
+
+  test("q204: next-fit-decreasing bins — a boundary-straddling file " +
+    "opens a new bin; an oversized file absorbs its trailer") {
+    // 2024-01 sizes desc: 30M, 30M, 25M, 10M (target 50M) — cumsums
+    // 30/60/85/95M -> bins {30M} and {30M+25M+10M = 65M}.
+    // 2024-02: 120M then 1M — cum 120M and 121M both land in bin
+    // (cum-1) div 50M = 2: the oversized file fills its bin past the
+    // boundary and the 1M trailer tops it off (next-fit semantics).
+    val orders = Seq(
+      (1L, "2024-01-05", 3.0e7), (2L, "2024-01-10", 3.0e7),
+      (3L, "2024-01-15", 2.5e7), (4L, "2024-01-20", 1.0e7),
+      (5L, "2024-02-05", 1.2e8), (6L, "2024-02-10", 1.0e6)
+    ).map { case (k, d, p) => (k, ts(s"${d}T00:00:00Z"), p) }
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = run("q204_compaction_plan", plant("orders" -> orders))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val expected = Seq(
+      ("2024-01", 4L, 2L, 95000000L, 65000000L, 30000000L),
+      ("2024-02", 2L, 1L, 121000000L, 121000000L, 121000000L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q205: one deliberate arrival inversion — hand-computed delays, " +
+    "lateness, and interpolated percentiles") {
+    // delay(id) = ((id + 31) * 48271) % P % 120e6 µs:
+    //   id1 1544672, id2 1592943, id3 1641214, id4 1689485.
+    // ts (µs after B=1e12): id3 +0, id2 +60000, id1 +100000, id4 +200000.
+    // Arrival = ts + delay: id3 first (1641214), then id1 (1644672),
+    // id2 (1652943) — id2 arrives AFTER id1 with an EARLIER event time
+    // -> late by 100000-60000 = 40000 µs; id4 last, on time.
+    // late_us = [0,0,40000,0]: ppm = 250000, p50 = 0, p95 = idx 2.85
+    // -> 0.85·40000 = 34000, p99 -> 38800, max = 40000.
+    val base = 1000000000000L
+    val events = Seq(
+      (1L, 100000L), (2L, 60000L), (3L, 0L), (4L, 200000L)
+    ).map { case (id, off) =>
+      (id, java.sql.Timestamp.from(
+        java.time.Instant.EPOCH.plusNanos((base + off) * 1000L)))
+    }.toDF("event_id", "ts")
+    val got = run("q205_lateness_census", plant("events" -> events))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(got.toSeq == Seq((4L, 1L, 250000L, 0.0, 34000.0, 38800.0, 40000L)),
+      got.mkString(", "))
+  }
+
+  test("q206: hand-computed g2/g3 — a violated FD, a holding FD, and a " +
+    "unique-LHS key with NULL viol_ppm") {
+    // part 10 ships from supps {100, 200, 100}: all2 = 6, ok2 = 2 ->
+    // viol_pairs = 2, ppm = 4e6 div 6 = 666666, g3 = 4 - (2+1) = 1.
+    // okey 1 has flags {A,A,A}: FD holds (viol 0, ppm 0, g3 0).
+    // (okey, line) is unique: all2 = 0 -> ppm NULL.
+    val li = Seq(
+      (1L, 1, 10L, 100L, "A"), (1L, 2, 10L, 200L, "A"),
+      (1L, 3, 11L, 300L, "A"), (2L, 1, 10L, 100L, "N")
+    ).toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_returnflag")
+    val got = run("q206_fd_profile", plant("lineitem" -> li))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))
+    val expected = Seq(
+      ("lpart->lsupp", 4L, 2L, 2L, Some(666666L), 1L),
+      ("okey,line->lpart", 4L, 4L, 0L, None, 0L),
+      ("okey->retflag", 4L, 2L, 0L, Some(0L), 0L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q207: edge days drop; a single spike pulls neighboring trends " +
+    "and leaves negative deviations (trunc-div parity)") {
+    // 9 consecutive days from 1970-01-01 (Thu): rev 14 except day8=84.
+    // Full 7-day windows exist only for days 4-6: trends 14/24/24 ->
+    // devs 0/-10/-10 on isodow 7/1/2; one day per dow -> sea = dev,
+    // residuals 0.
+    val revs = Seq(14.0, 14.0, 14.0, 14.0, 14.0, 14.0, 14.0, 84.0, 14.0)
+    val orders = revs.zipWithIndex.map { case (r, i) =>
+      (i.toLong, ts(f"1970-01-${i + 1}%02dT00:00:00Z"), r)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = run("q207_seasonal_decompose", plant("orders" -> orders))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expected = Seq((1, 1L, -10L, 0L), (2, 1L, -10L, 0L), (7, 1L, 0L, 0L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q208: each dirt class fires exactly its residue docs; a doc in " +
+    "two classes counts once per flag but is clean-excluded once") {
+    // source s: ids 1 (clean), 3 (moji), 5 (fffd), 11 (ctrl), 13 (crlf)
+    // source t: id 26 = 2x13 (crlf) and 26 % 7 == 5 (fffd) -> stacked
+    val docs = (Seq(1L, 3L, 5L, 11L, 13L).map(i => (i, "hello", "s")) :+
+      ((26L, "hello", "t"))).toDF("doc_id", "text", "source")
+    val got = run("q208_mojibake_census", plant("documents" -> docs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val expected = Seq(
+      ("s", 5L, 1L, 1L, 1L, 1L, 200000L),
+      ("t", 1L, 0L, 1L, 0L, 1L, 0L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
 }
