@@ -117,7 +117,13 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q203_sssp_census", "q204_compaction_plan", "q205_lateness_census",
     // round-11f: FD cell-census merge order (q206), day-grain window
     // + broadcast residual join (q207), flag census (q208)
-    "q206_fd_profile", "q207_seasonal_decompose", "q208_mojibake_census")
+    "q206_fd_profile", "q207_seasonal_decompose", "q208_mojibake_census",
+    // round-11g: key-census + anti-join merge order (q209), (token,
+    // doc) census + top-25 df ties (q210), milli-grid census (q211)
+    "q209_ri_audit", "q210_inverted_index", "q211_readability",
+    // round-11h: per-subspace Lloyd trajectory + code census (q212),
+    // bucket mean merge order (q213), micro-nat term fold (q214)
+    "q212_pq_codebook", "q213_median_of_means", "q214_info_gain")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

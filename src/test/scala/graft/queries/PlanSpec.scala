@@ -1024,4 +1024,48 @@ class PlanSpec extends EtlSpecBase {
     assert(plan.contains("partial_count"),
       s"census must combine map-side:\n$plan")
   }
+
+  test("q209 RI audit: orphan detection is an anti-join of KEY frames " +
+    "(fact payloads collapsed to a census first)") {
+    val plan = planOf("q209_ri_audit")
+    assert(plan.contains("LeftAnti"),
+      s"orphans must come from an anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q210 inverted index: two-level aggregate + TakeOrdered, no joins") {
+    val plan = planOf("q210_inverted_index")
+    assert(!plan.contains("Join"), s"index build needs no join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the (token, doc) census must combine map-side:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-25 must be a TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("q211 readability: projection + one census aggregate — no joins, " +
+    "no windows") {
+    val plan = planOf("q211_readability")
+    assert(!plan.contains("Join") && !plan.contains("windowspecdefinition"),
+      s"scoring is map-side:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"census must combine map-side:\n$plan")
+  }
+
+  test("q213 median-of-means: one map-side-combining bucket aggregate, " +
+    "no joins, no windows") {
+    val plan = planOf("q213_median_of_means")
+    assert(!plan.contains("Join") && !plan.contains("windowspecdefinition"),
+      s"bucketing is a hash projection:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"bucket (n, sum) pairs must combine map-side:\n$plan")
+  }
+
+  test("q214 info gain: ONE melted census shuffle; every join after it " +
+    "is broadcast on the tiny cell frame") {
+    val plan = planOf("q214_info_gain")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-feature totals must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle joins on the post-census cell frame:\n$plan")
+  }
 }

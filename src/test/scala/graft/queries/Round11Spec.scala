@@ -313,4 +313,117 @@ class Round11Spec extends PlantedQuerySpec {
       ("t", 1L, 0L, 1L, 0L, 1L, 0L))
     assert(got.toSeq == expected, got.mkString(", "))
   }
+
+  test("q209: the late-dimension relation reports exactly the withheld " +
+    "and absent keys; clean relations report zero with NULL key range") {
+    // customer {1, 2, 257}; late dim withholds 257 (% 250 == 7).
+    // orders reference custkeys 1, 257, 257, 9 -> orphans vs late dim:
+    // key 257 (2 rows) + key 9 (1 row, absent entirely) = 3 rows / 2
+    // keys, ppm = 3e6 div 4 = 750000, key range [9, 257].
+    val cust = Seq(1L, 2L, 257L).toDF("c_custkey")
+    val orders = Seq((1L, 1L), (2L, 257L), (3L, 257L), (4L, 9L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(1L, 1L, 2L).toDF("l_orderkey")
+    val events = Seq((1L, ts("2024-01-01T00:00:00Z")),
+      (2L, ts("2024-01-02T00:00:00Z"))).toDF("user_id", "ts")
+    val got = run("q209_ri_audit", plant("customer" -> cust,
+      "orders" -> orders, "lineitem" -> li, "events" -> events))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    val expected = Seq(
+      ("events->customer", 2L, 0L, 0L, 0L, None, None),
+      ("lineitem->orders", 3L, 0L, 0L, 0L, None, None),
+      ("orders->late_customer", 4L, 3L, 2L, 750000L, Some(9L), Some(257L)))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q210: df counts a repeated token once per doc; the digest trio " +
+    "pins posting membership; ties order by token") {
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = run("q210_inverted_index", plant("documents" -> docs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val expected = Seq(
+      ("b", 2L, 2L, 3L, 1L, 2L),
+      ("a", 1L, 2L, 1L, 1L, 1L),
+      ("c", 1L, 1L, 2L, 2L, 2L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q211: hand-computed Flesch milli grid; an enders-only doc has " +
+    "zero sentences and is skipped (an unpunctuated doc would score " +
+    "as ONE sentence — the q197 contract)") {
+    // "The cat sat. It ran away!": W=6, S=2, vowel groups=7
+    // ('away' has two: 'a', 'ay') -> wps 3000, spw 1166,
+    // flesch = 206835 - 3045 - 98643 = 105147. "..." -> S=0, skipped.
+    val docs = Seq(
+      (1L, "The cat sat. It ran away!", "s"),
+      (2L, "...", "s")
+    ).toDF("doc_id", "text", "source")
+    val got = run("q211_readability", plant("documents" -> docs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("s", 1L, 1L, 3000L, 1166L, 105147L)),
+      got.mkString(", "))
+  }
+
+  test("q212: separable subspace patterns land on the init exemplars — " +
+    "all 8 joint codes hand-derivable") {
+    // Constant 32-dim patterns P_j = j*10; vecs 1-4 are (P0,P0)..(P3,P3)
+    // (the by-id init picks them as the 4 centroids in BOTH subspaces),
+    // vecs 5-8 mix halves: (P0,P1),(P1,P2),(P2,P3),(P3,P0). Exact
+    // matches -> stable Lloyd trajectory; codes = lo*4 + hi.
+    def p(j: Int) = Array.fill(32)(j * 10f)
+    val emb = Seq(
+      (1L, p(0) ++ p(0)), (2L, p(1) ++ p(1)), (3L, p(2) ++ p(2)),
+      (4L, p(3) ++ p(3)), (5L, p(0) ++ p(1)), (6L, p(1) ++ p(2)),
+      (7L, p(2) ++ p(3)), (8L, p(3) ++ p(0))
+    ).toDF("vec_id", "embedding")
+    val got = run("q212_pq_codebook", plant("embeddings" -> emb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val expected = Seq(
+      (0L, 1L, 1L, 1L, 1L), (1L, 1L, 5L, 5L, 5L), (5L, 1L, 2L, 2L, 2L),
+      (6L, 1L, 6L, 6L, 6L), (10L, 1L, 3L, 3L, 3L), (11L, 1L, 7L, 7L, 7L),
+      (12L, 1L, 8L, 8L, 8L), (15L, 1L, 4L, 4L, 4L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q213: four singleton buckets — the median of means is the " +
+    "interpolated middle, untouched by the outlier the mean swallows") {
+    // h2(1..4) % 16 = 6,3,0,12 — all distinct, so each order is its
+    // own bucket: means {10,20,40,1000}; median = (20+40)/2 = 30;
+    // plain mean = 1070 div 4 = 267.
+    val orders = Seq((1L, 10.0), (2L, 20.0), (3L, 40.0), (4L, 1000.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val got = run("q213_median_of_means", plant("orders" -> orders))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq((4L, 4L, 267L, 30.0, 10L, 1000L)),
+      got.mkString(", "))
+  }
+
+  test("q214: a feature that determines the label scores IG = H(label); " +
+    "single-valued features score exactly 0") {
+    // statuses O,O,F,F; priority 1-URGENT for O, 2-HIGH for F; same
+    // day and price for all. H(label) = 2*floor(0.5*ln2*1e6 + 0.5) =
+    // 693148 micro-nats; cond(priority) = 0 (pure leaves, ln 1 = 0);
+    // dow/price have one value -> cond == label -> IG 0.
+    val d = ts("2024-03-04T00:00:00Z")
+    val orders = Seq(
+      (1L, "O", "1-URGENT", d, 10.0), (2L, "O", "1-URGENT", d, 10.0),
+      (3L, "F", "2-HIGH", d, 10.0), (4L, "F", "2-HIGH", d, 10.0)
+    ).toDF("o_orderkey", "o_orderstatus", "o_orderpriority",
+      "o_orderdate", "o_totalprice")
+    val got = run("q214_info_gain", plant("orders" -> orders))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val expected = Seq(
+      ("dow", 1L, 693148L, 693148L, 0L),
+      ("price_bucket", 1L, 693148L, 693148L, 0L),
+      ("priority", 2L, 693148L, 0L, 693148L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
 }
