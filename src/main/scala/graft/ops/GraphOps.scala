@@ -471,6 +471,78 @@ object GraphOps {
       .orderBy("dist")
   }
 
+  /** Personalized PageRank: teleport mass returns ONLY to the seed
+    * set (uniformly), so ranks measure relevance TO THE SEEDS — the
+    * random-walk-with-restart behind graph-based recommendations and
+    * cohort blast-radius scoring. Same integer grid, damping step,
+    * and per-iteration shape as [[pageRank]] (one edge-keyed shuffle
+    * per iteration, no driver state beyond the seed-count scalar);
+    * non-seed nodes start at 0 and receive no teleport. Output:
+    * top-`topK` nodes by (rank desc, node asc) via TakeOrdered.
+    */
+  def personalizedPageRank(edgesIn: DataFrame, seedsIn: DataFrame,
+      iters: Int = 3, damping: Double = 0.85,
+      scaleU: Long = 1000000000000L, topK: Int = 25): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seeds = seedsIn.select(col("node")).distinct()
+      .withColumn("is_seed", lit(1)).localCheckpoint(true)
+    val ns = seeds.count()
+    require(ns > 0, "personalizedPageRank needs a non-empty seed set")
+    val initU = scaleU / ns
+    val teleU = math.floor((1.0 - damping) * scaleU).toLong / ns
+    var rank = nodes.join(seeds, Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed") === 1, initU).otherwise(0L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(rank.withColumnRenamed("node", "src").withColumnRenamed("r", "rs"),
+          "src")
+        .select(col("dst"), expr("rs div deg").as("c"))
+      val inflow = contrib.groupBy("dst").agg(sum(col("c")).as("infl"))
+      rank = nodes
+        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .join(seeds, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed") === 1, teleU).otherwise(0L) +
+            floor(lit(damping) * coalesce(col("infl"), lit(0L)).cast(DoubleType))
+              .cast(LongType)).as("r"))
+    }
+    rank.orderBy(col("r").desc, col("node")).limit(topK)
+  }
+
+  /** [[personalizedPageRank]] oracle rendering. */
+  def personalizedPageRankSql(edgesCte: String, seedsCte: String,
+      iters: Int = 3, damping: Double = 0.85,
+      scaleU: Long = 1000000000000L, topK: Int = 25): String = {
+    val teleU = s"(CAST(floor(${1.0 - damping} * $scaleU) AS BIGINT) // nsx.ns)"
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT v.node,
+         |    CASE WHEN s.node IS NOT NULL THEN $teleU ELSE 0 END
+         |      + CAST(floor($damping * CAST(coalesce(infl.s, 0) AS DOUBLE)) AS BIGINT) AS r
+         |  FROM nodes v CROSS JOIN nsx
+         |  LEFT JOIN seeds s ON v.node = s.node
+         |  LEFT JOIN (SELECT e.dst, CAST(sum(p.r // d.deg) AS BIGINT) AS s
+         |             FROM edges e JOIN outdeg d ON e.src = d.src
+         |             JOIN r${i - 1} p ON e.src = p.node
+         |             GROUP BY e.dst) infl ON v.node = infl.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesCte),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |seeds AS (SELECT DISTINCT node FROM ($seedsCte)),
+       |nsx AS (SELECT count(*) AS ns FROM seeds),
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT v.node,
+       |    CASE WHEN s.node IS NOT NULL THEN $scaleU // nsx.ns ELSE 0 END AS r
+       |  FROM nodes v CROSS JOIN nsx LEFT JOIN seeds s ON v.node = s.node),
+       |$iterCtes
+       |SELECT node, r FROM r$iters ORDER BY r DESC, node LIMIT $topK""".stripMargin
+  }
+
   /** One SSSP relaxation round: candidate distances through the
     * frontier's out-edges, pre-aggregated to one min per dst (the
     * map-side-combining edge shuffle PlanSpec pins).

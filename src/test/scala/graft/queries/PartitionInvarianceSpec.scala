@@ -123,7 +123,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q209_ri_audit", "q210_inverted_index", "q211_readability",
     // round-11h: per-subspace Lloyd trajectory + code census (q212),
     // bucket mean merge order (q213), micro-nat term fold (q214)
-    "q212_pq_codebook", "q213_median_of_means", "q214_info_gain")
+    "q212_pq_codebook", "q213_median_of_means", "q214_info_gain",
+    // round-11i: iterated restart-walk inflow sums + top-k rank ties
+    // (q215), global-df prefix ranks probing the full index (q216)
+    "q215_ppr_cohort", "q216_containment_join")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -1068,4 +1068,26 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("SortMergeJoin"),
       s"no shuffle joins on the post-census cell frame:\n$plan")
   }
+
+  test("q215 PPR: equi-join iteration (no cartesian), map-side inflow " +
+    "sums, TakeOrdered top-k") {
+    val plan = planOf("q215_ppr_cohort")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the walk must ride edge equi-joins:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"inflow sums must combine map-side:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-25 must be a TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("q216 containment join: candidates from the prefix-token probe " +
+    "of the full index, never a cartesian; prefix ranks keyed by doc") {
+    val plan = planOf("q216_containment_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the token equi-join:\n$plan")
+    assert(plan.contains("windowspecdefinition(id"),
+      s"the prefix rank must be keyed by doc id:\n$plan")
+  }
 }

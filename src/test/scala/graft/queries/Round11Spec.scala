@@ -426,4 +426,33 @@ class Round11Spec extends PlantedQuerySpec {
       ("priority", 2L, 693148L, 0L, 693148L))
     assert(got.toSeq == expected, got.mkString(", "))
   }
+
+  test("q215: hand-iterated 3-round restart walk — a component with no " +
+    "seed stays at EXACTLY zero; ranks oscillate along the seed edge") {
+    // Trade pairs: cust1(node2)~supp1(node3), cust2(node4)~supp2(node5).
+    // Seed = node2 (custkey 1). Hand iteration (scaleU 1e12, d .85,
+    // teleU 1.5e11): r1 = (1.5e11, 8.5e11), r2 = (8.725e11, 1.275e11),
+    // r3: node2 = 1.5e11 + floor(.85*1.275e11) = 2.58375e11,
+    //     node3 = floor(.85*8.725e11) = 7.41625e11; nodes 4/5 = 0.
+    val orders = Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((10L, 1L), (20L, 2L)).toDF("l_orderkey", "l_suppkey")
+    val got = run("q215_ppr_cohort", plant("orders" -> orders, "lineitem" -> li))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = Seq((3L, 741625000000L), (2L, 258375000000L),
+      (4L, 0L), (5L, 0L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q216: a snippet fully inside a longer doc scores containment " +
+    "1.0 where its Jaccard (3/8) would fail q201's gate; the reverse " +
+    "direction and unrelated docs stay out") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "x y z w v")
+    ).toDF("doc_id", "text")
+    val got = run("q216_containment_join", plant("documents" -> docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1000000L)), got.mkString(", "))
+  }
 }
