@@ -126,7 +126,11 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q212_pq_codebook", "q213_median_of_means", "q214_info_gain",
     // round-11i: iterated restart-walk inflow sums + top-k rank ties
     // (q215), global-df prefix ranks probing the full index (q216)
-    "q215_ppr_cohort", "q216_containment_join")
+    "q215_ppr_cohort", "q216_containment_join",
+    // round-11j: span prefix-sum order + draw census (q217), per-user
+    // lag + model argmax ties (q218), stream-stream outer state
+    // eviction order (q219)
+    "q217_neg_sampling", "q218_markov_eval", "q219_stream_outer_join")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -1090,4 +1090,27 @@ class PlanSpec extends EtlSpecBase {
     assert(plan.contains("windowspecdefinition(id"),
       s"the prefix rank must be keyed by doc id:\n$plan")
   }
+
+  test("q217 negative sampling: the span probe is a broadcast range " +
+    "join of two CONFIG-bounded frames (64 spans x 4096 probes) — " +
+    "the sanctioned non-equi shape; never a data-sized cartesian") {
+    val plan = planOf("q217_neg_sampling")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the span lookup must broadcast the 64-row table:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q218 markov eval: the |types|^2 model broadcasts to the test " +
+    "side; lag windows are user-keyed, rank windows cur-keyed") {
+    val plan = planOf("q218_markov_eval")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the model frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join against the tiny model:\n$plan")
+    val bad = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(") &&
+        !l.contains("windowspecdefinition(user_id") &&
+        !l.contains("windowspecdefinition(cur")).toSeq
+    assert(bad.isEmpty, s"unkeyed window in:\n$plan")
+  }
 }

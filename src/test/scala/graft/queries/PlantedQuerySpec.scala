@@ -26,6 +26,21 @@ abstract class PlantedQuerySpec extends EtlSpecBase with BeforeAndAfterAll {
     dir
   }
 
+  /** Plant a table as a SINGLE parquet FILE `<dir>/<name>.parquet` —
+    * the driver-fixture layout `Tables.eventsStream` expects (its
+    * `pathGlobFilter` matches the file name, so a directory-style
+    * write's part-files would be invisible to the streaming source).
+    */
+  def plantFile(dir: String, name: String, df: DataFrame): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plantf_").toString
+    planted += tmp
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/$name.parquet"))
+  }
+
   def run(name: String, dir: String): DataFrame =
     graft.SparkEntry.queries(name)(spark, dir)
 

@@ -455,4 +455,67 @@ class Round11Spec extends PlantedQuerySpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 2L, 1000000L)), got.mkString(", "))
   }
+
+  test("q217: hand-replayed table build and draw census — cf^0.75 " +
+    "weights via double-sqrt, 4096 Lehmer probes") {
+    // cf: a=4, b=2, c=1 -> weights 2828427/1681793/1000000, wtot
+    // 5510220; replaying h2(0..4095) % wtot against the spans lands
+    // 2099/1255/742 draws (independently computed).
+    val docs = Seq((1L, "a a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = run("q217_neg_sampling", plant("documents" -> docs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val expected = Seq(
+      ("a", 4L, 2828427L, 513305L, 512451L, 2099L),
+      ("b", 2L, 1681793L, 305213L, 306396L, 1255L),
+      ("c", 1L, 1000000L, 181480L, 181152L, 742L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q218: time-split honesty — a post-cutoff transition with an " +
+    "unseen predecessor counts as uncovered, not as a miss") {
+    val d20 = "2024-01-20T"
+    val d26 = "2024-01-26T"
+    val events = Seq(
+      (1L, ts(s"${d20}10:00:00Z"), 1L, "A"), // A->B train
+      (2L, ts(s"${d20}11:00:00Z"), 1L, "B"), // B->A train
+      (3L, ts(s"${d20}12:00:00Z"), 1L, "A"), // A->B TEST (nts post-cutoff)
+      (4L, ts(s"${d26}10:00:00Z"), 1L, "B"), // B->A TEST
+      (5L, ts(s"${d26}11:00:00Z"), 1L, "A"),
+      (6L, ts(s"${d26}09:00:00Z"), 2L, "C"), // C->D TEST, C unseen
+      (7L, ts(s"${d26}10:00:00Z"), 2L, "D")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = run("q218_markov_eval", plant("events" -> events))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // model from train: A->B, B->A; test: A->B hit, B->A hit, C->D
+    // uncovered -> 3 test, 2 covered, 2 hits, 666666 ppm, 1e6 ppm
+    assert(got.toSeq == Seq((3L, 2L, 2L, 666666L, 1000000L)),
+      got.mkString(", "))
+  }
+
+  test("q219: a matched click emits its pair; an old orphan click " +
+    "emits with NULL view; a click past the final watermark is " +
+    "withheld entirely") {
+    val t0 = "2024-01-01T00:00:00Z"
+    val events = Seq(
+      (1L, ts(t0), 1L, "view"),                      // matches click 2
+      (2L, ts("2024-01-01T01:00:00Z"), 1L, "click"), // matched
+      (3L, ts("2024-01-01T00:30:00Z"), 2L, "click"), // orphan, old -> NULL row
+      (4L, ts("2024-01-02T06:00:00Z"), 3L, "click"), // orphan, too new -> held
+      (5L, ts("2024-01-02T06:00:00Z"), 9L, "view")   // advances view watermark
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    // wm = min(max_click, max_view) - 4h = Jan 2 02:00; click 3
+    // (00:30) < wm emits unmatched; click 4 (06:00) >= wm is held
+    val dir = plant()
+    plantFile(dir, "events", events) // single FILE: the stream's layout
+    val got = run("q219_stream_outer_join", dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val expected = Seq(
+      (2L, Some(1L), 1L, Some(3600000000L)),
+      (3L, None, 2L, None))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
 }
