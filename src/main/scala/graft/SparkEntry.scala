@@ -18,7 +18,8 @@ object SparkEntry {
       Round10kQueries.defs ++ Round10lQueries.defs ++ Round11Queries.defs ++
       Round11bQueries.defs ++ Round11cQueries.defs ++ Round11dQueries.defs ++
       Round11eQueries.defs ++ Round11fQueries.defs ++ Round11gQueries.defs ++
-      Round11hQueries.defs ++ Round11iQueries.defs ++ Round11jQueries.defs
+      Round11hQueries.defs ++ Round11iQueries.defs ++ Round11jQueries.defs ++
+      Round11kQueries.defs
 
   /** Flagship: full auto-cleaning ETL of the sf0.001 events table
     * (driver smoke-checks rows > 0).

@@ -164,6 +164,40 @@ object MultimodalOps {
       Seq(BinaryType), propagateNull = true, returnNullable = true))
   }
 
+  /** Kernel-backed minimal ISO-BMFF (MP4) build: ftyp + moov(mvhd +
+    * `nTracks` stub traks) + mdat. `valid=false` corrupts the ftyp
+    * box type. See [[MultimodalKernels.mp4Header]].
+    */
+  def mp4Header(timescale: Column, duration: Column, nTracks: Column,
+      valid: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, BinaryType, "mp4Header",
+      Seq(ExprBridge.expression(timescale.cast(IntegerType)),
+        ExprBridge.expression(duration.cast(IntegerType)),
+        ExprBridge.expression(nTracks.cast(IntegerType)),
+        ExprBridge.expression(valid.cast(BooleanType))),
+      Seq(IntegerType, IntegerType, IntegerType, BooleanType),
+      propagateNull = true, returnNullable = true))
+  }
+
+  /** Kernel-backed NESTED box walk: array [timescale, duration,
+    * n_tracks], NULL on malformed input — see
+    * [[MultimodalKernels.mp4Meta]].
+    */
+  def mp4Meta(payload: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, ArrayType(LongType, containsNull = false),
+      "mp4Meta",
+      Seq(ExprBridge.expression(payload.cast(BinaryType))),
+      Seq(BinaryType), propagateNull = true, returnNullable = true))
+  }
+
   /** Frame sampling (the video-pipeline shape): split a payload into
     * `n` contiguous frames and compute one feature per frame — here a
     * code-unit sum standing in for a real per-frame decode (the
@@ -436,6 +470,96 @@ object MultimodalKernels {
         }
         p += 2 + len
       }
+    }
+    null
+  }
+
+  private def writeType(out: Array[Byte], off: Int, t: String): Unit = {
+    var i = 0
+    while (i < 4) { out(off + i) = t.charAt(i).toByte; i += 1 }
+  }
+
+  private def typeAt(b: Array[Byte], off: Int): String =
+    new String(Array(b(off), b(off + 1), b(off + 2), b(off + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Minimal ISO-BMFF: ftyp(16) + moov(8 + mvhd(108) + nTracks ×
+    * trak(16, holding one 'free' child)) + mdat(8 + 5 filler). The
+    * fourth container family and the first NESTED one: metadata sits
+    * two levels down (moov → mvhd), so the reader must recurse into
+    * box payloads, not just walk a flat chain (PNG/WAV fixed-offset,
+    * JPEG flat marker walk). mvhd is the full 108-byte version-0 box
+    * (ISO/IEC 14496-12 §8.2.2): timescale at body offset +12,
+    * duration at +16, unity rate/volume matrix fields zeroed.
+    * `valid=false` corrupts the ftyp type tag.
+    */
+  def mp4Header(timescale: Int, duration: Int, nTracks: Int,
+      valid: Boolean): Array[Byte] = {
+    val mvhd = 108
+    val trak = 16
+    val moov = 8 + mvhd + nTracks * trak
+    val out = new Array[Byte](16 + moov + 8 + 5)
+    var p = 0
+    writeBE(out, p, 16); writeType(out, p + 4, if (valid) "ftyp" else "fxyp")
+    writeType(out, p + 8, "isom"); writeBE(out, p + 12, 0)
+    p += 16
+    writeBE(out, p, moov); writeType(out, p + 4, "moov")
+    var q = p + 8
+    writeBE(out, q, mvhd); writeType(out, q + 4, "mvhd")
+    // body: version/flags(4) ctime(4) mtime(4) TIMESCALE(4) DURATION(4)
+    writeBE(out, q + 8, 0); writeBE(out, q + 12, 0); writeBE(out, q + 16, 0)
+    writeBE(out, q + 20, timescale); writeBE(out, q + 24, duration)
+    q += mvhd
+    var t = 0
+    while (t < nTracks) {
+      writeBE(out, q, trak); writeType(out, q + 4, "trak")
+      writeBE(out, q + 8, 8); writeType(out, q + 12, "free")
+      q += trak; t += 1
+    }
+    p += moov
+    writeBE(out, p, 8 + 5); writeType(out, p + 4, "mdat")
+    var i = 0
+    while (i < 5) { out(p + 8 + i) = 'm'; i += 1 }
+    out
+  }
+
+  /** Nested box walk: validate the leading ftyp, find the top-level
+    * moov, walk its CHILD boxes for mvhd (version 0) and trak counts.
+    * Returns [timescale, duration, n_tracks]; NULL (never a throw) on
+    * short buffers, a non-ftyp start, malformed sizes (< 8 or past
+    * the parent), 64-bit sizes (unsupported here), a missing moov or
+    * mvhd, or a non-v0 mvhd.
+    */
+  def mp4Meta(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 16) return null
+    if (readBE(bytes, 0) < 16 || typeAt(bytes, 4) != "ftyp") return null
+    var p = 0
+    while (p + 8 <= bytes.length) {
+      val size = readBE(bytes, p)
+      if (size < 8 || p + size > bytes.length) return null
+      if (typeAt(bytes, p + 4) == "moov") {
+        var q = p + 8
+        val end = p + size.toInt
+        var timescale = -1L
+        var duration = -1L
+        var tracks = 0L
+        while (q + 8 <= end) {
+          val cs = readBE(bytes, q)
+          if (cs < 8 || q + cs > end) return null
+          val ct = typeAt(bytes, q + 4)
+          if (ct == "mvhd") {
+            if (cs < 32 || bytes(q + 8) != 0) return null // v0 only
+            timescale = readBE(bytes, q + 20)
+            duration = readBE(bytes, q + 24)
+          } else if (ct == "trak") {
+            tracks += 1
+          }
+          q += cs.toInt
+        }
+        if (timescale <= 0 || duration < 0) return null
+        return new GenericArrayData(Array(timescale, duration, tracks))
+      }
+      p += size.toInt
     }
     null
   }

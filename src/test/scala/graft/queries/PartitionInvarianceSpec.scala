@@ -130,7 +130,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // round-11j: span prefix-sum order + draw census (q217), per-user
     // lag + model argmax ties (q218), stream-stream outer state
     // eviction order (q219)
-    "q217_neg_sampling", "q218_markov_eval", "q219_stream_outer_join")
+    "q217_neg_sampling", "q218_markov_eval", "q219_stream_outer_join",
+    // round-11k: nested-box kernel census (q220), rank-family window
+    // grid (q221), decimal-fit broadcast + grid sums (q222)
+    "q220_mp4_metadata", "q221_analytic_suite", "q222_cuped_ab")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

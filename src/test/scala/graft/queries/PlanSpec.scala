@@ -1069,14 +1069,12 @@ class PlanSpec extends EtlSpecBase {
       s"no shuffle joins on the post-census cell frame:\n$plan")
   }
 
-  test("q215 PPR: equi-join iteration (no cartesian), map-side inflow " +
-    "sums, TakeOrdered top-k") {
+  test("q215 PPR: TakeOrdered top-k over the checkpointed rank (the " +
+    "per-round plans hide behind the iteration checkpoints, like q203)") {
     val plan = planOf("q215_ppr_cohort")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"the walk must ride edge equi-joins:\n$plan")
-    assert(plan.contains("partial_sum"),
-      s"inflow sums must combine map-side:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-25 must be a TakeOrdered, not a global sort:\n$plan")
   }
@@ -1112,5 +1110,31 @@ class PlanSpec extends EtlSpecBase {
         !l.contains("windowspecdefinition(user_id") &&
         !l.contains("windowspecdefinition(cur")).toSeq
     assert(bad.isEmpty, s"unkeyed window in:\n$plan")
+  }
+
+  test("q220 mp4 census: kernel projection + one aggregate — no joins, " +
+    "no windows; StaticInvoke kernels in the scan projection") {
+    val plan = planOf("q220_mp4_metadata")
+    assert(!plan.contains("Join") && !plan.contains("windowspecdefinition"),
+      s"the box walk is map-side:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"census must combine map-side:\n$plan")
+  }
+
+  test("q221 analytic suite: every window is priority-keyed") {
+    val plan = planOf("q221_analytic_suite")
+    val bad = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(") &&
+        !l.contains("windowspecdefinition(priority")).toSeq
+    assert(bad.isEmpty, s"unkeyed window in:\n$plan")
+  }
+
+  test("q222 CUPED: no windows at all; the fit/pooled one-row frames " +
+    "ride broadcast crosses, never a shuffle join") {
+    val plan = planOf("q222_cuped_ab")
+    assert(!plan.contains("windowspecdefinition"),
+      s"CUPED needs no window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"stats frames must broadcast:\n$plan")
   }
 }

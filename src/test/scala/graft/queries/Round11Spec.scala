@@ -518,4 +518,56 @@ class Round11Spec extends PlantedQuerySpec {
       (3L, None, 2L, None))
     assert(got.toSeq == expected, got.mkString(", "))
   }
+
+  test("q220: track-count census with hand-derived durations; the " +
+    "corrupt payload lands in INVALID with NULL max") {
+    // partkey 1: tsc 900, dur 601, 2 traks -> 601000 div 900 = 667
+    // partkey 3: tsc 600, dur 603, 4 traks -> 1005
+    // partkey 29: % 29 == 0 -> corrupt ftyp -> INVALID (2 traks, 177 B)
+    val part = Seq(1L, 3L, 29L).toDF("p_partkey")
+    val got = run("q220_mp4_metadata", plant("part" -> part))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+    val expected = Seq(
+      ("INVALID", 1L, 0L, None, 177L),
+      ("t2", 1L, 667L, Some(667L), 177L),
+      ("t4", 1L, 1005L, Some(1005L), 209L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q221: four singleton quartiles — percent_rank thirds on the " +
+    "milli grid, cume_dist quarters, nth_value NULL before row 2") {
+    val orders = Seq((1L, "P", 10.0), (2L, "P", 20.0), (3L, "P", 30.0),
+      (4L, "P", 40.0)).toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val got = run("q221_analytic_suite", plant("orders" -> orders))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    val expected = Seq(
+      ("P", 1, 1L, 10L, 0L, 250L, None),
+      ("P", 2, 1L, 20L, 333L, 500L, Some(2L)),
+      ("P", 3, 1L, 30L, 667L, 750L, Some(2L)),
+      ("P", 4, 1L, 40L, 1000L, 1000L, Some(2L)))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q222: a perfectly linear pre/post relation fits theta = 2, " +
+    "adjusts every user to the same value, and zeroes the variance " +
+    "ratio while variant means keep their levels") {
+    // cust 1 (variant A): x=10, y=20; cust 2 (variant B): x=30, y=60
+    // theta = 800/400 = 2, xbar = 20 -> adj = 40 for BOTH users
+    val pre = ts("1995-06-01T00:00:00Z")
+    val post = ts("1999-06-01T00:00:00Z")
+    val orders = Seq(
+      (1L, 1L, pre, 10.0), (2L, 1L, post, 20.0),
+      (3L, 2L, pre, 30.0), (4L, 2L, post, 60.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = run("q222_cuped_ab", plant("orders" -> orders))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val expected = Seq(
+      ("A", 1L, 20L, 400000L, 0.0),
+      ("B", 1L, 60L, 400000L, 0.0))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
 }
