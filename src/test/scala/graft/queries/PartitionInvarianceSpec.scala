@@ -133,7 +133,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q217_neg_sampling", "q218_markov_eval", "q219_stream_outer_join",
     // round-11k: nested-box kernel census (q220), rank-family window
     // grid (q221), decimal-fit broadcast + grid sums (q222)
-    "q220_mp4_metadata", "q221_analytic_suite", "q222_cuped_ab")
+    "q220_mp4_metadata", "q221_analytic_suite", "q222_cuped_ab",
+    // round-11l: census prefix carry + tie moments (q223), file-stats
+    // fold + probe algebra (q224)
+    "q223_mann_whitney", "q224_skipping_stats")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -1137,4 +1137,23 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"stats frames must broadcast:\n$plan")
   }
+
+  test("q223 Mann-Whitney: rank prefix stays bucket-partitioned; the " +
+    "only unpartitioned window is the 32-row carry") {
+    val plan = planOf("q223_mann_whitney")
+    val globalWindows = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(") &&
+        !l.contains("windowspecdefinition(__bkt")).toSeq
+    globalWindows.foreach { l =>
+      assert(l.contains("__bsum"), s"unexpected global data window: $l\n$plan")
+    }
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q224 skipping stats: one stats fold, then probe algebra on the " +
+    "checkpointed file frame - no joins, no windows") {
+    val plan = planOf("q224_skipping_stats")
+    assert(!plan.contains("Join") && !plan.contains("windowspecdefinition"),
+      s"probe accounting is frame algebra:\n$plan")
+  }
 }

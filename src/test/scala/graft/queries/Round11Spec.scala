@@ -570,4 +570,34 @@ class Round11Spec extends PlantedQuerySpec {
       ("B", 1L, 60L, 400000L, 0.0))
     assert(got.toSeq == expected, got.mkString(", "))
   }
+
+  test("q223: hand-computed rank test with a cross-variant tie — the " +
+    "half-count survives in 2U and the tie term corrects the variance") {
+    // h2(.,91)%2: keys 1,3 -> A; keys 2,5 -> B. Values A={10,20},
+    // B={20,30}: 2U = 1 (only the tie's half-count), ties term = 6,
+    // z = -3 / (2*sqrt(4*(5 - 6/12)/12)) = -1.22474... -> -1.2247
+    val orders = Seq((1L, 10.0), (3L, 20.0), (2L, 20.0), (5L, 30.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val got = run("q223_mann_whitney", plant("orders" -> orders))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq((2L, 2L, 1L, -1.2247)), got.mkString(", "))
+  }
+
+  test("q224: a wide-range file is scanned by every probe (pure I/O " +
+    "amplification); tight files skip cleanly") {
+    // file 1 (keys 1, 98): {10, 500000}; file 2: {100}; file 3: {1500}
+    val d = ts("2024-01-10T00:00:00Z")
+    val orders = Seq((1L, d, 10.0), (98L, d, 500000.0), (2L, d, 100.0),
+      (3L, d, 1500.0)).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = run("q224_skipping_stats", plant("orders" -> orders))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    val expected = Seq(
+      ("p1_low", 3L, 1L, 333333L, 3L, 1L, Some(3000000L)),
+      ("p2_mid", 3L, 2L, 666666L, 2L, 0L, None),
+      ("p3_high", 3L, 2L, 666666L, 2L, 1L, Some(2000000L)))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
 }
