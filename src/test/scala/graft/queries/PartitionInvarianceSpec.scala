@@ -136,7 +136,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q220_mp4_metadata", "q221_analytic_suite", "q222_cuped_ab",
     // round-11l: census prefix carry + tie moments (q223), file-stats
     // fold + probe algebra (q224)
-    "q223_mann_whitney", "q224_skipping_stats")
+    "q223_mann_whitney", "q224_skipping_stats",
+    // round-11m: triple census top-k ties (q225), group census +
+    // fold rollup (q226)
+    "q225_supplier_triples", "q226_group_kfold")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -1156,4 +1156,22 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("Join") && !plan.contains("windowspecdefinition"),
       s"probe accounting is frame algebra:\n$plan")
   }
+
+  test("q225 triples: map-side generator expansion + one census, " +
+    "TakeOrdered top-k - no joins") {
+    val plan = planOf("q225_supplier_triples")
+    assert(!plan.contains("Join"), s"expansion is a generator:\n$plan")
+    assert(plan.contains("Generate"), s"triples come from explode:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-25 must be a TakeOrdered:\n$plan")
+  }
+
+  test("q226 group k-fold: user-keyed census, fold-grain rollup, " +
+    "broadcast span audit - no windows") {
+    val plan = planOf("q226_group_kfold")
+    assert(!plan.contains("windowspecdefinition"),
+      s"fold assignment is a hash projection:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the one-row audit frame must broadcast:\n$plan")
+  }
 }

@@ -600,4 +600,38 @@ class Round11Spec extends PlantedQuerySpec {
       ("p3_high", 3L, 2L, 666666L, 2L, 1L, Some(2000000L)))
     assert(got.toSeq == expected, got.mkString(", "))
   }
+
+  test("q225: only the triple repeated across baskets clears the " +
+    "floor; sub-3 and over-cap baskets contribute nothing") {
+    // order 1: supps {1,2,3,4}; orders 2,3: {1,2,3} (order 3 with a
+    // duplicate line that collect_set must fold); order 4: {5,6}
+    // (size 2 -> no triples); order 5: 13 supps -> dropped by the cap
+    val li = (Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 3L), (3L, 1L),
+      (4L, 5L), (4L, 6L)) ++
+      (10L to 22L).map(s => (5L, s)))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = run("q225_supplier_triples", plant("lineitem" -> li))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 3L)), got.mkString(", "))
+  }
+
+  test("q226: fold balance reflects group ROW mass; the spanning audit " +
+    "is zero by construction") {
+    // h2(uid, 97) % 5: users 1..6 -> folds 3,2,4,1,0,2
+    val events = Seq((1L, 3), (2L, 1), (3L, 1), (4L, 1), (5L, 2), (6L, 2))
+      .flatMap { case (u, n) => (1 to n).map(i =>
+        (u * 100 + i, ts(f"2024-01-${i}%02dT00:00:00Z"), u)) }
+      .toDF("event_id", "ts", "user_id")
+    val got = run("q226_group_kfold", plant("events" -> events))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val expected = Seq(
+      (0L, 1L, 2L, 200000L, 0L), (1L, 1L, 1L, 100000L, 0L),
+      (2L, 2L, 3L, 300000L, 0L), (3L, 1L, 3L, 300000L, 0L),
+      (4L, 1L, 1L, 100000L, 0L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
 }
