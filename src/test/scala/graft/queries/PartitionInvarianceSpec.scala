@@ -139,7 +139,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q223_mann_whitney", "q224_skipping_stats",
     // round-11m: triple census top-k ties (q225), group census +
     // fold rollup (q226)
-    "q225_supplier_triples", "q226_group_kfold")
+    "q225_supplier_triples", "q226_group_kfold",
+    // round-11n: confusion census + broadcast rollups (q227), day-grain
+    // pair expansion + exact median (q228)
+    "q227_langid_eval", "q228_theil_sen")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

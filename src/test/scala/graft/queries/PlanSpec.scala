@@ -1174,4 +1174,20 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"the one-row audit frame must broadcast:\n$plan")
   }
+
+  test("q227 lang-id eval: one confusion census; truth totals and the " +
+    "overall accuracy row both broadcast") {
+    val plan = planOf("q227_langid_eval")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"rollup joins ride the tiny census frame, broadcast:\n$plan")
+  }
+
+  test("q228 Theil-Sen: day-grain pair expansion is a broadcast " +
+    "non-equi join, never a sort-merge or cartesian") {
+    val plan = planOf("q228_theil_sen")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"day-frame self-pairs must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no data-sized join:\n$plan")
+  }
 }

@@ -634,4 +634,45 @@ class Round11Spec extends PlantedQuerySpec {
       (4L, 1L, 1L, 100000L, 0L))
     assert(got.toSeq == expected, got.mkString(", "))
   }
+
+  test("q227: confusion census covers hit, cross-language miss, und " +
+    "fallback, and the es-before-fr tiebreak; recall is per-truth") {
+    // en #1 "the of and" -> en (hit); en #2 "le la de" -> fr 3 beats
+    // es 2 (miss); fr "xyz" -> no hits -> und; de "der und ist" -> de;
+    // es "de" -> es/fr tie at 1, earlier language (es) wins.
+    val docs = Seq(
+      ("en", "the of and"), ("en", "le la de"), ("fr", "xyz"),
+      ("de", "der und ist"), ("es", "de"))
+      .toDF("lang", "text")
+    val got = run("q227_langid_eval", plant("documents" -> docs))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // accuracy 3/5 = 600000 ppm on every row; en recall splits 50/50
+    val expected = Seq(
+      ("de", "de", 1L, 1000000L, 600000L),
+      ("en", "en", 1L, 500000L, 600000L),
+      ("en", "fr", 1L, 500000L, 600000L),
+      ("es", "es", 1L, 1000000L, 600000L),
+      ("fr", "und", 1L, 1000000L, 600000L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q228: Theil-Sen median slope shrugs off the spike that drags " +
+    "OLS negative-safe trunc on the down-slopes") {
+    // daily revenue: d=0 -> 30 (10.5+20.7 floored per row), d=1 -> 50,
+    // d=3 -> 20. slopes_u: (0,1)=20e6, (0,3)=-10e6 div 3 = -3333333
+    // (toward zero), (1,3)=-15e6. median = -3333333. OLS: n=3 sd=4
+    // sr=100 sdd=10 sdr=110 -> (330-400)/(30-16) = -5.0 -> -5e6.
+    val orders = Seq(
+      (ts("1970-01-01T00:00:00Z"), 10.5),
+      (ts("1970-01-01T00:00:00Z"), 20.7),
+      (ts("1970-01-02T00:00:00Z"), 50.9),
+      (ts("1970-01-04T00:00:00Z"), 20.2))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = run("q228_theil_sen", plant("orders" -> orders))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq((3L, 3L, -3333333.0, -5000000.0)),
+      got.mkString(", "))
+  }
 }
