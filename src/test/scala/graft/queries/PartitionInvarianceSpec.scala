@@ -142,7 +142,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q225_supplier_triples", "q226_group_kfold",
     // round-11n: confusion census + broadcast rollups (q227), day-grain
     // pair expansion + exact median (q228)
-    "q227_langid_eval", "q228_theil_sen")
+    "q227_langid_eval", "q228_theil_sen",
+    // round-11o: 6-table join rollup (q229), IVF-PQ code census + LUT
+    // joins (q230), bucketed rank prefix + grid terms (q231),
+    // dual-ranking full-outer merge (q232)
+    "q229_tpch_q5", "q230_ivfpq_adc", "q231_kruskal_wallis",
+    "q232_rrf_fusion")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

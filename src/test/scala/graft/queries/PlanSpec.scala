@@ -1190,4 +1190,52 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"no data-sized join:\n$plan")
   }
+
+  test("q229 TPC-H Q5: the dim chain broadcasts (region→nation→supplier " +
+    "and the customer attach); no cartesian") {
+    val plan = planOf("q229_tpch_q5")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dims must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // both filters reach their scans
+    assert(plan.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"),
+      s"region filter must push down:\n$plan")
+  }
+
+  test("q230 IVF-PQ: LUT and candidate joins broadcast; ADC ranking " +
+    "partitions per probe — no cartesian") {
+    val plan = planOf("q230_ivfpq_adc")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe-side frames must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // the per-probe rank window itself sits behind the checkpointed
+    // `top` frame (lineage truncated), so it can't be asserted here;
+    // the exact-check joins visible in the final plan must both build
+    // on the bounded side
+    assert(!plan.contains("SortMergeJoin"),
+      s"bounded frames must broadcast in the exact check:\n$plan")
+  }
+
+  test("q231 Kruskal-Wallis: rank prefix stays bucket-partitioned; the " +
+    "only unpartitioned window is the 32-row carry") {
+    val plan = planOf("q231_kruskal_wallis")
+    val globalWindows = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(") &&
+        !l.contains("windowspecdefinition(__bkt")).toSeq
+    globalWindows.foreach { l =>
+      assert(l.contains("__bsum"), s"unexpected global data window: $l\n$plan")
+    }
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q232 RRF: both retrievals are LIMIT-bounded before the merge " +
+    "windows; the semantic probe broadcasts") {
+    val plan = planOf("q232_rrf_fusion")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"probe must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("GlobalLimit"),
+      s"the fused output must be limit-bounded:\n$plan")
+  }
 }

@@ -675,4 +675,105 @@ class Round11Spec extends PlantedQuerySpec {
     assert(got.toSeq == Seq((3L, 3L, -3333333.0, -5000000.0)),
       got.mkString(", "))
   }
+
+  test("q229: Q5 keeps only in-window orders whose supplier shares the " +
+    "customer's nation inside the region") {
+    // JAPAN: order 1 line via supp 100 (nation match; the CHINA line on
+    // the same order fails the match) + order 5; CHINA: order 2;
+    // order 3 is out of the date window; order 4 is EUROPE
+    val region = Seq((1, "ASIA"), (2, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10, "JAPAN", 1), (11, "CHINA", 1), (20, "FRANCE", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((100L, 10), (101L, 11), (102L, 20))
+      .toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((1000L, 10), (1001L, 11), (1002L, 20))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (1L, 1000L, ts("1996-06-01T00:00:00Z")),
+      (2L, 1001L, ts("1996-07-01T00:00:00Z")),
+      (3L, 1000L, ts("1995-01-01T00:00:00Z")),
+      (4L, 1002L, ts("1996-06-01T00:00:00Z")),
+      (5L, 1000L, ts("1996-12-31T00:00:00Z")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (1L, 100L, 10.0, 0.0),   // 1000*100 = 100000 -> JAPAN
+      (1L, 101L, 99.0, 0.0),   // supp CHINA vs cust JAPAN -> dropped
+      (2L, 101L, 20.0, 0.10),  // 2000*90  = 180000 -> CHINA
+      (3L, 100L, 50.0, 0.0),   // out of window
+      (4L, 102L, 70.0, 0.0),   // EUROPE supplier
+      (5L, 100L, 5.5, 0.01))   // 550*99   =  54450 -> JAPAN
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val got = run("q229_tpch_q5", plant("region" -> region,
+        "nation" -> nation, "supplier" -> supplier, "customer" -> customer,
+        "orders" -> orders, "lineitem" -> lineitem))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("CHINA", 180000L), ("JAPAN", 154450L)),
+      got.mkString(", "))
+  }
+
+  test("q230: identical-vector clones land in their anchor's inverted " +
+    "list; ADC reads the micro-grid reconstruction, exact rides along") {
+    // anchors 0..3 (all-constant 64-dim vectors 0,1,2,3) seed the 4
+    // cells; id4 = all-0.1 joins cell 0 (recon mean 0.05 -> m_u 50000),
+    // id5 clones anchor 1. Probes = all 6; cells 2/3 are singletons so
+    // probes 2/3 retrieve nothing. ADC(0,4) = 2 subspaces × 32 ×
+    // 50000² = 16e10; exact = 64 × 100000² = 64e10.
+    val emb = Seq(
+      (0L, Array.fill(64)(0.0f)), (1L, Array.fill(64)(1.0f)),
+      (2L, Array.fill(64)(2.0f)), (3L, Array.fill(64)(3.0f)),
+      (4L, Array.fill(64)(0.1f)), (5L, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = run("q230_ivfpq_adc", plant("embeddings" -> emb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val expected = Seq(
+      (0L, 1L, 4L, 160000000000L, 640000000000L),
+      (1L, 1L, 5L, 0L, 0L),
+      (4L, 1L, 0L, 160000000000L, 640000000000L),
+      (5L, 1L, 1L, 0L, 0L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q231: two overlapping groups, hand-ranked — mid-rank tie at 2, " +
+    "exact H and the tie-corrected H'") {
+    // a = {1, 2}, b = {2, 3}: 2R_a = 7, 2R_b = 13 (ranks 1, 2.5, 2.5,
+    // 4); terms 3.675/12.675 -> h_u = 16350000 - 15000000 = 1350000;
+    // ties T = 6, H' = 1.35/0.9 = 1.5
+    val orders = Seq(("a", 1.2), ("a", 2.7), ("b", 2.3), ("b", 3.9))
+      .toDF("o_orderpriority", "o_totalprice")
+    val got = run("q231_kruskal_wallis", plant("orders" -> orders))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val expected = Seq(
+      ("a", 2L, 7L, 3675000L, 1350000L, 1.5),
+      ("b", 2L, 13L, 12675000L, 1350000L, 1.5))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q232: RRF merges a lexical-only, a semantic-only, and two " +
+    "dual-ranked docs with the exact 1e6 div (60+r) grid") {
+    // lex ranks (BM25): doc1 (all 4 terms) > doc0 (2 terms, short) >
+    // doc2 (hash twice); doc3 matches nothing. sem ranks from probe 0:
+    // doc1 cos .6 > doc2 cos 0 > doc3 cos -1; doc0 is the probe.
+    val docs = Seq(
+      (0L, "join window"), (1L, "hash join spark window"),
+      (2L, "hash hash"), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.6f, 0.8f)),
+      (2L, Array(0f, 1f)), (3L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = run("q232_rrf_fusion", plant("documents" -> docs,
+        "embeddings" -> emb))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3)))
+    val expected = Seq(
+      (1L, Some(1L), Some(1L), 32786L),
+      (2L, Some(3L), Some(2L), 32002L),
+      (0L, Some(2L), None, 16129L),
+      (3L, None, Some(3L), 15873L))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
 }
