@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Iterative graph analytics over relational edge lists — the
   * link-authority side of corpus curation (rank pages by the link
@@ -419,6 +419,80 @@ object GraphOps {
        |r0 AS (SELECT node, $scaleU // nn.n AS r FROM nodes CROSS JOIN nn),
        |$iterCtes
        |SELECT node, r FROM r$iters ORDER BY r DESC, node""".stripMargin
+  }
+
+  /** Fixed-iteration HITS (hubs & authorities) on an integer mass
+    * grid. Each half-step is the classic mutual reinforcement —
+    * `a(v) = Σ_{u→v} h(u)`, `h(u) = Σ_{u→v} a(v)` — followed by L1
+    * normalization to `scaleU` total mass via one integral division
+    * (`x·scaleU div Σx`, numerators in DECIMAL(38,0)), replacing the
+    * usual IEEE L2 normalization so every iterate is bit-identical
+    * on any partition layout and any engine. Hub scores exist for
+    * nodes with out-edges, authority scores for nodes with in-edges
+    * (on a bipartite graph: the two sides).
+    *
+    * Scale shape: per iteration one edge⋈hub join keyed on `src` +
+    * one edge⋈auth join keyed on `dst` (each followed by a map-side-
+    * combining sum), and two one-row total frames broadcast back —
+    * the Pregel half-step pair. Score frames are checkpointed each
+    * iteration so lineage stays flat ([[pageRank]]'s q215 lesson).
+    */
+  def hits(edgesIn: DataFrame, iters: Int = 3,
+      scaleU: Long = 1000000000L): DataFrame = {
+    require(iters > 0, s"iters must be positive: $iters")
+    val edges = edgesIn.localCheckpoint(true)
+    var hub = edges.select(col("src")).distinct()
+      .select(col("src"), lit(scaleU).as("h"))
+      .localCheckpoint(true)
+    var auth: DataFrame = hub.limit(0)
+      .select(col("src").as("dst"), col("h").as("a"))
+    for (_ <- 1 to iters) {
+      val araw = edges.join(hub, "src").groupBy("dst")
+        .agg(sum(col("h")).as("ar"))
+      val atot = araw.agg(sum(col("ar")).cast(DecimalType(38, 0)).as("at"))
+      auth = araw.crossJoin(broadcast(atot))
+        .select(col("dst"),
+          expr(s"CAST(ar AS DECIMAL(38,0)) * ${scaleU}L div at").as("a"))
+        .localCheckpoint(true)
+      val hraw = edges.join(auth, "dst").groupBy("src")
+        .agg(sum(col("a")).as("hr"))
+      val htot = hraw.agg(sum(col("hr")).cast(DecimalType(38, 0)).as("ht"))
+      hub = hraw.crossJoin(broadcast(htot))
+        .select(col("src"),
+          expr(s"CAST(hr AS DECIMAL(38,0)) * ${scaleU}L div ht").as("h"))
+        .localCheckpoint(true)
+    }
+    hub.select(col("src").as("node"), lit("hub").as("kind"),
+        col("h").as("score_u"))
+      .unionByName(auth.select(col("dst").as("node"),
+        lit("authority").as("kind"), col("a").as("score_u")))
+      .orderBy(col("kind"), col("score_u").desc, col("node"))
+  }
+
+  /** [[hits]] oracle rendering: the iteration unrolled CTE by CTE,
+    * HUGEINT numerators mirroring the DECIMAL(38,0) ones.
+    */
+  def hitsSql(edgesCte: String, iters: Int = 3,
+      scaleU: Long = 1000000000L): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (SELECT dst, CAST(CAST(sum(h) AS HUGEINT) * $scaleU
+         |    // (SELECT CAST(sum(ar) AS HUGEINT) FROM (
+         |      SELECT dst, sum(h) AS ar FROM edges JOIN h${i - 1} USING (src)
+         |      GROUP BY 1)) AS BIGINT) AS a
+         |  FROM edges JOIN h${i - 1} USING (src) GROUP BY dst),
+         |h$i AS (SELECT src, CAST(CAST(sum(a) AS HUGEINT) * $scaleU
+         |    // (SELECT CAST(sum(hr) AS HUGEINT) FROM (
+         |      SELECT src, sum(a) AS hr FROM edges JOIN a$i USING (dst)
+         |      GROUP BY 1)) AS BIGINT) AS h
+         |  FROM edges JOIN a$i USING (dst) GROUP BY src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesCte),
+       |h0 AS (SELECT DISTINCT src, CAST($scaleU AS BIGINT) AS h FROM edges),
+       |$iterCtes
+       |SELECT src AS node, 'hub' AS kind, h AS score_u FROM h$iters
+       |UNION ALL
+       |SELECT dst AS node, 'authority' AS kind, a AS score_u FROM a$iters
+       |ORDER BY kind, score_u DESC, node""".stripMargin
   }
 
   /** Weighted single-source-set shortest-path distance census —

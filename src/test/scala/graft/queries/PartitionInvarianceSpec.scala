@@ -147,7 +147,11 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // joins (q230), bucketed rank prefix + grid terms (q231),
     // dual-ranking full-outer merge (q232)
     "q229_tpch_q5", "q230_ivfpq_adc", "q231_kruskal_wallis",
-    "q232_rrf_fusion")
+    "q232_rrf_fusion",
+    // round-11p: iterated integer half-step normalization (q233),
+    // decile census + micro-unit moments (q234), hash split + exact
+    // percentile radius (q235)
+    "q233_hits_rank", "q234_calibration", "q235_conformal")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

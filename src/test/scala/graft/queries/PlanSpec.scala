@@ -1238,4 +1238,33 @@ class PlanSpec extends EtlSpecBase {
     assert(plan.contains("TakeOrderedAndProject") || plan.contains("GlobalLimit"),
       s"the fused output must be limit-bounded:\n$plan")
   }
+
+  test("q233 HITS: final plan is pure union+sort over the checkpointed " +
+    "score frames — no join, no window survives past the per-iteration " +
+    "checkpoints") {
+    val plan = planOf("q233_hits_rank")
+    assert(!plan.contains("Join") && !plan.contains("windowspecdefinition"),
+      s"iteration state must be checkpoint-truncated:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q234 calibration: decile census + ≤10-row broadcast algebra — " +
+    "no windows, no shuffle join, census combines map-side") {
+    val plan = planOf("q234_calibration")
+    assert(!plan.contains("windowspecdefinition"),
+      s"reliability bins need no window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"moment frames must broadcast:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"the bin census must combine map-side:\n$plan")
+  }
+
+  test("q235 conformal: the 5-row group-mean frame broadcasts into the " +
+    "residual join; no window anywhere") {
+    val plan = planOf("q235_conformal")
+    assert(!plan.contains("windowspecdefinition"),
+      s"split-conformal needs no window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the means/qhat frames must broadcast:\n$plan")
+  }
 }
