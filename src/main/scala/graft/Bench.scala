@@ -67,7 +67,10 @@ object Bench {
     // steady state). The min of N runs is the GC-free time; the spread
     // (max-min) is the observed noise floor — a regression is real only
     // when it exceeds the spread.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // default 3 since round 12 (VERDICT r11 #6): on a loaded shared
+    // host two reps leave 1.7 s spreads on 4 s queries — regression
+    // detection needs one more sample's worth of noise rejection
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }.zipWithIndex.map {
       case ((name, fn), i) =>

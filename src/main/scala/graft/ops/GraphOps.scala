@@ -447,19 +447,21 @@ object GraphOps {
     var auth: DataFrame = hub.limit(0)
       .select(col("src").as("dst"), col("h").as("a"))
     for (_ <- 1 to iters) {
+      // sums in DECIMAL(38,0) from the first partial on: at scaleU=1e9
+      // a BIGINT per-node (or total) accumulator wraps silently once
+      // edge counts reach ~9e9 — the 100 TB framing — while the
+      // oracle's HUGEINT sums stay exact (ADVICE r11)
       val araw = edges.join(hub, "src").groupBy("dst")
-        .agg(sum(col("h")).as("ar"))
+        .agg(sum(col("h").cast(DecimalType(38, 0))).as("ar"))
       val atot = araw.agg(sum(col("ar")).cast(DecimalType(38, 0)).as("at"))
       auth = araw.crossJoin(broadcast(atot))
-        .select(col("dst"),
-          expr(s"CAST(ar AS DECIMAL(38,0)) * ${scaleU}L div at").as("a"))
+        .select(col("dst"), expr(s"ar * ${scaleU}L div at").as("a"))
         .localCheckpoint(true)
       val hraw = edges.join(auth, "dst").groupBy("src")
-        .agg(sum(col("a")).as("hr"))
+        .agg(sum(col("a").cast(DecimalType(38, 0))).as("hr"))
       val htot = hraw.agg(sum(col("hr")).cast(DecimalType(38, 0)).as("ht"))
       hub = hraw.crossJoin(broadcast(htot))
-        .select(col("src"),
-          expr(s"CAST(hr AS DECIMAL(38,0)) * ${scaleU}L div ht").as("h"))
+        .select(col("src"), expr(s"hr * ${scaleU}L div ht").as("h"))
         .localCheckpoint(true)
     }
     hub.select(col("src").as("node"), lit("hub").as("kind"),

@@ -186,8 +186,15 @@ object StatsOps {
         sum(when(abs(col("x") - col("amed")) > lit(k) * col("amad"), 1L)
           .otherwise(0L)).as("n_out_a"))
       .select(col("grp"), col("n"), col("med"), col("mad"), col("n_out"),
-        (abs(col("amed") - col("med")) <= lit(0.01) * col("med")).as("med_ok"),
-        (abs(col("amad") - col("mad")) <= lit(0.01) * col("mad")).as("mad_ok"),
+        // tolerances on |exact|: a negative group median would
+        // otherwise yield a negative tolerance band that rejects an
+        // EXACT sketch (ADVICE r11 — spurious gate failure, not a
+        // wrong answer; mad is nonnegative by construction but gets
+        // the same guard for uniformity)
+        (abs(col("amed") - col("med")) <= lit(0.01) * abs(col("med")))
+          .as("med_ok"),
+        (abs(col("amad") - col("mad")) <= lit(0.01) * abs(col("mad")))
+          .as("mad_ok"),
         (abs(col("n_out_a") - col("n_out")).cast(DoubleType) <=
           greatest(lit(0.05) * col("n_out"), lit(8.0))).as("nout_ok"))
       .orderBy("grp")

@@ -53,13 +53,23 @@ object Round11Queries {
     val exactNdv = bucketed.select("bucket", "v_u").distinct()
       .groupBy("bucket").agg(count(lit(1)).as("endv"))
     val total = vals.agg(count(lit(1)).as("__t"))
-    perBucket.join(broadcast(exactNdv), "bucket")
+    // dense 1..16 spine (ADVICE r11): heavy tie mass can leave a
+    // sketch-cut bucket EMPTY — without the spine that bucket simply
+    // vanishes and the gate fails on ROW COUNT instead of surfacing
+    // as depth_ok=false (n=0 always misses the ±5% depth band)
+    val spine = spark.range(1, DepthBuckets + 1)
+      .select(col("id").cast("int").as("bucket"))
+    spine
+      .join(broadcast(perBucket.join(broadcast(exactNdv), "bucket")),
+        Seq("bucket"), "left")
       .crossJoin(broadcast(total))
       .select(col("bucket"), col("__t").as("n_total"),
-        (abs(col("n") - col("__t") / DepthBuckets).cast("double") <=
+        (abs(coalesce(col("n"), lit(0L)) - col("__t") / DepthBuckets)
+          .cast("double") <=
           lit(0.05) * col("__t") / DepthBuckets).as("depth_ok"),
-        (abs(col("andv") - col("endv")).cast("double") <=
-          lit(0.05) * col("endv")).as("ndv_ok"))
+        (abs(coalesce(col("andv"), lit(0L)) - coalesce(col("endv"), lit(0L)))
+          .cast("double") <=
+          lit(0.05) * coalesce(col("endv"), lit(0L))).as("ndv_ok"))
       .orderBy("bucket")
   }
 

@@ -82,6 +82,23 @@ class Round7Spec extends EtlSpecBase {
     assert(again == sample.select("id").as[Long].collect().toSet)
   }
 
+  test("temperatureSample: oversized source domain fails loudly, not OOM") {
+    // per-source rates are driver-side literals — a source column with
+    // more than MaxSources distinct values must raise (VERDICT r11 #4),
+    // and the probe itself is LIMIT-bounded so the collect never grows
+    // with the adversarial domain
+    val over = spark.range(1, MixOps.MaxSources + 2)
+      .selectExpr("id", "concat('s', id) AS src")
+    val e = intercept[IllegalArgumentException] {
+      MixOps.temperatureSample(over, "id", "src", 2.0, 1, 2, 1L).count()
+    }
+    assert(e.getMessage.contains("source domain exceeds"))
+    // and a domain comfortably under the cap still works
+    val wide = (1L to 200L).map(i => (i, s"s$i")).toDF("id", "src")
+    assert(MixOps.temperatureSample(wide, "id", "src", 2.0, 1, 2, 1L)
+      .count() > 0)
+  }
+
   // ---- packSequences -----------------------------------------------------
 
   test("packSequences: prefix-sum identity, straddling docs, determinism") {

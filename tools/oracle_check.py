@@ -87,4 +87,10 @@ def _eq(x, y):
 
 
 if __name__ == "__main__":
+    # optional 3rd arg: comma-separated query-name filter (matches
+    # SPARK_GRAFT_VERIFY_ONLY partial dumps)
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        _orig = json.load
+        json.load = lambda f: {k: v for k, v in _orig(f).items() if k in only}
     sys.exit(main(sys.argv[1], sys.argv[2]))
