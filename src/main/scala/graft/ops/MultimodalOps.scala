@@ -198,6 +198,39 @@ object MultimodalOps {
       Seq(BinaryType), propagateNull = true, returnNullable = true))
   }
 
+  /** Kernel-backed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER)
+    * synthesis — see [[MultimodalKernels.bmpHeader]].
+    */
+  def bmpHeader(width: Column, height: Column, topDown: Column,
+      valid: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, BinaryType, "bmpHeader",
+      Seq(ExprBridge.expression(width.cast(IntegerType)),
+        ExprBridge.expression(height.cast(IntegerType)),
+        ExprBridge.expression(topDown.cast(BooleanType)),
+        ExprBridge.expression(valid.cast(BooleanType))),
+      Seq(IntegerType, IntegerType, BooleanType, BooleanType),
+      propagateNull = true, returnNullable = true))
+  }
+
+  /** Kernel-backed BMP header parse: array [width, height, bpp,
+    * top_down, file_size], NULL when validation fails — see
+    * [[MultimodalKernels.bmpDims]].
+    */
+  def bmpDims(payload: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, ArrayType(LongType, containsNull = false),
+      "bmpDims",
+      Seq(ExprBridge.expression(payload.cast(BinaryType))),
+      Seq(BinaryType), propagateNull = true, returnNullable = true))
+  }
+
   /** Frame sampling (the video-pipeline shape): split a payload into
     * `n` contiguous frames and compute one feature per frame — here a
     * code-unit sum standing in for a real per-frame decode (the
@@ -562,6 +595,62 @@ object MultimodalKernels {
       p += size.toInt
     }
     null
+  }
+
+  // ---- BMP container header (REAL format, LITTLE-endian, SIGNED) --------
+  // The bitmap sibling completing the container family: BMP's
+  // BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes) are
+  // little-endian per the public format documentation, and the height
+  // field is SIGNED — a negative height means a top-down row order, a
+  // real-world flag the other four parsers never exercise. The file
+  // size is DERIVED (54 + 4-byte-padded row stride × |height|) and
+  // re-validated on parse, the WAV redundant-field discipline.
+
+  /** Spec-correct 54-byte BMP header at 24 bpp: "BM", derived file
+    * size, pixel offset 54, header size 40, signed height
+    * (negative when `topDown`), 1 plane, BI_RGB. `valid=false`
+    * corrupts the second magic byte.
+    */
+  def bmpHeader(width: Int, height: Int, topDown: Boolean,
+      valid: Boolean): Array[Byte] = {
+    val stride = (width * 3 + 3) / 4 * 4
+    val fileSize = 54 + stride * height
+    val out = new Array[Byte](54)
+    out(0) = 'B'; out(1) = if (valid) 'M' else 'A'
+    writeLE32(out, 2, fileSize)
+    writeLE32(out, 10, 54) // pixel data offset
+    writeLE32(out, 14, 40) // BITMAPINFOHEADER size
+    writeLE32(out, 18, width)
+    writeLE32(out, 22, if (topDown) -height else height)
+    writeLE16(out, 26, 1) // planes
+    writeLE16(out, 28, 24) // bits per pixel
+    writeLE32(out, 30, 0) // compression: BI_RGB
+    writeLE32(out, 34, stride * height) // image size
+    out
+  }
+
+  /** Parse [width, height, bpp, top_down, file_size] out of a BMP
+    * header; NULL for anything failing the magic/header-size/planes/
+    * compression checks, a non-positive dimension, or a file size
+    * inconsistent with the derived stride — short buffers included.
+    */
+  def bmpDims(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 54) return null
+    if (bytes(0) != 'B' || bytes(1) != 'M') return null
+    if (readLE32(bytes, 14) != 40L) return null
+    if (readLE16(bytes, 26) != 1L) return null
+    if (readLE32(bytes, 30) != 0L) return null
+    val width = readLE32(bytes, 18)
+    val rawH = readLE32(bytes, 22).toInt // reinterpret as SIGNED int32
+    val height = math.abs(rawH.toLong)
+    val topDown = if (rawH < 0) 1L else 0L
+    if (width <= 0 || width > Int.MaxValue || height <= 0) return null
+    val bpp = readLE16(bytes, 28)
+    if (bpp != 24L) return null
+    val stride = (width * 3 + 3) / 4 * 4
+    val fileSize = readLE32(bytes, 2)
+    if (fileSize != 54L + stride * height) return null
+    new GenericArrayData(Array(width, height, bpp, topDown, fileSize))
   }
 
   /** Frame i covers code units [i*len/n, (i+1)*len/n) (integer floor);

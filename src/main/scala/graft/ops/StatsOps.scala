@@ -388,16 +388,20 @@ object StatsOps {
     * single final division is the only double op. Returns one row
     * (n_keys, total_u, gini).
     *
-    * Scale shape: one partial-aggregable per-key sum, one distributed
-    * sort for ranks (a rank/terasort shape — linear shuffle), one
-    * 1-row fold.
+    * Scale shape: one partial-aggregable per-key sum, then ranks from
+    * the BUCKETED global-rank machinery (q166 — sketch cuts + an
+    * offset carry frame + bucket-local windows), so the key-domain
+    * frame never collapses onto one partition the way a bare
+    * `row_number() OVER (ORDER BY …)` would (round-12 fix; the rank
+    * total order — (x, k) ascending — and therefore the result is
+    * unchanged), one 1-row fold.
     */
   def gini(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val perKey = df.groupBy(col(keyCol).as("k"))
       .agg(sum(centsU(col(valCol)).cast(LongType)).as("x"))
-    val ranked = perKey.withColumn("i",
-      row_number().over(Window.orderBy(col("x"), col("k"))).cast(dec))
+    val ranked = graft.ops.LayoutOps.globalRank(perKey, "x", "k")
+      .withColumn("i", col("rank").cast(dec))
     ranked
       .agg(count(lit(1)).as("n_keys"),
         count(lit(1)).cast(dec).as("n"),
