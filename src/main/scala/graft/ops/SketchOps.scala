@@ -216,6 +216,52 @@ object SketchOps {
   }
 
   /** [[cmsTopK]] oracle rendering. */
+  /** Count-Min estimate for EVERY key next to its exact count — the
+    * rank-by-the-sketch input [[graft.queries]] q252 grades. Unlike
+    * [[cmsTopK]] (which probes only k keys), the probe side here is
+    * the whole key census, so the BROADCAST side flips: the counter
+    * grid is ≤ depth·width rows (4096 at the defaults) and ships to
+    * every executor, while the census streams — the same asymmetry a
+    * 100 TB deployment relies on (the sketch is tiny by design; the
+    * domain never is).
+    */
+  def cmsEstimateAll(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val keyCounts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint(true) // sketch fold + probe explode share it
+    val sketch = cmsCounts(keyCounts, keyCol, "exact_cnt", depth, width)
+    keyCounts
+      .select(col(keyCol), col("exact_cnt"),
+        explode(rbArray(col(keyCol), depth, width)).as("rb"))
+      .select(col(keyCol), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(col(keyCol), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+
+  /** [[cmsEstimateAll]] oracle rendering (a self-contained SELECT with
+    * a nested WITH — embeddable as a CTE body).
+    */
+  def cmsEstimateAllSql(table: String, keyCol: String,
+      depth: Int = 4, width: Int = 1024): String = {
+    val rbCases = (0 until depth).map(i =>
+      s"WHEN ${i} THEN ${bucketSql(keyCol, i, width)}").mkString(" ")
+    val b = s"CASE CAST(r AS INTEGER) $rbCases END"
+    s"""WITH __kc AS (SELECT $keyCol, count(*) AS exact_cnt
+       |  FROM $table GROUP BY 1),
+       |__sk AS (SELECT CAST(r AS INTEGER) AS r, $b AS bkt,
+       |    CAST(sum(exact_cnt) AS BIGINT) AS cnt
+       |  FROM __kc, range($depth) t(r) GROUP BY 1, 2),
+       |__probe AS (SELECT $keyCol, exact_cnt, CAST(r AS INTEGER) AS r,
+       |    $b AS bkt
+       |  FROM __kc, range($depth) t(r))
+       |SELECT p.$keyCol, p.exact_cnt, min(s.cnt) AS est_cnt
+       |FROM __probe p JOIN __sk s ON p.r = s.r AND p.bkt = s.bkt
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   def cmsTopKSql(table: String, keyCol: String, k: Int,
       depth: Int = 4, width: Int = 1024): String = {
     val rbCases = (0 until depth).map(i =>

@@ -23,8 +23,8 @@ object Round12Queries {
     * `nBuckets`-row carry frame + bucket-local windows. One census-
     * sized shuffle, no single-partition window.
     */
-  private def withCum0(census: DataFrame, valCol: String, cntCol: String,
-      nBuckets: Int = 32): DataFrame = {
+  private[queries] def withCum0(census: DataFrame, valCol: String,
+      cntCol: String, nBuckets: Int = 32): DataFrame = {
     val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val cuts = census.agg(percentile_approx(col(valCol),
       array(fracs.map(lit): _*), lit(10000)).as("__cuts"))

@@ -151,7 +151,28 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // round-11p: iterated integer half-step normalization (q233),
     // decile census + micro-unit moments (q234), hash split + exact
     // percentile radius (q235)
-    "q233_hits_rank", "q234_calibration", "q235_conformal")
+    "q233_hits_rank", "q234_calibration", "q235_conformal",
+    // round-12: joint-census mid-rank joins (q236), bucketed decile
+    // pivot + rank moments (q237), per-group carry frames + boundary
+    // order-statistic picks (q238), day-grain pair sign fold (q239),
+    // truth-vs-IVF rank-tie hit join (q240), top-k revenue ties
+    // (q241), HAVING census + top-100 boundary (q242), per-replica
+    // weighted sums + 32-row percentile (q243), cosine-rank label
+    // joins (q244), dense-spine margin joins (q245), rank-picked bin
+    // edges + bin census (q246), dow census + gridded log terms
+    // (q247), double global-rank composition (q248), kernel header
+    // census (q249), stratum sign folds (q250)
+    "q236_spearman", "q237_gini_lorenz", "q238_trimmed_means",
+    "q239_kendall_tau", "q240_ivf_recall", "q241_tpch_q10",
+    "q242_tpch_q18", "q243_bootstrap_ci", "q244_label_noise",
+    "q245_cramers_v", "q246_woe_iv", "q247_js_divergence",
+    "q248_pr_auc", "q249_bmp_metadata", "q250_simpson_check",
+    // round-12 second half: slope census + dow trunc-div means +
+    // small-frame MAD cut (q251), sketch-ranked top-k ties (q252),
+    // decorrelated aggregate joins (q253), null-aware anti counts
+    // (q254)
+    "q251_robust_anomaly", "q252_cms_rank_fidelity",
+    "q253_correlated_subquery", "q254_null_aware_anti")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

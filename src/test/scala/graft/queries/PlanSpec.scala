@@ -1267,4 +1267,86 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"the means/qhat frames must broadcast:\n$plan")
   }
+
+  test("q228 Theil-Sen: no exact value-map percentile anywhere in the " +
+    "visible plan (VERDICT r11 #1) — the rework's sketch cuts sit " +
+    "behind the census checkpoint, so only the ABSENCE is assertable") {
+    val plan = planOf("q228_theil_sen")
+    assert(!plan.contains("percentile("),
+      s"no exact value-map percentile may survive the rework:\n$plan")
+  }
+
+  test("q236 Spearman: both marginal rank frames and the moment join " +
+    "keep partial aggregation; the x side broadcasts") {
+    val plan = planOf("q236_spearman")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"joint census must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 50-row x-rank frame must broadcast:\n$plan")
+  }
+
+  test("globalRank (q119/q166/q237/q248's rank machinery): the rank " +
+    "window is keyed by the bucket exchange, never SinglePartition") {
+    // asserted on the op directly — the query-level frames checkpoint
+    // the ranked output, which truncates the visible plan above it
+    val perKey = Tables.read(spark, sf, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(expr("cast(floor(o_totalprice) as bigint)")).as("x"))
+    val plan = graft.ops.LayoutOps.globalRank(perKey, "x", "k")
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(__bkt".r.findFirstIn(plan).isDefined,
+      s"expected the bucketed-rank exchange:\n$plan")
+    // the row_number window itself must be keyed by the bucket (the
+    // only SinglePartition exchange allowed is the nBuckets-row
+    // offsets frame, bounded by CONFIG, not data)
+    assert("row_number\\(\\) windowspecdefinition\\(__bkt".r
+      .findFirstIn(plan).isDefined,
+      s"the rank window must partition by bucket:\n$plan")
+  }
+
+  test("q241/q242: TPC-H Q10/Q18 end in TakeOrdered (never a global " +
+    "sort) and keep map-side combine") {
+    for (q <- Seq("q241_tpch_q10", "q242_tpch_q18")) {
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: top-k must be TakeOrdered:\n$plan")
+      assert(plan.contains("partial_sum"),
+        s"$q: aggregates must combine map-side:\n$plan")
+    }
+  }
+
+  test("q243 bootstrap: the 32-replica fan-out pre-aggregates map-side " +
+    "and the rep census is the only shuffle input") {
+    val plan = planOf("q243_bootstrap_ci")
+    assert(plan.contains("partial_sum"),
+      s"replica sums must combine map-side:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the one-row frames must broadcast:\n$plan")
+  }
+
+  test("q254: the NOT IN branches plan as NULL-AWARE anti joins; the " +
+    "NOT EXISTS branch as a plain one") {
+    val plan = planOf("q254_null_aware_anti")
+    // trailing boolean on BroadcastHashJoin ... LeftAnti is
+    // isNullAwareAntiJoin — both three-valued branches must carry it
+    assert("LeftAnti, BuildRight, true".r.findAllIn(plan).size >= 2,
+      s"expected two null-aware anti joins:\n$plan")
+    assert(plan.contains("LeftAnti, BuildRight, false"),
+      s"NOT EXISTS must stay a plain anti join:\n$plan")
+  }
+
+  test("q253: the correlated scalar subqueries decorrelate to " +
+    "aggregate-join form with map-side combine") {
+    val plan = planOf("q253_correlated_subquery")
+    assert(plan.contains("partial_sum") && plan.contains("partial_count"),
+      s"decorrelated per-customer aggregates must combine map-side:\n$plan")
+  }
+
+  test("q245 Cramer's V: margins and spine broadcast; no shuffle join") {
+    val plan = planOf("q245_cramers_v")
+    assert(!plan.contains("SortMergeJoin"),
+      s"margin/spine joins must broadcast:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"the contingency census must combine map-side:\n$plan")
+  }
 }

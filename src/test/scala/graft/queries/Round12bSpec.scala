@@ -168,6 +168,76 @@ class Round12bSpec extends PlantedQuerySpec {
     assert(got.toSeq == expected, got.mkString(", "))
   }
 
+  test("q251: a planted spike on a clean linear trend flags exactly " +
+    "the spike and its dow-mates, with the exact Theil-Sen slope") {
+    // r = 100 + 2d over 28 days, except d=13 spikes to 10000. The
+    // pairwise-median slope stays exactly 2 (spike pairs are a
+    // minority), so detrended2 = 2e8 for every clean day. The spike's
+    // dow (6) gets mean 5137000000 -> its three clean mates land at
+    // (2e8 - 5.137e9) div 2e6 = -2468, the spike at +7405; every
+    // other residual is 0, so med = mad = 0 and exactly those 4 flag.
+    val orders = (0 to 27).map { d =>
+      val r = if (d == 13) 10000.0 else 100.0 + 2 * d
+      (ts(f"1970-01-${d + 1}%02dT00:00:00Z"), r)
+    }.toDF("o_orderdate", "o_totalprice")
+    val got = run("q251_robust_anomaly", plant("orders" -> orders))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val expected = Seq(
+      ("1970-01-07", 112L, -2468L, 28L, 4L, 2.0),
+      ("1970-01-14", 10000L, 7405L, 28L, 4L, 2.0),
+      ("1970-01-21", 140L, -2468L, 28L, 4L, 2.0),
+      ("1970-01-28", 154L, -2468L, 28L, 4L, 2.0))
+    assert(got.toSeq == expected, got.mkString(", "))
+  }
+
+  test("q252: a well-separated key domain ranks identically through " +
+    "the sketch — full recall, nonnegative overestimate") {
+    // keys 1..20 appear 100+k times, keys 21..30 once: only a key
+    // colliding in ALL 4 sketch rows could get promoted, and then
+    // only by the single-count tail mass
+    val li = (1L to 20L).flatMap(k => Seq.fill(100 + k.toInt)(k))
+      .++(21L to 30L).toDF("l_partkey")
+    val got = run("q252_cms_rank_fidelity", plant("lineitem" -> li))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val (k, hits, recall, over) = got.head
+    assert(k == 20L && hits == 20L && recall == 1000000L,
+      got.mkString(", "))
+    assert(over >= 0L)
+  }
+
+  test("q253: correlated above-own-average picks exactly the orders " +
+    "beating their customer's mean, EXISTS-gated on lineitem") {
+    // cust 1: prices 10, 20, 60 (mean 30) -> only the 60 is above;
+    // cust 2: prices 50, 50 -> x*n = sum for both, never strictly >
+    // order 99 (price 1000, cust 3) has NO lineitem -> EXISTS drops it
+    val orders = Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 60.0),
+      (4L, 2L, 50.0), (5L, 2L, 50.0), (99L, 3L, 1000.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Seq(1L, 2L, 3L, 4L, 5L).toDF("l_orderkey")
+    val got = run("q253_correlated_subquery", plant("orders" -> orders,
+        "lineitem" -> li))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L)), got.mkString(", "))
+  }
+
+  test("q254: NOT IN over a set with a planted NULL matches nothing; " +
+    "the NULL-filtered branch equals NOT EXISTS") {
+    // custkeys 50 and 100 plant NULLs into probe (k%50=0, k%2=0)
+    val cust = (1L to 100L).toDF("c_custkey")
+    val orders = Seq((1L, 3L), (2L, 4L), (3L, 101L), (4L, 50L))
+      .toDF("o_orderkey", "o_custkey")
+    val got = run("q254_null_aware_anti", plant("customer" -> cust,
+        "orders" -> orders))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // probe = even custkeys 2..100 minus the NULLed 50/100. Orders
+    // with custkey 3 (odd, not in probe), 101 (absent), 50 (NULLed
+    // out of probe) survive the null-filtered NOT IN; custkey 4 is in
+    // probe. With the NULL present, NOT IN matches nothing at all.
+    assert(got.toSeq == Seq((0L, 3L, 3L)), got.mkString(", "))
+  }
+
   test("q250: hand-planted reversal flips every stratum against the " +
     "pooled direction (the paradox flag fires)") {
     // Stratum 1995: A = [10, 10], B = [9] -> A ahead (dir +1)
