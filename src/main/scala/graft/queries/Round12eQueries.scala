@@ -40,6 +40,10 @@ object Round12eQueries {
         col("d1") < col("d2"))
       .select(expr("(r2 - r1) * 1000000 div (d2 - d1)").as("slope_u"))
       .groupBy("slope_u").agg(count(lit(1)).as("cnt"))
+      // the pair fan-out is the only data²-of-days work — pin it, or
+      // the cuts probe, the total, and the bucketing each re-run it
+      // (measured 6.3 s → the q228 steady state without this)
+      .localCheckpoint(true)
     val tot = census.agg(sum(col("cnt")).as("np"))
     val ranked = Round12Queries.withCum0(census, "slope_u", "cnt")
       .crossJoin(broadcast(tot))
