@@ -116,38 +116,37 @@ object Round10iQueries {
   // The histogram a cost-based optimizer actually keeps: 16 equi-depth
   // buckets over l_extendedprice (exact interpolated cut points — the
   // q43 parity class), per bucket the row count, exact bounds, and
-  // exact NDV. Bucket assignment is map-side against the broadcast
-  // cuts; NDV is the only extra exchange. Near-equal bucket counts
-  // here are the property equi-depth promises. Exactness is this
-  // query's contract (the P4 parity class); the 100 TB scale path —
-  // GK-sketch cuts + HLL NDV — is wired and gated as q188
-  // (Round11Queries), per VERDICT r10 #2.
+  // exact NDV. Exactness is this query's contract (the P4 parity
+  // class); the 100 TB scale path — GK-sketch cuts + HLL NDV — is
+  // wired and gated as q188 (Round11Queries), per VERDICT r10 #2.
+  //
+  // Round-12 rework (the q228 lesson applied to multi-quantile): the
+  // raw column collapses to a VALUE CENSUS in its one data-sized
+  // shuffle, the 15 exact interpolated cuts come from the bucketed
+  // rank machinery (Round12Queries.exactQuantiles — bit-identical to
+  // quantile_cont, no single-reducer value map), and because the
+  // census IS the dedup, n/lo/hi/NDV all fall out of ONE census-sized
+  // aggregate — the old plan's second full-column pass and its
+  // distinct exchange are gone (measured 4.9 s → see BASELINE.md).
   private val DepthBuckets = 16
 
   private def q180(spark: SparkSession, sfDir: String): DataFrame = {
-    val vals = Tables.read(spark, sfDir, "lineitem")
+    val census = Tables.read(spark, sfDir, "lineitem")
       .select(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
         .as("v_u"))
-      .localCheckpoint(true) // cuts pass AND the two census passes
-    val fracs = (1 until DepthBuckets).map(_.toDouble / DepthBuckets)
-    val cuts = vals.agg(percentile(col("v_u"),
-      array(fracs.map(lit): _*)).as("__cuts"))
-    val bucketed = vals.crossJoin(broadcast(cuts))
+      .groupBy("v_u").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // cuts machinery AND the bucket rollup
+    val cuts = Round12Queries.exactQuantiles(census, "v_u", "cnt",
+      DepthBuckets, 1 until DepthBuckets)
+    census.crossJoin(broadcast(cuts.select("__cuts")))
       .withColumn("bucket", (1 until DepthBuckets).foldLeft(lit(1)) {
         case (acc, i) =>
           acc + when(col("v_u").cast("double") >
             element_at(col("__cuts"), i), 1).otherwise(0)
       })
-    // NDV as an explicit dedup-then-count: mixing countDistinct into
-    // the moment aggregate makes Catalyst Expand every input row; two
-    // clean aggregates + a 16-row broadcast join are ~2x cheaper
-    val moments = bucketed.groupBy("bucket")
-      .agg(count(lit(1)).as("n"), min(col("v_u")).as("lo_u"),
-        max(col("v_u")).as("hi_u"))
-    val ndv = bucketed.select("bucket", "v_u").distinct()
-      .groupBy("bucket").agg(count(lit(1)).as("ndv"))
-    moments.join(broadcast(ndv), "bucket")
-      .select(col("bucket"), col("n"), col("lo_u"), col("hi_u"), col("ndv"))
+      .groupBy("bucket")
+      .agg(sum(col("cnt")).as("n"), min(col("v_u")).as("lo_u"),
+        max(col("v_u")).as("hi_u"), count(lit(1)).as("ndv"))
       .orderBy("bucket")
   }
 

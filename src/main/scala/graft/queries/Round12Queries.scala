@@ -50,6 +50,45 @@ object Round12Queries {
       .drop("__bkt", "__carry")
   }
 
+  /** Exact interpolated quantiles at fractions `nums(i)/den` from a
+    * value census — `quantile_cont` semantics WITHOUT the
+    * single-reducer value→count map Spark's `percentile` builds
+    * (the q228 lesson generalized to multi-quantile): global ranks
+    * come from [[withCum0]], each quantile's two order statistics
+    * are picked by integer rank comparison, and the interpolation
+    * h = (n−1)·num/den runs on EXACT integers (k₁ = (n−1)·num div
+    * den, delta = ((n−1)·num mod den)/den — dyadic-exact for den a
+    * power of two) so the assembled cut doubles are bit-identical to
+    * quantile_cont's lower + delta·(higher − lower). Returns ONE row:
+    * (`__cuts` array<double> in `nums` order, `__n` total count).
+    */
+  private[queries] def exactQuantiles(census: DataFrame, valCol: String,
+      cntCol: String, den: Int, nums: Seq[Int]): DataFrame = {
+    require(den > 0 && Integer.bitCount(den) == 1,
+      s"den must be a power of two for exact dyadic deltas: $den")
+    val tot = census.agg(sum(col(cntCol)).as("__n"))
+    val r = withCum0(census, valCol, cntCol).crossJoin(broadcast(tot))
+    val picks = nums.flatMap { i =>
+      val k1 = s"((__n - 1) * $i) div $den"
+      val k2 = s"least($k1 + 1, __n - 1)"
+      Seq(
+        max(when(expr(k1) >= col("__cum0") &&
+          expr(k1) < col("__cum0") + col(cntCol), col(valCol)))
+          .as(s"__v1_$i"),
+        max(when(expr(k2) >= col("__cum0") &&
+          expr(k2) < col("__cum0") + col(cntCol), col(valCol)))
+          .as(s"__v2_$i"))
+    }
+    r.agg(picks.head, picks.tail: _*)
+      .crossJoin(broadcast(tot))
+      .select(array(nums.map { i =>
+        col(s"__v1_$i").cast(DoubleType) +
+          (expr(s"((__n - 1) * $i) % $den").cast(DoubleType) /
+            lit(den.toDouble)) *
+          (col(s"__v2_$i") - col(s"__v1_$i")).cast(DoubleType)
+      }: _*).as("__cuts"), col("__n"))
+  }
+
   // -- q236: Spearman rank correlation -----------------------------------------
   // The nonparametric correlation every drift/quality dashboard wants
   // next to Pearson (q111's class): exact tie-aware (mid-rank)

@@ -793,12 +793,21 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("CartesianProduct"), s"no joins at all:\n$plan")
   }
 
-  test("q180 equi-depth stats: cuts broadcast, bucket assignment map-side, no window on data") {
+  test("q180 equi-depth stats: cuts broadcast; the only windows are " +
+    "the bucketed rank machinery's (round-12 census rework)") {
     val plan = planOf("q180_equidepth_stats")
     assert(plan.contains("Broadcast"),
       s"the 15-double cuts row must broadcast:\n$plan")
-    assert(!plan.contains("windowspecdefinition"),
-      s"bucket assignment is a projection, not a ranking window:\n$plan")
+    // every window in the plan belongs to exactQuantiles' prefix
+    // machinery: either bucket-keyed or over the nBuckets-row carry
+    // frame — never an unkeyed ranking over the data census
+    val windows = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windows.forall(_.contains("__bkt")),
+      s"unexpected non-bucket window:\n$plan")
+    // and the census rollup itself combines map-side
+    assert(plan.contains("partial_sum"),
+      s"the bucket rollup must combine map-side:\n$plan")
   }
 
   test("q182 target encoding: global mean broadcast, one grouped fold") {
