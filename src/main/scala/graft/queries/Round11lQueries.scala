@@ -37,8 +37,11 @@ object Round11lQueries {
         sum(when(col("g") === 1, 1L).otherwise(0L)).as("cb"))
       .localCheckpoint(true) // cuts probe + bucketed prefix + moments
     val fracs = (1 until MwBuckets).map(_.toDouble / MwBuckets)
-    val cuts = census.agg(percentile(col("x"),
-      array(fracs.map(lit): _*)).as("__cuts"))
+    // SKETCH cuts (round 12): placement needs no exactness — any
+    // value-contiguous bucketing yields the same prefix sums — so the
+    // exact percentile's single-reducer value map buys nothing here
+    val cuts = census.agg(percentile_approx(col("x"),
+      array(fracs.map(lit): _*), lit(10000)).as("__cuts"))
     val bucketed = census.crossJoin(broadcast(cuts))
       .withColumn("__bkt", (1 until MwBuckets).foldLeft(lit(1)) {
         case (acc, i) =>

@@ -107,8 +107,10 @@ object Round11oQueries {
     val totals = census.groupBy("x").agg(sum(col("n")).as("t"))
       .localCheckpoint(true)
     val fracs = (1 until KwBuckets).map(_.toDouble / KwBuckets)
-    val cuts = totals.agg(percentile(col("x"),
-      array(fracs.map(lit): _*)).as("__cuts"))
+    // SKETCH cuts (round 12, the q223 note): bucket placement needs
+    // no exactness, so the exact percentile's value map is dead cost
+    val cuts = totals.agg(percentile_approx(col("x"),
+      array(fracs.map(lit): _*), lit(10000)).as("__cuts"))
     val bucketed = totals.crossJoin(broadcast(cuts))
       .withColumn("__bkt", (1 until KwBuckets).foldLeft(lit(1)) {
         case (acc, i) =>
