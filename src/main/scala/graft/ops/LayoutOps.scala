@@ -111,8 +111,11 @@ object LayoutOps {
     require(nBuckets > 1, s"nBuckets must exceed 1: $nBuckets")
     val df0 = df.where(col(valueCol).isNotNull)
     val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val cuts = df0.agg(percentile(col(valueCol),
-      array(fracs.map(lit): _*)).as("__cuts"))
+    // SKETCH cuts (round 12, the q223/q231 note): ranks are exact for
+    // ANY value-contiguous bucket placement, so the exact percentile's
+    // single-reducer value map bought nothing here
+    val cuts = df0.agg(percentile_approx(col(valueCol),
+      array(fracs.map(lit): _*), lit(10000)).as("__cuts"))
     val bucketed = df0.crossJoin(broadcast(cuts))
       .withColumn("__bkt", (1 until nBuckets).foldLeft(lit(1)) {
         case (acc, i) =>
