@@ -22,7 +22,8 @@ object SparkEntry {
       Round11kQueries.defs ++ Round11lQueries.defs ++ Round11mQueries.defs ++
       Round11nQueries.defs ++ Round11oQueries.defs ++ Round11pQueries.defs ++
       Round12Queries.defs ++ Round12bQueries.defs ++ Round12cQueries.defs ++
-      Round12dQueries.defs ++ Round12eQueries.defs ++ Round12fQueries.defs
+      Round12dQueries.defs ++ Round12eQueries.defs ++ Round12fQueries.defs ++
+      Round12gQueries.defs
 
   /** Flagship: full auto-cleaning ETL of the sf0.001 events table
     * (driver smoke-checks rows > 0).

@@ -172,7 +172,15 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // decorrelated aggregate joins (q253), null-aware anti counts
     // (q254)
     "q251_robust_anomaly", "q252_cms_rank_fidelity",
-    "q253_correlated_subquery", "q254_null_aware_anti")
+    "q253_correlated_subquery", "q254_null_aware_anti",
+    // round-12 TPC-H completeness: grid sums + integer-div averages
+    // (q255), one-row conjunctive-filter partial (q256), broadcast
+    // nation-pair residual filter (q257), per-year ppm share (q258),
+    // left-join count histogram (q259), CASE-gated ppm (q260),
+    // argmax-tie equality refilter (q261), correlated-average
+    // cross-mult cut (q262)
+    "q255_tpch_q1", "q256_tpch_q6", "q257_tpch_q7", "q258_tpch_q8",
+    "q259_tpch_q13", "q260_tpch_q14", "q261_tpch_q15", "q262_tpch_q17")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

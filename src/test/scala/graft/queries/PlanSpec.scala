@@ -1358,4 +1358,56 @@ class PlanSpec extends EtlSpecBase {
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       s"the contingency census must combine map-side:\n$plan")
   }
+
+  test("q255 full Q1: one map-side-combined aggregate, no join") {
+    val plan = planOf("q255_tpch_q1")
+    assert(plan.contains("partial_sum"),
+      s"Q1 must combine map-side:\n$plan")
+    assert(!plan.contains("Join"), s"Q1 is join-free:\n$plan")
+  }
+
+  test("q256 Q6: the shipdate range and quantity bound reach the " +
+    "parquet scan; schema pruned to 4 columns") {
+    // the rendered plan elides long PushedFilters lists, so read the
+    // scan node's metadata directly (pre-AQE plan is a plain tree)
+    val df = graft.SparkEntry.queries("q256_tpch_q6")(spark, sf)
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no parquet scan in the Q6 plan"))
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate")
+      && pushed.contains("LessThan(l_shipdate")
+      && pushed.contains("LessThan(l_quantity,24"),
+      s"Q6 IS its scan — range predicates must push down: $pushed")
+    assert(scan.schema.fieldNames.toSeq == Seq("l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate"),
+      s"Q6 must prune to its 4 columns (l_tax projected away): " +
+        scan.schema.fieldNames.mkString(","))
+  }
+
+  test("q257/q258: dimension chains broadcast; at most the one " +
+    "fact-fact order-key join shuffles") {
+    for (q <- Seq("q257_tpch_q7", "q258_tpch_q8")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q dims broadcast:\n$plan")
+      assert("SortMergeJoin".r.findAllIn(plan).size <= 1,
+        s"$q: only lineitem-orders may shuffle-join:\n$plan")
+    }
+  }
+
+  test("q259 Q13: the order count pre-aggregates on o_custkey BEFORE " +
+    "the customer join (aggregate-sized join input)") {
+    val plan = planOf("q259_tpch_q13")
+    assert(plan.contains("partial_count"),
+      s"per-customer counts must combine map-side:\n$plan")
+  }
+
+  test("q261/q262: the argmax/average frames broadcast back; no " +
+    "cartesian beyond the one-row max cross join") {
+    for (q <- Seq("q261_tpch_q15", "q262_tpch_q17")) {
+      val plan = planOf(q)
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: aggregate-sized frames must broadcast:\n$plan")
+    }
+  }
 }
