@@ -180,7 +180,15 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // argmax-tie equality refilter (q261), correlated-average
     // cross-mult cut (q262)
     "q255_tpch_q1", "q256_tpch_q6", "q257_tpch_q7", "q258_tpch_q8",
-    "q259_tpch_q13", "q260_tpch_q14", "q261_tpch_q15", "q262_tpch_q17")
+    "q259_tpch_q13", "q260_tpch_q14", "q261_tpch_q15", "q262_tpch_q17",
+    // round-12 eval wave: integer NDCG discounts (q263), RA wedge
+    // census + LIMIT tiebreak (q264), symmetric-marginal Pearson
+    // (q265), oriented triangle corner census (q266), kappa/MCC over
+    // a percentile cut (q267), token frequency-of-frequencies (q268),
+    // discordant-pair cells (q269)
+    "q263_ndcg_eval", "q264_link_predict", "q265_assortativity",
+    "q266_clustering_coeff", "q267_kappa_mcc", "q268_vocab_richness",
+    "q269_mcnemar")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

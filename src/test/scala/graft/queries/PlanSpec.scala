@@ -1410,4 +1410,38 @@ class PlanSpec extends EtlSpecBase {
         s"$q: aggregate-sized frames must broadcast:\n$plan")
     }
   }
+
+  test("q263 NDCG: the query side broadcasts; per-query top-k prunes " +
+    "per-partition (WindowGroupLimit)") {
+    val plan = planOf("q263_ndcg_eval")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast against the corpus:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must prune below the rank shuffle:\n$plan")
+  }
+
+  test("q264/q266: wedge joins are hash joins on edge keys; the RA " +
+    "census combines map-side") {
+    for (q <- Seq("q264_link_predict", "q266_clustering_coeff")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q wedge generation must stay equi-keyed:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+        s"$q census must combine map-side:\n$plan")
+    }
+  }
+
+  test("q265/q268/q269: one-row statistics are partial+final aggregates") {
+    for (q <- Seq("q265_assortativity", "q268_vocab_richness",
+        "q269_mcnemar")) {
+      val plan = planOf(q)
+      assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+        s"$q must combine map-side:\n$plan")
+    }
+    // the McNemar census never joins — it is one scan + one aggregate
+    assert(!planOf("q269_mcnemar").contains("Join"),
+      "q269 is join-free")
+  }
 }
