@@ -448,6 +448,111 @@ object SimilarityOps {
          |FROM rk ORDER BY $idCol""".stripMargin
   }
 
+  /** Davies–Bouldin cluster-quality index over [[kmeansAssign]]'s
+    * clustering: per cluster i, scatter S_i = mean member→centroid
+    * distance; separation M_ij = centroid→centroid distance;
+    * R_i = max_{j≠i} (S_i+S_j)/M_ij; DB = mean_i R_i (lower =
+    * tighter/better-separated). The cluster-quality grader the q76
+    * trainer and its IVF consumers (q49/q230) owed.
+    *
+    * Exactness contract (the q76 discipline end-to-end): every
+    * SQUARED distance lands on the n4 grid (the proven trainer
+    * rounding), then `floor(sqrt·1e4+0.5)` fixes each distance as an
+    * integer in 1e-4 units — sqrt is IEEE-correctly-rounded in both
+    * engines, so identical inputs give identical integers. S_i is an
+    * integer-div mean, every ratio an integer ppm pick, and DB the
+    * integer-div mean of R_i — nothing order-sensitive anywhere.
+    *
+    * Scale shape: training is the map-side Lloyd loop; the member
+    * distance is one kernel dot against the row's own centroid
+    * literal; S is ONE k-group partial+final aggregate. Everything
+    * after (pairwise M, R, DB) rides k-row frames — k², not data².
+    *
+    * Returns (cell, n_members, s_u, r_max_ppm, db_ppm) ordered by
+    * cell; `r_max_ppm` is NULL for a cell with no positive-distance
+    * peer (duplicate centroids).
+    */
+  def daviesBouldin(df: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (assigned, cents) = kmeansTrain(df, k, iters, idCol, vecCol)
+    val ccCol = cents.foldLeft(lit(null).cast(DoubleType)) {
+      case (els, (j, c)) =>
+        when(col("cell") === j,
+          lit(c.foldLeft(0.0)((acc, x) => acc + x * x))).otherwise(els)
+    }
+    val dotCol = cents.foldLeft(lit(null).cast(DoubleType)) {
+      case (els, (j, c)) =>
+        when(col("cell") === j, dot(col("v"), typedLit(c.toSeq))).otherwise(els)
+    }
+    val d4 = floor((dot(col("v"), col("v")) + ccCol - lit(2.0) * dotCol)
+      * lit(10000d) + lit(0.5d)).cast(DoubleType) / lit(10000d)
+    val distU = floor(sqrt(d4) * lit(10000d) + lit(0.5d)).cast("long")
+    val s = assigned.select(col("cell"), distU.as("dist_u"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(dist_u) div count(1)").as("s_u"))
+      .localCheckpoint(true) // k-row frame read by both R joins + output
+    // centroid pair separations: k² driver-side constants on the SAME
+    // grid (sequential dot = the kernel/list_sum order)
+    def seqDot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = (for {
+      (i, ci) <- cents; (j, cj) <- cents if i != j
+    } yield {
+      val m24 = n4d(seqDot(ci, ci) + seqDot(cj, cj) - 2 * seqDot(ci, cj))
+      (i, j, math.floor(math.sqrt(m24) * 10000 + 0.5).toLong)
+    }).toDF("i", "j", "m_u")
+    val r = pairs.where(col("m_u") > 0)
+      .join(broadcast(s.select(col("cell").as("i"), col("s_u").as("si"))), "i")
+      .join(broadcast(s.select(col("cell").as("j"), col("s_u").as("sj"))), "j")
+      .groupBy(col("i").as("cell"))
+      .agg(max(expr("(si + sj) * 1000000 div m_u")).as("r_max_ppm"))
+    val db = r.agg(expr("sum(r_max_ppm) div count(1)").as("db_ppm"))
+    s.join(broadcast(r), Seq("cell"), "left")
+      .crossJoin(broadcast(db))
+      .select(col("cell"), col("n_members"), col("s_u"),
+        col("r_max_ppm"), col("db_ppm"))
+      .orderBy("cell")
+  }
+
+  /** [[daviesBouldin]] oracle rendering (same trajectory, same n4
+    * squared distances, same integer sqrt grid and ppm picks).
+    */
+  def daviesBouldinSql(table: String, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    def n4(e: String) = s"(floor(($e) * 10000 + 0.5) / 10000.0)"
+    val cw = s"SELECT j, c, ${dotSql("c", "c")} AS cc FROM c${iters - 1}"
+    kmeansCte(table, k, iters, idCol, vecCol) +
+      s""",
+         |dd AS (SELECT a.cell, CAST(floor(sqrt(
+         |    ${n4(s"${dotSql("a.v", "a.v")} + cw.cc - 2 * ${dotSql("a.v", "cw.c")}")})
+         |    * 10000 + 0.5) AS BIGINT) AS dist_u
+         |  FROM a$iters a JOIN ($cw) cw ON a.cell = cw.j),
+         |s AS (SELECT cell, count(*) AS n_members,
+         |    CAST(sum(dist_u) // count(*) AS BIGINT) AS s_u
+         |  FROM dd GROUP BY 1),
+         |m AS (SELECT ci.j AS i, cj.j AS j2, CAST(floor(sqrt(
+         |    ${n4(s"ci.cc + cj.cc - 2 * ${dotSql("ci.c", "cj.c")}")})
+         |    * 10000 + 0.5) AS BIGINT) AS m_u
+         |  FROM ($cw) ci, ($cw) cj WHERE ci.j <> cj.j),
+         |r AS (SELECT m.i AS cell,
+         |    CAST(max((si.s_u + sj.s_u) * 1000000 // m_u) AS BIGINT)
+         |      AS r_max_ppm
+         |  FROM m JOIN s si ON si.cell = m.i JOIN s sj ON sj.cell = m.j2
+         |  WHERE m_u > 0 GROUP BY 1),
+         |db AS (SELECT CAST(sum(r_max_ppm) // count(*) AS BIGINT)
+         |    AS db_ppm FROM r)
+         |SELECT CAST(s.cell AS INTEGER) AS cell, s.n_members, s.s_u,
+         |  r.r_max_ppm, db.db_ppm
+         |FROM s LEFT JOIN r ON r.cell = s.cell CROSS JOIN db
+         |ORDER BY s.cell""".stripMargin
+  }
+
   // ---- PCA (top principal component, power iteration) --------------------
 
   /** Top principal component of the embedding cloud via DETERMINISTIC

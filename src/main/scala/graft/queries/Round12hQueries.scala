@@ -474,6 +474,19 @@ object Round12hQueries {
        |      // (n10 + n01) AS BIGINT) END AS chi2_u
        |FROM c""".stripMargin
 
+  // -- q270: Davies–Bouldin cluster-quality index ----------------------------------
+  // Grades q76's k-means (and by extension the q49/q230 IVF layout it
+  // trains): per-cluster scatter vs pairwise centroid separation, all
+  // distances on the proven n4+sqrt integer grid, everything past the
+  // ONE k-group scatter aggregate riding k-row frames. See
+  // [[SimilarityOps.daviesBouldin]].
+  private def q270(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.daviesBouldin(
+      Tables.read(spark, sfDir, "embeddings"), k = 4, iters = 2)
+
+  private val q270Oracle: String =
+    SimilarityOps.daviesBouldinSql("embeddings", k = 4, iters = 2)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q263_ndcg_eval", q263, Some(q263Oracle)),
     QueryDef("q264_link_predict", q264, Some(q264Oracle)),
@@ -481,5 +494,6 @@ object Round12hQueries {
     QueryDef("q266_clustering_coeff", q266, Some(q266Oracle)),
     QueryDef("q267_kappa_mcc", q267, Some(q267Oracle)),
     QueryDef("q268_vocab_richness", q268, Some(q268Oracle)),
-    QueryDef("q269_mcnemar", q269, Some(q269Oracle)))
+    QueryDef("q269_mcnemar", q269, Some(q269Oracle)),
+    QueryDef("q270_davies_bouldin", q270, Some(q270Oracle)))
 }

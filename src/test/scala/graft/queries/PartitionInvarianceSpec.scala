@@ -188,7 +188,9 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // discordant-pair cells (q269)
     "q263_ndcg_eval", "q264_link_predict", "q265_assortativity",
     "q266_clustering_coeff", "q267_kappa_mcc", "q268_vocab_richness",
-    "q269_mcnemar")
+    "q269_mcnemar",
+    // n4+sqrt integer distance grids over the Lloyd trajectory (q270)
+    "q270_davies_bouldin")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

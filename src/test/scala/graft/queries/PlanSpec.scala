@@ -1444,4 +1444,13 @@ class PlanSpec extends EtlSpecBase {
     assert(!planOf("q269_mcnemar").contains("Join"),
       "q269 is join-free")
   }
+
+  test("q270 Davies-Bouldin: the scatter aggregate combines map-side; " +
+    "k-row frames broadcast (no SortMergeJoin)") {
+    val plan = planOf("q270_davies_bouldin")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"scatter must combine map-side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"everything past the scatter rides k-row broadcasts:\n$plan")
+  }
 }

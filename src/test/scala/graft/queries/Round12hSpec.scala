@@ -106,6 +106,28 @@ class Round12hSpec extends PlantedQuerySpec {
       got.mkString(", "))
   }
 
+  test("q270 Davies-Bouldin: hand-traced Lloyd + integer scatter/" +
+    "separation grid") {
+    // init c0..c3 = the 4 lowest-id points; v4=[2,0] joins cell 0; the
+    // one update moves c0 to [1,0]; final: members of cell 0 each at
+    // distance 1 -> s_0 = 10000 (1e-4 units), singleton cells s = 0.
+    // m(0,1)=9 -> 90000, m(0,2)=sqrt(101) -> 100499,
+    // m(0,3)=sqrt(181) -> 134536, m(1,2)=sqrt(200), m(1,3)=m(2,3)=10.
+    // R = {111111, 111111, 99503, 74329}; DB = 396054 div 4 = 99013.
+    val dir = plant("embeddings" -> Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 0.0f)),
+      (2L, Seq(0.0f, 10.0f)), (3L, Seq(10.0f, 10.0f)),
+      (4L, Seq(2.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val got = run("q270_davies_bouldin", dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0, 2L, 10000L, 111111L, 99013L),
+      (1, 1L, 0L, 111111L, 99013L),
+      (2, 1L, 0L, 99503L, 99013L),
+      (3, 1L, 0L, 74329L, 99013L)), got.mkString(", "))
+  }
+
   test("q269 McNemar: discordant cells only, continuity correction") {
     // n11=1, n10=4, n01=1, n00=1 -> chi2_u = (|4-1|-1)^2 * 1e6 / 5
     def txt(spaces: Int) = ("a " * spaces) + "a"
