@@ -190,7 +190,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q266_clustering_coeff", "q267_kappa_mcc", "q268_vocab_richness",
     "q269_mcnemar",
     // n4+sqrt integer distance grids over the Lloyd trajectory (q270)
-    "q270_davies_bouldin")
+    "q270_davies_bouldin",
+    // round-12 testing kit: integer-div ANOVA terms (q271/q272),
+    // bucketed dominance census (q273), fixed-expression effect
+    // sizes over DECIMAL partials (q274)
+    "q271_anova_f", "q272_brown_forsythe", "q273_cliffs_delta",
+    "q274_cohens_d")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -1445,6 +1445,26 @@ class PlanSpec extends EtlSpecBase {
       "q269 is join-free")
   }
 
+  test("q271/q274: sufficient statistics come from ONE map-side-" +
+    "combined aggregate; q271 never joins") {
+    for (q <- Seq("q271_anova_f", "q274_cohens_d")) {
+      val plan = planOf(q)
+      assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+        s"$q must combine map-side:\n$plan")
+    }
+    assert(!planOf("q271_anova_f").contains("Join"),
+      "q271 is one scan + aggregates, join-free")
+  }
+
+  test("q273 Cliff's delta: the prefix windows stay bucket-keyed " +
+    "(no global single-partition data window)") {
+    val plan = planOf("q273_cliffs_delta")
+    // the only unpartitioned window is the 32-row carry frame; the
+    // census-sized window must carry the __bkt partition key
+    assert(plan.contains("windowspecdefinition(__bkt"),
+      s"census prefix must partition by bucket:\n$plan")
+  }
+
   test("q270 Davies-Bouldin: the scatter aggregate combines map-side; " +
     "k-row frames broadcast (no SortMergeJoin)") {
     val plan = planOf("q270_davies_bouldin")
