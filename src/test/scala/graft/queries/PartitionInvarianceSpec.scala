@@ -195,7 +195,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // bucketed dominance census (q273), fixed-expression effect
     // sizes over DECIMAL partials (q274)
     "q271_anova_f", "q272_brown_forsythe", "q273_cliffs_delta",
-    "q274_cohens_d")
+    "q274_cohens_d",
+    // day-census micro-grid terms (q275), first-relevant-rank picks
+    // over the broadcast top-k (q276)
+    "q275_logrank", "q276_mrr_hitk")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -1465,6 +1465,22 @@ class PlanSpec extends EtlSpecBase {
       s"census prefix must partition by bucket:\n$plan")
   }
 
+  test("q275 log-rank: the observation census combines map-side; the " +
+    "only window rides the bounded day census") {
+    val plan = planOf("q275_logrank")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"the census must combine map-side:\n$plan")
+  }
+
+  test("q276 MRR: query side broadcasts; top-k prunes per-partition") {
+    val plan = planOf("q276_mrr_hitk")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast against the corpus:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must prune below the rank shuffle:\n$plan")
+  }
+
   test("q270 Davies-Bouldin: the scatter aggregate combines map-side; " +
     "k-row frames broadcast (no SortMergeJoin)") {
     val plan = planOf("q270_davies_bouldin")
