@@ -198,7 +198,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q274_cohens_d",
     // day-census micro-grid terms (q275), first-relevant-rank picks
     // over the broadcast top-k (q276)
-    "q275_logrank", "q276_mrr_hitk")
+    "q275_logrank", "q276_mrr_hitk",
+    // bounded-collect greedy over the broadcast top-k (q277), banded
+    // candidate census on a dense decile spine (q278)
+    "q277_mmr_rerank", "q278_jaccard_sweep")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -1481,6 +1481,16 @@ class PlanSpec extends EtlSpecBase {
       s"top-k must prune below the rank shuffle:\n$plan")
   }
 
+  test("q278 Jaccard sweep: candidate pairs stay band-equi-keyed " +
+    "(no cartesian); the census combines map-side") {
+    val plan = planOf("q278_jaccard_sweep")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay the banded equi-join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"the decile census must combine map-side:\n$plan")
+  }
+
   test("q270 Davies-Bouldin: the scatter aggregate combines map-side; " +
     "k-row frames broadcast (no SortMergeJoin)") {
     val plan = planOf("q270_davies_bouldin")
