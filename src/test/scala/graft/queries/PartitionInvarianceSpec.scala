@@ -201,7 +201,17 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q275_logrank", "q276_mrr_hitk",
     // bounded-collect greedy over the broadcast top-k (q277), banded
     // candidate census on a dense decile spine (q278)
-    "q277_mmr_rerank", "q278_jaccard_sweep")
+    "q277_mmr_rerank", "q278_jaccard_sweep",
+    // round-12 TPC-H completion: derived-partsupp tie-min join-back
+    // (q279), +30-day semi join (q280), DECIMAL profit partials
+    // (q281), self-normalizing HAVING cross-mult (q282), CASE-count
+    // rollup (q283), anti-joined distinct count (q284), disjunctive
+    // residual (q285), aggregate-threshold semi chain (q286),
+    // semi+anti sole-late logic (q287), scalar-mean cross-mult +
+    // date-pruned anti join (q288)
+    "q279_tpch_q2", "q280_tpch_q4", "q281_tpch_q9", "q282_tpch_q11",
+    "q283_tpch_q12", "q284_tpch_q16", "q285_tpch_q19", "q286_tpch_q20",
+    "q287_tpch_q21", "q288_tpch_q22")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -1499,4 +1499,57 @@ class PlanSpec extends EtlSpecBase {
     assert(!plan.contains("SortMergeJoin"),
       s"everything past the scatter rides k-row broadcasts:\n$plan")
   }
+
+  test("q279/q281/q284/q286: the part prune broadcasts BEFORE the " +
+    "derived-partsupp groupBy, which combines map-side") {
+    for (q <- Seq("q279_tpch_q2", "q281_tpch_q9", "q284_tpch_q16",
+        "q286_tpch_q20")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q part/dimension prune must broadcast:\n$plan")
+      // q284 consumes only the partsupp KEYS, so Catalyst prunes the
+      // sum/min functions entirely (a keys-only pre-aggregate) and the
+      // map-side partial shows up on the count(distinct) instead
+      assert(plan.contains("partial_"),
+        s"$q partsupp derivation must combine map-side:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not fan out:\n$plan")
+    }
+  }
+
+  test("q280/q287: the exists-logic stays semi/anti joins (one row " +
+    "per order however many matching lines)") {
+    val p4 = planOf("q280_tpch_q4")
+    assert(p4.contains("LeftSemi"), s"Q4 EXISTS must be a semi join:\n$p4")
+    val p21 = planOf("q287_tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"Q21 needs BOTH the other-supplier semi and the other-late anti:\n$p21")
+  }
+
+  test("q285 Q19: the branch union-bounds reach both scans; the " +
+    "disjunction is a residual, not a cartesian") {
+    val df = graft.SparkEntry.queries("q285_tpch_q19")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString("; ")
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      pushed.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"the lineitem quantity union-bound must push down: $pushed")
+    assert(pushed.contains("In(p_brand") || pushed.contains("p_brand"),
+      s"the part brand union-bound must push down: $pushed")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q19 stays an equi join with a residual filter:\n$plan")
+  }
+
+  test("q282/q288: the global-total/mean one-row frames broadcast " +
+    "back (no CartesianProduct)") {
+    for (q <- Seq("q282_tpch_q11", "q288_tpch_q22")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q scalar frame must broadcast:\n$plan")
+    }
+  }
 }
