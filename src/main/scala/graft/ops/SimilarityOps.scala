@@ -61,6 +61,60 @@ object SimilarityOps {
     Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
     propagateNull = true, returnNullable = true))
 
+  /** Kernel-backed JL ±1 projection on the 1e-4 grid (input must be
+    * array<double>; returns array<bigint> of length `outDims`). The
+    * sign stream is the two-round Lehmer hash over (i·outDims + j) —
+    * see [[VectorKernels.jlProject]].
+    */
+  def jlProject(v: Column, outDims: Int, seed: Long): Column =
+    ExprBridge.column(StaticInvoke(
+      VectorKernels.getClass, ArrayType(LongType), "jlProject",
+      Seq(ExprBridge.expression(v), Literal(outDims), Literal(seed)),
+      Seq(ArrayType(DoubleType), IntegerType,
+        org.apache.spark.sql.types.LongType),
+      propagateNull = true, returnNullable = true))
+
+  /** Kernel-backed squared distance on the 1e-4 grid (exact long). */
+  def gridSqDist(a: Column, b: Column): Column =
+    ExprBridge.column(StaticInvoke(
+      VectorKernels.getClass, LongType, "gridSqDist",
+      Seq(ExprBridge.expression(a), ExprBridge.expression(b)),
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
+      propagateNull = true, returnNullable = true))
+
+  /** Kernel-backed squared distance between long vectors. */
+  def sqDistLong(a: Column, b: Column): Column =
+    ExprBridge.column(StaticInvoke(
+      VectorKernels.getClass, LongType, "sqDistLong",
+      Seq(ExprBridge.expression(a), ExprBridge.expression(b)),
+      Seq(ArrayType(LongType), ArrayType(LongType)),
+      propagateNull = true, returnNullable = true))
+
+  private val LehmerP = 2147483647L
+
+  /** [[jlProject]] oracle rendering (identical integer formula). */
+  def jlProjectSql(vE: String, outDims: Int, seed: Long): String =
+    s"list_transform(range(0, $outDims), __j -> " +
+      s"list_sum(list_transform(range(1, len($vE) + 1), __i -> " +
+      s"CAST(floor(CAST(($vE)[__i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)" +
+      s" * (1 - 2 * (((((((__i - 1) * $outDims + __j) % $LehmerP + $seed)" +
+      s" * 48271) % $LehmerP + 1) * 69621) % $LehmerP % 2)))))"
+
+  /** [[gridSqDist]] oracle rendering ((d)*(d), never `**` — DuckDB's
+    * power operator returns DOUBLE and would break integer exactness).
+    */
+  def gridSqDistSql(a: String, b: String): String = {
+    def g(e: String) =
+      s"CAST(floor(CAST(($e)[__i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
+    s"list_sum(list_transform(range(1, len($a) + 1), __i -> " +
+      s"(${g(a)} - ${g(b)}) * (${g(a)} - ${g(b)})))"
+  }
+
+  /** [[sqDistLong]] oracle rendering. */
+  def sqDistLongSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), __i -> " +
+      s"(($a)[__i] - ($b)[__i]) * (($a)[__i] - ($b)[__i])))"
+
   def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), __i -> ($a)[__i] * ($b)[__i])) AS DOUBLE)"
 

@@ -65,6 +65,65 @@ object VectorKernels {
       Array.tabulate(bs * d)(j => SimilarityOps.planeCoef(tt, j / d, j % d, d, bs))
     })
 
+  /** Johnson–Lindenstrauss ±1 sign projection on the 1e-4 integer
+    * grid: out_j = Σ_i ⌊v_i·10⁴ + 0.5⌋ · s(i,j), with the sign drawn
+    * from the two-round Lehmer hash over the flattened (i·outDims + j)
+    * index — [[MixOps.portableHash2]]'s exact constants, so the DuckDB
+    * rendering can inline the identical integer formula. All-integer,
+    * so the projection is order-free and hash-stable across engines.
+    */
+  def jlProject(v: ArrayData, outDims: Int, seed: Long): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](outDims)
+    var i = 0
+    while (i < n) {
+      val u = math.floor(v.getDouble(i) * 10000 + 0.5).toLong
+      var j = 0
+      while (j < outDims) {
+        val x = i.toLong * outDims + j
+        val h1 = ((x % 2147483647L + seed) * 48271L) % 2147483647L
+        val h2 = ((h1 + 1L) * 69621L) % 2147483647L
+        out(j) += u * (1L - 2L * (h2 % 2L))
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Squared Euclidean distance on the same 1e-4 grid (exact longs —
+    * the "original" side of the JL distortion ratio).
+    */
+  def gridSqDist(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    requireSameLength(n, b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = math.floor(a.getDouble(i) * 10000 + 0.5).toLong -
+        math.floor(b.getDouble(i) * 10000 + 0.5).toLong
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Squared Euclidean distance between two long vectors (the
+    * projected side of the JL distortion ratio).
+    */
+  def sqDistLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    requireSameLength(n, b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** LSH bucket signature: bit b = sign of the projection onto
     * hyperplane (t, b); left-to-right summation per projection.
     */

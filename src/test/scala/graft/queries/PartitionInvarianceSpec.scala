@@ -211,7 +211,19 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // date-pruned anti join (q288)
     "q279_tpch_q2", "q280_tpch_q4", "q281_tpch_q9", "q282_tpch_q11",
     "q283_tpch_q12", "q284_tpch_q16", "q285_tpch_q19", "q286_tpch_q20",
-    "q287_tpch_q21", "q288_tpch_q22")
+    "q287_tpch_q21", "q288_tpch_q22",
+    // round-12 time-series inference: compile-time trig literals over
+    // the day census (q289), day-pair sign sums + tie census (q290),
+    // month^3 minimax expansion (q291), lag-spine Pearson over two
+    // censuses (q292)
+    "q289_periodogram", "q290_mann_kendall", "q291_isotonic_trend",
+    "q292_ccf_leadlag",
+    // round-12 wave n: kernel integer projections + dense-spine
+    // census (q293), per-term-gridded log-likelihood cells (q294),
+    // one-aggregate stack reshape (q295), +k-key error self-joins +
+    // DECIMAL cross-mult ratio (q296)
+    "q293_jl_distortion", "q294_llr_collocations",
+    "q295_unpivot_profile", "q296_mase_backtest")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -1552,4 +1552,45 @@ class PlanSpec extends EtlSpecBase {
         s"$q scalar frame must broadcast:\n$plan")
     }
   }
+
+  test("q289/q290/q291/q292: the day/month census is the only " +
+    "fact-sized aggregate (map-side combine); every fan-out rides a " +
+    "broadcast, never a CartesianProduct") {
+    for (q <- Seq("q289_periodogram", "q290_mann_kendall",
+        "q291_isotonic_trend", "q292_ccf_leadlag")) {
+      val plan = planOf(q)
+      // q289's census partials sit BEHIND its localCheckpoint (the
+      // visible plan starts at Scan ExistingRDD); the max/argmax pick
+      // still shows its own map-side partial
+      assert(plan.contains("partial_"),
+        s"$q must combine map-side:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q calendar-bounded fan-outs must broadcast:\n$plan")
+    }
+  }
+
+  test("q293 JL projections are StaticInvoke kernels; the pair join " +
+    "is the +1-key equi join (no fan-out)") {
+    // the pre-execution AQE plan doesn't print WholeStageCodegen
+    // spans, so assert the codegen-able kernel calls directly
+    val plan = planOf("q293_jl_distortion")
+    assert(plan.contains("static_invoke(graft.ops.VectorKernels.jlProject"),
+      s"projection must ride the kernel:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the neighbor-pair join must stay equi-keyed:\n$plan")
+  }
+
+  test("q294/q295/q296: censuses and the profile aggregate combine " +
+    "map-side; no cartesians") {
+    for (q <- Seq("q294_llr_collocations", "q295_unpivot_profile",
+        "q296_mase_backtest")) {
+      val plan = planOf(q)
+      assert(plan.contains("partial_"),
+        s"$q must combine map-side:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not fan out:\n$plan")
+    }
+  }
 }
