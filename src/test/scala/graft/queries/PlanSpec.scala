@@ -1593,4 +1593,21 @@ class PlanSpec extends EtlSpecBase {
         s"$q must not fan out:\n$plan")
     }
   }
+
+  test("q298/q299/q300: assignment/report censuses combine map-side; " +
+    "no unpartitioned cartesians (one-row broadcast crossJoins are " +
+    "the sanctioned scalar pattern)") {
+    for (q <- Seq("q298_srm_check", "q299_ldp_freq",
+        "q300_interval_overlap")) {
+      val plan = planOf(q)
+      assert(plan.contains("partial_"),
+        s"$q must combine map-side:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not fan out:\n$plan")
+    }
+    // the interval join specifically must stay customer-keyed equi
+    val p300 = planOf("q300_interval_overlap")
+    assert(!p300.contains("BroadcastNestedLoopJoin"),
+      s"q300's overlap predicate must ride the custkey equi join:\n$p300")
+  }
 }
