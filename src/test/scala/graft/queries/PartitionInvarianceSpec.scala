@@ -230,7 +230,13 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // sign-safe debias (q299), customer-keyed interval residual join
     // (q300)
     "q297_markov_attribution", "q298_srm_check", "q299_ldp_freq",
-    "q300_interval_overlap")
+    "q300_interval_overlap",
+    // round-12 wave p: one-aggregate DiD cells + trunc-div means
+    // (q301), ppb hazard prefix over the event-day frame (q302),
+    // per-doc gaps-and-islands + token-keyed scores (q303),
+    // largest-remainder apportionment over the strata frame (q304)
+    "q301_did_estimator", "q302_nelson_aalen", "q303_rake_keyphrases",
+    "q304_neyman_alloc")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

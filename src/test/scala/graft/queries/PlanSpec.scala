@@ -1610,4 +1610,19 @@ class PlanSpec extends EtlSpecBase {
     assert(!p300.contains("BroadcastNestedLoopJoin"),
       s"q300's overlap predicate must ride the custkey equi join:\n$p300")
   }
+
+  test("q301-q304: cell/census/strata aggregates combine map-side; " +
+    "q303's doc windows partition on doc_id") {
+    for (q <- Seq("q301_did_estimator", "q302_nelson_aalen",
+        "q303_rake_keyphrases", "q304_neyman_alloc")) {
+      val plan = planOf(q)
+      assert(plan.contains("partial_"),
+        s"$q must combine map-side:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not fan out:\n$plan")
+    }
+    val p303 = planOf("q303_rake_keyphrases")
+    assert(p303.contains("hashpartitioning(doc_id"),
+      s"q303's run windows must hash on doc_id (fact-parallel):\n$p303")
+  }
 }
