@@ -231,6 +231,40 @@ object MultimodalOps {
       Seq(BinaryType), propagateNull = true, returnNullable = true))
   }
 
+  /** Kernel-backed GIF header builder — see
+    * [[MultimodalKernels.gifHeader]].
+    */
+  def gifHeader(width: Column, height: Column, hasGct: Column,
+      gctExp: Column, valid: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, BinaryType, "gifHeader",
+      Seq(ExprBridge.expression(width.cast(IntegerType)),
+        ExprBridge.expression(height.cast(IntegerType)),
+        ExprBridge.expression(hasGct.cast(BooleanType)),
+        ExprBridge.expression(gctExp.cast(IntegerType)),
+        ExprBridge.expression(valid.cast(BooleanType))),
+      Seq(IntegerType, IntegerType, BooleanType, IntegerType, BooleanType),
+      propagateNull = true, returnNullable = true))
+  }
+
+  /** Kernel-backed GIF logical-screen-descriptor parse: array [width,
+    * height, has_gct, gct_colors, is_89a], NULL on any validation
+    * failure — see [[MultimodalKernels.gifMeta]].
+    */
+  def gifMeta(payload: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, ArrayType(LongType, containsNull = false),
+      "gifMeta",
+      Seq(ExprBridge.expression(payload.cast(BinaryType))),
+      Seq(BinaryType), propagateNull = true, returnNullable = true))
+  }
+
   /** Frame sampling (the video-pipeline shape): split a payload into
     * `n` contiguous frames and compute one feature per frame — here a
     * code-unit sum standing in for a real per-frame decode (the
@@ -651,6 +685,53 @@ object MultimodalKernels {
     val fileSize = readLE32(bytes, 2)
     if (fileSize != 54L + stride * height) return null
     new GenericArrayData(Array(width, height, bpp, topDown, fileSize))
+  }
+
+  // ---- GIF container header (REAL format — the sixth family member,
+  // chosen for the two things the other five never exercise: a PACKED
+  // bit-field byte (flag + 3-bit size exponent sharing one octet) and
+  // a version string that changes semantics, 87a vs 89a) -------------
+
+  /** GIF header + logical screen descriptor (13 bytes): "GIF89a" when
+    * valid ("GIX89a" otherwise — a one-byte magic corruption), width/
+    * height LE16, packed byte = GCT flag (bit 7) | color resolution
+    * 7 (bits 4-6) | sort 0 (bit 3) | GCT size exponent (bits 0-2),
+    * background index 0, aspect 0.
+    */
+  def gifHeader(width: Int, height: Int, hasGct: Boolean, gctExp: Int,
+      valid: Boolean): Array[Byte] = {
+    val out = new Array[Byte](13)
+    out(0) = 'G'; out(1) = 'I'; out(2) = if (valid) 'F' else 'X'
+    out(3) = '8'; out(4) = '9'; out(5) = 'a'
+    out(6) = (width & 0xff).toByte; out(7) = ((width >> 8) & 0xff).toByte
+    out(8) = (height & 0xff).toByte; out(9) = ((height >> 8) & 0xff).toByte
+    val packed = (if (hasGct) 0x80 else 0) | 0x70 | (gctExp & 0x7)
+    out(10) = packed.toByte
+    out(11) = 0; out(12) = 0
+    out
+  }
+
+  /** Parse [width, height, has_gct, gct_colors, is_89a] out of a GIF
+    * header; NULL on a bad magic/version, a short buffer, or a
+    * non-positive dimension. gct_colors = 2^(exp+1) when the flag is
+    * set, else 0 — the packed-bit-field decode the other containers
+    * never exercise.
+    */
+  def gifMeta(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 13) return null
+    if (bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') return null
+    val is89 = bytes(3) == '8' && bytes(4) == '9' && bytes(5) == 'a'
+    val is87 = bytes(3) == '8' && bytes(4) == '7' && bytes(5) == 'a'
+    if (!is89 && !is87) return null
+    def le16(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8)
+    val w = le16(6); val h = le16(8)
+    if (w <= 0 || h <= 0) return null
+    val packed = bytes(10) & 0xff
+    val hasGct = (packed & 0x80) != 0
+    val gctColors = if (hasGct) 1L << ((packed & 0x7) + 1) else 0L
+    new GenericArrayData(Array(w, h, if (hasGct) 1L else 0L, gctColors,
+      if (is89) 1L else 0L))
   }
 
   /** Frame i covers code units [i*len/n, (i+1)*len/n) (integer floor);

@@ -236,7 +236,11 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // per-doc gaps-and-islands + token-keyed scores (q303),
     // largest-remainder apportionment over the strata frame (q304)
     "q301_did_estimator", "q302_nelson_aalen", "q303_rake_keyphrases",
-    "q304_neyman_alloc")
+    "q304_neyman_alloc",
+    // round-12 wave q: bit_or word masks + word-keyed intersections
+    // (q305), packed bit-field kernel parse (q306), triple census
+    // with consistent-denominator ppm conditionals (q307)
+    "q305_bitmap_days", "q306_gif_metadata", "q307_markov2_lift")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

@@ -1625,4 +1625,21 @@ class PlanSpec extends EtlSpecBase {
     assert(p303.contains("hashpartitioning(doc_id"),
       s"q303's run windows must hash on doc_id (fact-parallel):\n$p303")
   }
+
+  test("q305/q306/q307: mask/triple censuses combine map-side; the " +
+    "GIF parse rides StaticInvoke kernels; no cartesians") {
+    for (q <- Seq("q305_bitmap_days", "q306_gif_metadata",
+        "q307_markov2_lift")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not fan out:\n$plan")
+    }
+    assert(planOf("q305_bitmap_days").contains("partial_"),
+      "q305's bit_or mask census must combine map-side")
+    assert(planOf("q306_gif_metadata")
+      .contains("static_invoke(graft.ops.MultimodalKernels.gifMeta"),
+      "q306 must parse via the kernel")
+    assert(planOf("q307_markov2_lift").contains("partial_"),
+      "q307's triple census must combine map-side")
+  }
 }
