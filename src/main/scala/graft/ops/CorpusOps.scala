@@ -145,55 +145,82 @@ object CorpusOps {
     * (⌊pmi·10⁶+0.5⌋ BIGINT) BEFORE ranking — ties break on (w1, w2).
     * Returns (w1, w2, c12, pmi_u).
     *
-    * Scale shape: the unigram and bigram censuses are the only
-    * shuffles (both partial-aggregable); marginal joins are
-    * token-keyed; the result is a k-row TakeOrdered.
+    * Censuses run in the HASH space (the q110 trigram-novelty
+    * discipline): the token frame is tokenized ONCE and
+    * localCheckpointed, the unigram census shuffles 8-byte
+    * [[TextOps.tokenHash]] keys (min(w) carries the display string,
+    * partial-agged to vocab size), and the bigram census shuffles
+    * packed [[TextOps.bigramFpsOf]] fingerprints — never " "-joined
+    * bigram strings. `fp div P` / `fp % P` (non-negative, so Spark
+    * trunc-div == DuckDB floor-div) recover the two token hashes for
+    * the marginal joins. Tokens colliding under the mod-P hash merge
+    * their counts on BOTH engines — a corpus-wide constant shared
+    * bit-exactly with the oracle, not a layout artifact — and the
+    * lexicographically-smallest collided token is the representative.
+    *
+    * Scale shape: one scan+tokenize (checkpointed), two explode
+    * passes over the materialized token arrays, two long-keyed
+    * censuses (both partial-aggregable), hash-keyed marginal joins on
+    * the vocab-sized frame, k-row TakeOrdered.
     */
   def pmiTopK(df: DataFrame, textCol: String, minCount: Long = 5,
       k: Int = 50): DataFrame = {
+    val P = TextOps.HashP
     val toks = df.select(TextOps.tokens(col(textCol)).as("__toks"))
-    val uni = toks.select(explode(col("__toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val nu = uni.agg(sum(col("c")).cast(DoubleType).as("nu"))
-    val bcnt = toks.select(explode(TextOps.ngramsOf(col("__toks"), 2)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // ONE scan+tokenize feeds both censuses
+    val uniH = toks.select(explode(col("__toks")).as("w"))
+      .groupBy(TextOps.tokenHash(col("w")).as("h"))
+      .agg(count(lit(1)).as("c"), min(col("w")).as("w"))
+      .localCheckpoint(true) // vocab-sized; feeds nu + both marginal joins
+    val nu = uniH.agg(sum(col("c")).cast(DoubleType).as("nu"))
+    val bcnt = toks
+      .select(explode(TextOps.bigramFpsOf(col("__toks"))).as("bfp"))
+      .groupBy("bfp").agg(count(lit(1)).as("c12"))
     val nb = bcnt.agg(sum(col("c12")).cast(DoubleType).as("nb"))
     val pmiU = floor(log(
       (col("c12").cast(DoubleType) * col("nu") * col("nu")) /
         (col("nb") * col("c1").cast(DoubleType) * col("c2").cast(DoubleType)))
       * lit(1000000.0) + lit(0.5)).cast(org.apache.spark.sql.types.LongType)
     bcnt.where(col("c12") >= minCount)
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .withColumn("w2", substring_index(col("bg"), " ", -1))
-      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
-      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .withColumn("h1", expr(s"bfp div ${P}L"))
+      .withColumn("h2", col("bfp") % lit(P))
+      .join(uniH.select(col("h").as("h1"), col("c").as("c1"),
+        col("w").as("w1")), "h1")
+      .join(uniH.select(col("h").as("h2"), col("c").as("c2"),
+        col("w").as("w2")), "h2")
       .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
       .select(col("w1"), col("w2"), col("c12"), pmiU.as("pmi_u"))
       .orderBy(col("pmi_u").desc, col("w1"), col("w2"))
       .limit(k)
   }
 
-  /** [[pmiTopK]] oracle rendering. */
+  /** [[pmiTopK]] oracle rendering (hash-space censuses, mirroring the
+    * Spark plan fingerprint-for-fingerprint).
+    */
   def pmiTopKSql(table: String, textCol: String, minCount: Long = 5,
-      k: Int = 50): String =
-    s"""WITH uni AS (SELECT w, count(*) AS c
-       |  FROM (SELECT unnest(${TextOps.tokensSql(textCol)}) AS w FROM $table)
-       |  GROUP BY 1),
-       |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uni),
-       |bcnt AS (SELECT bg, count(*) AS c12
-       |  FROM (SELECT unnest(${TextOps.ngramsSql(textCol, 2)}) AS bg FROM $table)
+      k: Int = 50): String = {
+    val P = TextOps.HashP
+    s"""WITH toks AS (SELECT ${TextOps.tokensSql(textCol)} AS t FROM $table),
+       |uh AS (SELECT ${TextOps.tokenHashSql("w")} AS h, count(*) AS c,
+       |    min(w) AS w
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+       |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uh),
+       |th AS (SELECT ${TextOps.tokenHashesOfSql("t")} AS th FROM toks),
+       |bcnt AS (SELECT bfp, count(*) AS c12
+       |  FROM (SELECT unnest(${TextOps.bigramFpsOfSql("th")}) AS bfp FROM th)
        |  GROUP BY 1),
        |nb AS (SELECT CAST(sum(c12) AS DOUBLE) AS nb FROM bcnt)
-       |SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, c12,
+       |SELECT u1.w AS w1, u2.w AS w2, c12,
        |  CAST(floor(ln((CAST(c12 AS DOUBLE) * nu * nu)
        |    / (nb * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
        |    * 1000000.0 + 0.5) AS BIGINT) AS pmi_u
        |FROM bcnt
-       |JOIN uni u1 ON split_part(bg, ' ', 1) = u1.w
-       |JOIN uni u2 ON split_part(bg, ' ', 2) = u2.w
+       |JOIN uh u1 ON bcnt.bfp // $P = u1.h
+       |JOIN uh u2 ON bcnt.bfp % $P = u2.h
        |CROSS JOIN nu CROSS JOIN nb
        |WHERE c12 >= $minCount
        |ORDER BY pmi_u DESC, w1, w2 LIMIT $k""".stripMargin
+  }
 
   /** [[sourceOverlap]] oracle rendering. */
   def sourceOverlapSql(table: String, srcCol: String, textCol: String): String =

@@ -697,9 +697,21 @@ object MultimodalKernels {
     * height LE16, packed byte = GCT flag (bit 7) | color resolution
     * 7 (bits 4-6) | sort 0 (bit 3) | GCT size exponent (bits 0-2),
     * background index 0, aspect 0.
+    *
+    * Inputs are RANGE-CHECKED, not silently masked: width/height must
+    * fit LE16 (1..65535) and gctExp the 3-bit field (0..7), else
+    * IllegalArgumentException — a masked out-of-range value would
+    * produce a header [[gifMeta]] decodes to DIFFERENT dimensions
+    * than the caller asked for.
     */
   def gifHeader(width: Int, height: Int, hasGct: Boolean, gctExp: Int,
       valid: Boolean): Array[Byte] = {
+    require(width >= 1 && width <= 0xffff,
+      s"gif width must fit LE16 (1..65535): $width")
+    require(height >= 1 && height <= 0xffff,
+      s"gif height must fit LE16 (1..65535): $height")
+    require(gctExp >= 0 && gctExp <= 7,
+      s"gif gctExp must fit the 3-bit field (0..7): $gctExp")
     val out = new Array[Byte](13)
     out(0) = 'G'; out(1) = 'I'; out(2) = if (valid) 'F' else 'X'
     out(3) = '8'; out(4) = '9'; out(5) = 'a'

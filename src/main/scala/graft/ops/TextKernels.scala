@@ -50,6 +50,88 @@ object TextKernels {
   def tokenHashes(s: UTF8String): ArrayData =
     new GenericArrayData(tokensOf(s).map(t => rawCharHash(t) % P))
 
+  /** [[tokenHash]] of each element of a PRE-BOUND string array — the
+    * array-input form of [[tokenHashes]] for callers that already
+    * projected `tokens(text)` into a (checkpointed) column and must
+    * not re-tokenize. Matches `list_transform(t, x -> tokenHash(x))`
+    * in the oracle. Input arrays must be null-element-free (`tokens`
+    * arrays are, by construction).
+    */
+  def hashArr(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = rawCharHash(a.getUTF8String(i).toString) % P
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Within-document token census over a pre-bound token array as
+    * (token, count) STRUCT entries, one per DISTINCT token, first-
+    * occurrence order — the q110 within-doc-collapse move for
+    * censuses whose downstream needs the token text itself (inverted
+    * indexes, vocab builds): the (token, doc) pairs leaving this
+    * kernel are unique per doc BY CONSTRUCTION, so exploding it feeds
+    * a term-keyed aggregate directly, with no (token, doc)-keyed
+    * pre-census shuffle. (A hash-packed variant with a broadcast
+    * string join-back measured SLOWER at 1× and 10× — the join-back
+    * pass cost more than string keys; the in-kernel collapse is
+    * where the win is.)
+    */
+  def tokenCensusEntries(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val counts =
+      new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      val t = a.getUTF8String(i)
+      val slot = counts.get(t)
+      // clone on first sight: an UnsafeArrayData's UTF8Strings are
+      // views into a buffer the scan reuses for the next row
+      if (slot == null) counts.put(t.clone(), Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey, e.getValue()(0))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Packed adjacent-bigram fingerprints over a pre-bound token
+    * array: element i = tokenHash(t_i) · P + tokenHash(t_{i+1}).
+    * Both halves live in [0, P), so the packed value is < P² ≈
+    * 1.0e18 < 2⁶³ (exact in BIGINT on both engines, no overflow
+    * under DuckDB's checked arithmetic) and INVERTIBLE — `fp div P`
+    * / `fp % P` recover the token hashes, which is what lets a
+    * bigram census shuffle 8-byte longs instead of " "-joined
+    * strings and still join its marginals back by hash.
+    */
+  def bigramFps(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = rawCharHash(a.getUTF8String(i).toString) % P
+      i += 1
+    }
+    val out = new Array[Long](n - 1)
+    i = 0
+    while (i < n - 1) {
+      out(i) = hs(i) * P + hs(i + 1)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ALL k-shingle hashes in token order, WITH multiplicity — the
     * positional form for substring-granular dedup: element i is the
     * hash of the k-gram starting at token i (0-based), so a caller

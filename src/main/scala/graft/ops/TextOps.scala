@@ -69,6 +69,59 @@ object TextOps {
     s"(list_transform([CAST($e AS VARCHAR)], s -> $body)[1] % $HashP)"
   }
 
+  /** [[tokenHash]] of every element of a PRE-BOUND token-array column
+    * (kernel loop; see [[TextKernels.hashArr]]) — hash-space censuses
+    * over a checkpointed token frame use this instead of re-splitting
+    * the text.
+    */
+  def tokenHashesOf(toks: Column): Column = ExprBridge.column(StaticInvoke(
+    TextKernels.getClass,
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+    "hashArr", Seq(ExprBridge.expression(toks)),
+    Seq(org.apache.spark.sql.types.ArrayType(StringType)),
+    propagateNull = true, returnNullable = true))
+
+  /** Oracle rendering of [[tokenHashesOf]] over a bound list expr. */
+  def tokenHashesOfSql(toksExpr: String): String =
+    s"list_transform($toksExpr, x -> ${tokenHashSql("x")})"
+
+  /** Within-doc token census as (token, c) structs
+    * ([[TextKernels.tokenCensusEntries]]) — the string-keyed feed for
+    * index builds whose output needs the token text.
+    */
+  def tokenCensusEntriesOf(toks: Column): Column =
+    ExprBridge.column(StaticInvoke(
+      TextKernels.getClass,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("token", StringType,
+            nullable = false),
+          org.apache.spark.sql.types.StructField("c", LongType,
+            nullable = false))), containsNull = false),
+      "tokenCensusEntries", Seq(ExprBridge.expression(toks)),
+      Seq(org.apache.spark.sql.types.ArrayType(StringType)),
+      propagateNull = true, returnNullable = true))
+
+  /** Packed adjacent-bigram fingerprints `h_i·P + h_{i+1}` over a
+    * pre-bound token array ([[TextKernels.bigramFps]]): the 8-byte
+    * shuffle key for bigram censuses — invertible by `div P` / `% P`
+    * so marginal joins never need the bigram string.
+    */
+  def bigramFpsOf(toks: Column): Column = ExprBridge.column(StaticInvoke(
+    TextKernels.getClass,
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+    "bigramFps", Seq(ExprBridge.expression(toks)),
+    Seq(org.apache.spark.sql.types.ArrayType(StringType)),
+    propagateNull = true, returnNullable = true))
+
+  /** Oracle rendering of [[bigramFpsOf]] over a BOUND hashed-token
+    * list expr (bind [[tokenHashesOfSql]] in a prior CTE — the list is
+    * indexed twice per element here).
+    */
+  def bigramFpsOfSql(thExpr: String): String =
+    s"list_transform(range(1, greatest(len($thExpr) - 1, 0) + 1), " +
+      s"i -> ($thExpr)[i] * $HashP + ($thExpr)[i + 1])"
+
   /** Position-weighted document fingerprint over the token sequence:
     * fp = (sum_i tokenHash(t_i) * ((i * Mix) % MixMod)) % P  (i 1-based).
     * tokenHash < 1e9, multiplier < 1e6, 400 tokens => sum < 2^59: exact.

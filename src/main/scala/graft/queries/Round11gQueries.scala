@@ -86,16 +86,25 @@ object Round11gQueries {
   // -- q210: inverted-index build --------------------------------------------
   // The search-index construction pass: token → (document frequency,
   // corpus frequency, posting-list digest). Postings collapse per
-  // (token, doc) first — the only data-sized shuffle, map-side
-  // combining — then per token; membership is pinned by the
+  // (token, doc) INSIDE the tokenizing kernel (TextKernels
+  // .tokenCensusEntries — the q110 within-doc-collapse lesson), so
+  // the term census is the ONLY aggregation and its exchange input is
+  // per-partition-vocab-sized after map-side combine; the original
+  // two-census form shuffled every distinct (token, doc) string pair
+  // and measured 5.9× per 10×. Membership is pinned by the
   // order-independent digest trio (Σ doc_id, min, max) instead of a
   // materialized list, so the hot-token posting ("the", df ≈ corpus)
   // never ships as an array. Top-25 tokens by (df desc, token asc)
-  // via TakeOrdered — k rows leave the executors.
+  // via TakeOrdered — k rows leave the executors. (A hash-keyed
+  // variant with a broadcast string join-back was measured SLOWER at
+  // both 1× and 10× — the extra name pass cost more than the string
+  // keys; the kernel collapse is where the win was.)
   private def q210(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"),
+        explode(TextOps.tokenCensusEntriesOf(
+          TextOps.tokens(col("text")))).as("e"))
+      .select(col("doc_id"), col("e.token").as("token"), col("e.c").as("c"))
       .groupBy("token")
       .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
         sum(col("doc_id")).as("posting_sum"),

@@ -254,7 +254,7 @@ object Round12mQueries {
       |fit AS (SELECT ymt AS ym, CAST(max(mn) AS BIGINT) AS fit_u
       |  FROM mins GROUP BY 1)
       |SELECT mon.ym, cnt AS n_orders,
-      |  CAST(sum_c*1000000 // cnt AS BIGINT) AS avg_u, fit_u
+      |  CAST(CAST(sum_c AS HUGEINT)*1000000 // cnt AS BIGINT) AS avg_u, fit_u
       |FROM mon JOIN fit ON fit.ym = mon.ym ORDER BY mon.ym""".stripMargin
 
   // -- q292: cross-correlation lead–lag (CCF) -----------------------------------

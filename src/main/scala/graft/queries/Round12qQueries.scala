@@ -32,6 +32,13 @@ object Round12qQueries {
       .select(col("event_type").as("ty"),
         datediff(to_date(col("ts")), lit(BmEpoch).cast("date"))
           .cast(LongType).as("day"))
+      // pre-epoch guard (mirrored in the oracle): a negative day would
+      // hit BOTH cross-engine negative-division classes at once —
+      // Spark `div` truncates where DuckDB `//` floors, and Spark
+      // shiftleft masks the count mod 64 where DuckDB `<<` is
+      // overflow-checked. Current fixtures start 2024-01-01, so this
+      // drops nothing; it pins the contract rather than the fixture.
+      .where(col("day") >= 0)
       .select(col("ty"), expr(s"day div $BmBits").as("word"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(day % $BmBits AS INT))")
           .as("bit"))
@@ -68,7 +75,9 @@ object Round12qQueries {
        |    bit_or(CAST(1 AS BIGINT) <<
        |      CAST(CAST(CAST(ts AS DATE) - DATE '$BmEpoch' AS BIGINT)
        |        % $BmBits AS INTEGER)) AS mask
-       |  FROM events GROUP BY 1, 2),
+       |  FROM events
+       |  WHERE CAST(CAST(ts AS DATE) - DATE '$BmEpoch' AS BIGINT) >= 0
+       |  GROUP BY 1, 2),
        |totals AS (SELECT ty, CAST(sum(bit_count(mask)) AS BIGINT)
        |    AS n_days FROM masks GROUP BY 1),
        |pairs AS (SELECT a.ty AS ta, b.ty AS tb,

@@ -24,6 +24,52 @@ class OpsSpec extends EtlSpecBase {
     assert(df(0).getLong(1) != df(1).getLong(1)) // anagram, different hash
   }
 
+  test("tokenHashesOf / bigramFpsOf match per-token tokenHash and pack " +
+      "invertibly") {
+    val P = TextOps.HashP
+    val toksDf = Seq("a bb ccc").toDF("t")
+      .select(TextOps.tokens(col("t")).as("toks"))
+    val hs = toksDf.select(TextOps.tokenHashesOf(col("toks")))
+      .as[Seq[Long]].head()
+    val want = Seq("a", "bb", "ccc").map(w =>
+      Seq(w).toDF("x").select(TextOps.tokenHash(col("x"))).as[Long].head())
+    assert(hs == want, hs.toString)
+    val fps = toksDf.select(TextOps.bigramFpsOf(col("toks")))
+      .as[Seq[Long]].head()
+    assert(fps == Seq(hs(0) * P + hs(1), hs(1) * P + hs(2)), fps.toString)
+    assert(fps.map(f => (f / P, f % P)) == Seq((hs(0), hs(1)), (hs(1), hs(2))))
+    // degenerate arities: empty and single-token arrays have no bigrams
+    val short = Seq("solo").toDF("t")
+      .select(TextOps.bigramFpsOf(TextOps.tokens(col("t"))))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty, short.toString)
+  }
+
+  test("tokenCensusEntriesOf: per-doc distinct counts, first-occurrence " +
+      "order, strings stable across rows") {
+    val rows = Seq("b a b b", "a a c").toDF("t")
+      .select(TextOps.tokenCensusEntriesOf(TextOps.tokens(col("t")))
+        .as("census"))
+      .as[Seq[(String, Long)]].collect().toSeq
+    assert(rows(0) == Seq(("b", 3L), ("a", 1L)), rows(0).toString)
+    assert(rows(1) == Seq(("a", 2L), ("c", 1L)), rows(1).toString)
+    // exploding the census == the explode+groupBy census (the contract
+    // that lets an index build skip the (token, doc)-keyed shuffle)
+    val docs = Seq((1L, "x y x"), (2L, "y")).toDF("doc_id", "text")
+    val viaKernel = docs.select(col("doc_id"),
+        explode(TextOps.tokenCensusEntriesOf(TextOps.tokens(col("text"))))
+          .as("e"))
+      .select(col("doc_id"), col("e.token"), col("e.c"))
+      .orderBy("doc_id", "token")
+      .as[(Long, String, Long)].collect().toSeq
+    val viaShuffle = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .orderBy("doc_id", "token")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(viaKernel == viaShuffle, viaKernel.toString)
+  }
+
   test("langId: stopword argmax with first-language tiebreak") {
     val df = Seq(
       "the cat of the house",   // en

@@ -1642,4 +1642,36 @@ class PlanSpec extends EtlSpecBase {
     assert(planOf("q307_markov2_lift").contains("partial_"),
       "q307's triple census must combine map-side")
   }
+
+  test("q116 PMI: censuses ride hashed keys (bigramFps kernel present, " +
+    "no bigram-string ngrams rebuild)") {
+    val plan = planOf("q116_pmi_collocations")
+    assert(plan.contains("static_invoke(graft.ops.TextKernels.bigramFps"),
+      s"q116's bigram census must shuffle packed fingerprints:\n$plan")
+    assert(!plan.contains("substring_index"),
+      "q116 must not split bigram strings back apart")
+  }
+
+  test("q210 inverted index: within-doc collapse in the kernel — ONE " +
+    "aggregation, no (token, doc)-keyed pre-census") {
+    val plan = planOf("q210_inverted_index")
+    assert(plan.contains(
+      "static_invoke(graft.ops.TextKernels.tokenCensusEntries"),
+      s"q210 must collapse postings in the kernel:\n$plan")
+    // exactly one exchange: the term census (TakeOrdered adds none)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"q210 expected 1 census exchange, got " +
+      s"$exchanges:\n$plan")
+  }
+
+  test("q206 FD profile: single melted census (one lineitem scan, " +
+    "generator present, integral keys stay long)") {
+    val plan = planOf("q206_fd_profile")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q206 expected ONE table scan, got $scans:\n$plan")
+    assert(plan.contains("Generate"),
+      s"q206 must melt candidates through a generator:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"))
+  }
 }

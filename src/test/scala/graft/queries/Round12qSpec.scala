@@ -42,6 +42,19 @@ class Round12qSpec extends PlantedQuerySpec {
       got.mkString(", "))
   }
 
+  test("gifHeader rejects out-of-range fields instead of masking them") {
+    import graft.ops.MultimodalKernels
+    // in-range builds fine
+    assert(MultimodalKernels.gifHeader(65535, 1, hasGct = true, 7,
+      valid = true).length == 13)
+    for ((w, h, e) <- Seq((0, 1, 0), (65536, 1, 0), (1, 0, 0),
+        (1, 65536, 0), (1, 1, -1), (1, 1, 8))) {
+      val thrown = intercept[IllegalArgumentException](
+        MultimodalKernels.gifHeader(w, h, hasGct = false, e, valid = true))
+      assert(thrown.getMessage.contains("gif"), thrown.getMessage)
+    }
+  }
+
   test("q307 second-order lift: the pre-previous event doubles the " +
     "click->next prediction; pure first-order rows sit at lift 1e6") {
     // u1 repeats signup,click,purchase; u2 repeats error,click,view:
