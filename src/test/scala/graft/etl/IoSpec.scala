@@ -23,8 +23,18 @@ class IoSpec extends EtlSpecBase {
   }
 
   test("unsupported formats raise like the reference") {
-    intercept[Io.UnsupportedFormatException](Io.read(spark, "/tmp/nope.xlsx"))
-    intercept[Io.UnsupportedFormatException](
+    // Excel (S3/K2) is PERMANENTLY out of scope: /opt/spark/jars has
+    // no POI/spark-excel jar and the image has no egress to fetch
+    // one, so .xlsx/.xls fall through to the reference's own
+    // unknown-suffix error path (ETL_PROJECT.py:218-219) — the
+    // message names the suffix so a caller can tell WHAT was refused
+    val rd = intercept[Io.UnsupportedFormatException](
+      Io.read(spark, "/tmp/nope.xlsx"))
+    assert(rd.getMessage == "unsupported file format: .xlsx",
+      rd.getMessage)
+    val wr = intercept[Io.UnsupportedFormatException](
       Io.write(Seq(1).toDF("x"), "/tmp/nope.xls"))
+    assert(wr.getMessage == "unsupported file format: .xls",
+      wr.getMessage)
   }
 }
