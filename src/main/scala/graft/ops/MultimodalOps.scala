@@ -265,6 +265,87 @@ object MultimodalOps {
       Seq(BinaryType), propagateNull = true, returnNullable = true))
   }
 
+  /** Kernel-backed TIFF header synthesis (both byte orders) — see
+    * [[MultimodalKernels.tiffHeader]].
+    */
+  def tiffHeader(width: Column, height: Column, bigEndian: Column,
+      valid: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, BinaryType, "tiffHeader",
+      Seq(ExprBridge.expression(width.cast(IntegerType)),
+        ExprBridge.expression(height.cast(IntegerType)),
+        ExprBridge.expression(bigEndian.cast(BooleanType)),
+        ExprBridge.expression(valid.cast(BooleanType))),
+      Seq(IntegerType, IntegerType, BooleanType, BooleanType),
+      propagateNull = true, returnNullable = true))
+  }
+
+  /** Kernel-backed TIFF parse: array [width, height, big_endian,
+    * n_entries], NULL on any validation failure — see
+    * [[MultimodalKernels.tiffMeta]].
+    */
+  def tiffMeta(payload: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, ArrayType(LongType, containsNull = false),
+      "tiffMeta",
+      Seq(ExprBridge.expression(payload.cast(BinaryType))),
+      Seq(BinaryType), propagateNull = true, returnNullable = true))
+  }
+
+  /** Kernel-backed ustar entry-header synthesis — see
+    * [[MultimodalKernels.tarHeader]].
+    */
+  def tarHeader(name: Column, size: Column, mtime: Column,
+      typeflag: Column, valid: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{BinaryType, BooleanType,
+      IntegerType, LongType, StringType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, BinaryType, "tarHeader",
+      Seq(ExprBridge.expression(name.cast(StringType)),
+        ExprBridge.expression(size.cast(LongType)),
+        ExprBridge.expression(mtime.cast(LongType)),
+        ExprBridge.expression(typeflag.cast(IntegerType)),
+        ExprBridge.expression(valid.cast(BooleanType))),
+      Seq(StringType, LongType, LongType, IntegerType, BooleanType),
+      propagateNull = true, returnNullable = true))
+  }
+
+  /** Kernel-backed ustar parse: array [size, mtime, typeflag], NULL
+    * when the magic or the spaces-for-chksum checksum fails — see
+    * [[MultimodalKernels.tarMeta]].
+    */
+  def tarMeta(payload: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, ArrayType(LongType, containsNull = false),
+      "tarMeta",
+      Seq(ExprBridge.expression(payload.cast(BinaryType))),
+      Seq(BinaryType), propagateNull = true, returnNullable = true))
+  }
+
+  /** Kernel-backed ustar name extraction (null when the header fails
+    * [[tarMeta]] validation) — see [[MultimodalKernels.tarName]].
+    */
+  def tarName(payload: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, StringType, "tarName",
+      Seq(ExprBridge.expression(payload.cast(BinaryType))),
+      Seq(BinaryType), propagateNull = true, returnNullable = true))
+  }
+
   /** Frame sampling (the video-pipeline shape): split a payload into
     * `n` contiguous frames and compute one feature per frame — here a
     * code-unit sum standing in for a real per-frame decode (the
@@ -744,6 +825,200 @@ object MultimodalKernels {
     val gctColors = if (hasGct) 1L << ((packed & 0x7) + 1) else 0L
     new GenericArrayData(Array(w, h, if (hasGct) 1L else 0L, gctColors,
       if (is89) 1L else 0L))
+  }
+
+  // ---- TIFF container header (REAL format — the seventh family
+  // member; what's NEW is that the byte-order FLAG is itself data:
+  // "II" little-endian vs "MM" big-endian changes how every later
+  // field decodes, per the public TIFF 6.0 specification) -----------
+
+  /** Minimal spec-correct TIFF: byte-order mark, magic 42, IFD at
+    * offset 8 with two LONG-typed entries (tag 256 ImageWidth, tag
+    * 257 ImageLength) and a zero next-IFD pointer — 38 bytes. Both
+    * byte orders are legal TIFF and both are exercised; `valid=false`
+    * writes magic 43 (the corruption a metadata pass must reject).
+    * Range-checked like [[gifHeader]]: dims must be positive (LONG
+    * fields hold the full int range, so 2³¹−1 is the only cap).
+    */
+  def tiffHeader(width: Int, height: Int, bigEndian: Boolean,
+      valid: Boolean): Array[Byte] = {
+    require(width >= 1, s"tiff width must be positive: $width")
+    require(height >= 1, s"tiff height must be positive: $height")
+    val out = new Array[Byte](38)
+    def put16(off: Int, v: Int): Unit =
+      if (bigEndian) { out(off) = ((v >> 8) & 0xff).toByte
+        out(off + 1) = (v & 0xff).toByte }
+      else { out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte }
+    def put32(off: Int, v: Int): Unit =
+      if (bigEndian) { out(off) = ((v >>> 24) & 0xff).toByte
+        out(off + 1) = ((v >>> 16) & 0xff).toByte
+        out(off + 2) = ((v >>> 8) & 0xff).toByte
+        out(off + 3) = (v & 0xff).toByte }
+      else { out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >>> 8) & 0xff).toByte
+        out(off + 2) = ((v >>> 16) & 0xff).toByte
+        out(off + 3) = ((v >>> 24) & 0xff).toByte }
+    val bom: Byte = if (bigEndian) 'M' else 'I'
+    out(0) = bom; out(1) = bom
+    put16(2, if (valid) 42 else 43)
+    put32(4, 8) // first IFD offset
+    put16(8, 2) // entry count
+    // entry 0: ImageWidth, type 4 (LONG), count 1
+    put16(10, 256); put16(12, 4); put32(14, 1); put32(18, width)
+    // entry 1: ImageLength
+    put16(22, 257); put16(24, 4); put32(26, 1); put32(30, height)
+    put32(34, 0) // next IFD: none
+    out
+  }
+
+  /** Parse [width, height, big_endian, n_entries] out of a TIFF
+    * header, honoring the byte-order mark for EVERY later read; NULL
+    * on an unknown mark, a magic ≠ 42, a short buffer, an
+    * out-of-buffer IFD, an unknown tag layout, or a non-positive
+    * dimension. Tags may be SHORT (3) or LONG (4) — SHORT values are
+    * left-justified in the 4-byte value field per the spec.
+    */
+  def tiffMeta(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 8) return null
+    val big =
+      if (bytes(0) == 'M' && bytes(1) == 'M') true
+      else if (bytes(0) == 'I' && bytes(1) == 'I') false
+      else return null
+    def rd16(off: Int): Long =
+      if (off + 2 > bytes.length) -1L
+      else if (big) ((bytes(off) & 0xffL) << 8) | (bytes(off + 1) & 0xffL)
+      else ((bytes(off + 1) & 0xffL) << 8) | (bytes(off) & 0xffL)
+    def rd32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else if (big) ((bytes(off) & 0xffL) << 24) |
+        ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+      else ((bytes(off + 3) & 0xffL) << 24) |
+        ((bytes(off + 2) & 0xffL) << 16) |
+        ((bytes(off + 1) & 0xffL) << 8) | (bytes(off) & 0xffL)
+    if (rd16(2) != 42L) return null
+    val ifd = rd32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return null
+    val n = rd16(ifd.toInt)
+    if (n < 0 || ifd + 2 + n * 12 > bytes.length) return null
+    var w = -1L; var h = -1L
+    var i = 0
+    while (i < n) {
+      val off = ifd.toInt + 2 + i * 12
+      val tag = rd16(off)
+      val typ = rd16(off + 2)
+      // SHORT values sit left-justified in the value field (spec
+      // §2: "the Value is left-justified within the 4-byte field")
+      val v = if (typ == 3L) rd16(off + 8)
+        else if (typ == 4L) rd32(off + 8)
+        else -1L
+      if (tag == 256L) w = v
+      if (tag == 257L) h = v
+      i += 1
+    }
+    if (w <= 0 || h <= 0) return null
+    new GenericArrayData(Array(w, h, if (big) 1L else 0L, n))
+  }
+
+  // ---- TAR (ustar) entry header (REAL format — the eighth family
+  // member; what's NEW is numbers-as-ASCII-OCTAL fields and a
+  // checksum whose own field is summed as spaces, per the public
+  // POSIX ustar layout) ---------------------------------------------
+
+  /** Spec-correct 512-byte ustar header: NUL-padded name, octal
+    * mode/uid/gid, 11-digit octal size and mtime, computed checksum
+    * (6 octal digits, NUL, space — with the checksum field itself
+    * counted as 8 spaces), typeflag, "ustar\0" magic + "00" version.
+    * `valid=false` adds 1 to the stored checksum — the corruption a
+    * catalog pass must reject. Size/mtime must fit 11 octal digits
+    * (< 8^11 = 2^33); name ≤ 100 bytes.
+    */
+  def tarHeader(name: UTF8String, size: Long, mtime: Long,
+      typeflag: Int, valid: Boolean): Array[Byte] = {
+    val nm = name.toString
+    require(nm.getBytes("UTF-8").length <= 100, s"tar name > 100B: $nm")
+    require(size >= 0 && size < (1L << 33), s"tar size out of range: $size")
+    require(mtime >= 0 && mtime < (1L << 33), s"tar mtime out of range: $mtime")
+    require(typeflag >= 0 && typeflag <= 9, s"tar typeflag 0..9: $typeflag")
+    val out = new Array[Byte](512)
+    val nb = nm.getBytes("UTF-8")
+    System.arraycopy(nb, 0, out, 0, nb.length)
+    def putOctal(off: Int, width: Int, v: Long): Unit = {
+      // width-1 octal digits then NUL (the GNU/POSIX "%0*llo\0" form)
+      var x = v
+      var i = off + width - 2
+      while (i >= off) { out(i) = ('0' + (x & 7)).toByte; x >>= 3; i -= 1 }
+      out(off + width - 1) = 0
+    }
+    putOctal(100, 8, 420)   // mode 0644
+    putOctal(108, 8, 0)     // uid
+    putOctal(116, 8, 0)     // gid
+    putOctal(124, 12, size)
+    putOctal(136, 12, mtime)
+    out(156) = ('0' + typeflag).toByte
+    out(257) = 'u'; out(258) = 's'; out(259) = 't'; out(260) = 'a'
+    out(261) = 'r'; out(262) = 0; out(263) = '0'; out(264) = '0'
+    // checksum: sum of all 512 bytes with the chksum field as spaces
+    var i = 148
+    while (i < 156) { out(i) = ' '; i += 1 }
+    var sum = 0L
+    i = 0
+    while (i < 512) { sum += (out(i) & 0xffL); i += 1 }
+    if (!valid) sum += 1
+    // stored as 6 octal digits, NUL, space
+    var x = sum
+    i = 153
+    while (i >= 148) { out(i) = ('0' + (x & 7)).toByte; x >>= 3; i -= 1 }
+    out(154) = 0; out(155) = ' '
+    out
+  }
+
+  /** Parse [size, mtime, typeflag] out of a ustar header after
+    * validating the magic AND the checksum (recomputed with the
+    * checksum field as spaces — the spec's own self-check); NULL on a
+    * short buffer, a bad magic, a malformed octal field, or a
+    * checksum mismatch.
+    */
+  def tarMeta(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 512) return null
+    if (bytes(257) != 'u' || bytes(258) != 's' || bytes(259) != 't' ||
+      bytes(260) != 'a' || bytes(261) != 'r' || bytes(262) != 0) return null
+    def octal(off: Int, width: Int): Long = {
+      var v = 0L
+      var i = off
+      var seen = false
+      while (i < off + width) {
+        val b = bytes(i) & 0xff
+        if (b >= '0' && b <= '7') { v = (v << 3) | (b - '0'); seen = true }
+        else if (b == 0 || b == ' ') { /* terminator/pad */ }
+        else return -1L
+        i += 1
+      }
+      if (seen) v else -1L
+    }
+    val stored = octal(148, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 512) {
+      sum += (if (i >= 148 && i < 156) ' '.toLong else (bytes(i) & 0xffL))
+      i += 1
+    }
+    if (stored < 0 || stored != sum) return null
+    val size = octal(124, 12)
+    val mtime = octal(136, 12)
+    if (size < 0 || mtime < 0) return null
+    new GenericArrayData(Array(size, mtime, (bytes(156) - '0').toLong))
+  }
+
+  /** The entry name out of a ustar header (NUL-terminated, ≤ 100
+    * bytes); null when [[tarMeta]] would reject the header.
+    */
+  def tarName(bytes: Array[Byte]): UTF8String = {
+    if (tarMeta(bytes) == null) return null
+    var end = 0
+    while (end < 100 && bytes(end) != 0) end += 1
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, 0, end))
   }
 
   /** Frame i covers code units [i*len/n, (i+1)*len/n) (integer floor);

@@ -240,7 +240,13 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // round-12 wave q: bit_or word masks + word-keyed intersections
     // (q305), packed bit-field kernel parse (q306), triple census
     // with consistent-denominator ppm conditionals (q307)
-    "q305_bitmap_days", "q306_gif_metadata", "q307_markov2_lift")
+    "q305_bitmap_days", "q306_gif_metadata", "q307_markov2_lift",
+    // round-13 wave: sequential trunc-div ppb product over the user
+    // census (q308), prefix-slice cosine deltas over the pair spine
+    // (q309), dual-endian / octal-checksum kernel parses (q310/q311),
+    // KN backoff over the packed-fingerprint bigram census (q312)
+    "q308_pass_at_k", "q309_matryoshka_audit", "q310_tiff_metadata",
+    "q311_tar_catalog", "q312_kneser_ney")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
