@@ -246,7 +246,11 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // (q309), dual-endian / octal-checksum kernel parses (q310/q311),
     // KN backoff over the packed-fingerprint bigram census (q312)
     "q308_pass_at_k", "q309_matryoshka_audit", "q310_tiff_metadata",
-    "q311_tar_catalog", "q312_kneser_ney")
+    "q311_tar_catalog", "q312_kneser_ney",
+    // per-unit ppb trunc terms over the rater census (q313), window
+    // over the bucket spine + hash first-seen census (q314), span
+    // islands summed per doc then per source (q315)
+    "q313_krippendorff_alpha", "q314_heaps_fit", "q315_dup_span_coverage")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
