@@ -250,7 +250,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // per-unit ppb trunc terms over the rater census (q313), window
     // over the bucket spine + hash first-seen census (q314), span
     // islands summed per doc then per source (q315)
-    "q313_krippendorff_alpha", "q314_heaps_fit", "q315_dup_span_coverage")
+    "q313_krippendorff_alpha", "q314_heaps_fit", "q315_dup_span_coverage",
+    // bucket-stats census + predicate algebra (q316), full-outer
+    // partial merge (q317), per-source flag census (q318), fixed-
+    // offset format/parse roundtrip census (q319)
+    "q316_zone_map_audit", "q317_ivm_merge", "q318_encoding_audit",
+    "q319_fixed_width")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
