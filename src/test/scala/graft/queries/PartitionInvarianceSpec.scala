@@ -255,7 +255,11 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // partial merge (q317), per-source flag census (q318), fixed-
     // offset format/parse roundtrip census (q319)
     "q316_zone_map_audit", "q317_ivm_merge", "q318_encoding_audit",
-    "q319_fixed_width")
+    "q319_fixed_width",
+    // per-cell exact rational encoding (q320), 2-hop broadcast semi
+    // propagation (q321), map-side window expansion + count distinct
+    // (q322)
+    "q320_loo_target_encoding", "q321_deletion_audit", "q322_dau_mau")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
