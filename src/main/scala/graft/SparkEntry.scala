@@ -27,7 +27,8 @@ object SparkEntry {
       Round12jQueries.defs ++ Round12kQueries.defs ++ Round12lQueries.defs ++
       Round12mQueries.defs ++ Round12nQueries.defs ++ Round12oQueries.defs ++
       Round12pQueries.defs ++ Round12qQueries.defs ++ Round13Queries.defs ++
-      Round13bQueries.defs ++ Round13cQueries.defs ++ Round13dQueries.defs
+      Round13bQueries.defs ++ Round13cQueries.defs ++ Round13dQueries.defs ++
+      Round13eQueries.defs
 
   /** Flagship: full auto-cleaning ETL of the sf0.001 events table
     * (driver smoke-checks rows > 0).

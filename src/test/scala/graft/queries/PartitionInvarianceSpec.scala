@@ -259,7 +259,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // per-cell exact rational encoding (q320), 2-hop broadcast semi
     // propagation (q321), map-side window expansion + count distinct
     // (q322)
-    "q320_loo_target_encoding", "q321_deletion_audit", "q322_dau_mau")
+    "q320_loo_target_encoding", "q321_deletion_audit", "q322_dau_mau",
+    // round-13 wave e: cell-keyed pair census (q323), top-20 count
+    // ties + min over broadcast sketch cells (q324), within-rowgroup
+    // lag order (q325), bit_or mask census + lattice joins (q326)
+    "q323_grid_close_pairs", "q324_cms_audit", "q325_storage_advisor",
+    "q326_shapley_attribution")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
