@@ -346,6 +346,39 @@ object MultimodalOps {
       Seq(BinaryType), propagateNull = true, returnNullable = true))
   }
 
+  /** Kernel-backed gzip member synthesis — see
+    * [[MultimodalKernels.gzipHeader]].
+    */
+  def gzipHeader(mtime: Column, fnameLen: Column, hasExtra: Column,
+      valid: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, BinaryType, "gzipHeader",
+      Seq(ExprBridge.expression(mtime.cast(IntegerType)),
+        ExprBridge.expression(fnameLen.cast(IntegerType)),
+        ExprBridge.expression(hasExtra.cast(BooleanType)),
+        ExprBridge.expression(valid.cast(BooleanType))),
+      Seq(IntegerType, IntegerType, BooleanType, BooleanType),
+      propagateNull = true, returnNullable = true))
+  }
+
+  /** Kernel-backed gzip member parse: array [mtime, os, has_extra,
+    * fname_len, header_len, isize], NULL on any validation failure —
+    * see [[MultimodalKernels.gzipMeta]].
+    */
+  def gzipMeta(payload: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, ArrayType(LongType, containsNull = false),
+      "gzipMeta",
+      Seq(ExprBridge.expression(payload.cast(BinaryType))),
+      Seq(BinaryType), propagateNull = true, returnNullable = true))
+  }
+
   /** Frame sampling (the video-pipeline shape): split a payload into
     * `n` contiguous frames and compute one feature per frame — here a
     * code-unit sum standing in for a real per-frame decode (the
@@ -1019,6 +1052,100 @@ object MultimodalKernels {
     var end = 0
     while (end < 100 && bytes(end) != 0) end += 1
     UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, 0, end))
+  }
+
+  // ---- gzip member (RFC 1952 — the NINTH container family member;
+  // what's NEW is the variable-length middle: optional FEXTRA behind
+  // an XLEN count, an optional NUL-terminated FNAME that must be
+  // WALKED (no length field anywhere), reserved FLG bits that a
+  // conforming reader must reject, and a trailer addressed from the
+  // END of the member rather than the start) ------------------------
+
+  /** Spec-correct single-member gzip layout: magic 1f 8b, CM = 8
+    * (deflate), FLG = FEXTRA|FNAME as requested, MTIME LE32, XFL = 2,
+    * OS = 3 (unix); an 8-byte FEXTRA block (XLEN=6, subfield 'G','R',
+    * LEN=2, two derived data bytes) when `hasExtra`; a NUL-terminated
+    * FNAME of `fnameLen` 'a'..'z'-cycle bytes when `fnameLen` > 0; a
+    * 4-byte stored-block stand-in body; and the LE32 CRC32/ISIZE
+    * trailer with derived values (crc = mtime mod 1000 · 7 + fnameLen,
+    * isize = fnameLen · 7 + 11) so the oracle can recompute them
+    * algebraically. `valid=false` corrupts the second magic byte.
+    * Range-checked like [[gifHeader]]: mtime must fit LE32 unsigned
+    * (here: non-negative int) and fnameLen 0..255.
+    */
+  def gzipHeader(mtime: Int, fnameLen: Int, hasExtra: Boolean,
+      valid: Boolean): Array[Byte] = {
+    require(mtime >= 0, s"gzip mtime must be non-negative: $mtime")
+    require(fnameLen >= 0 && fnameLen <= 255,
+      s"gzip fnameLen must be 0..255: $fnameLen")
+    val extra = if (hasExtra) 8 else 0 // XLEN(2) + 'G','R',LEN(2),data(2)
+    val name = if (fnameLen > 0) fnameLen + 1 else 0
+    val out = new Array[Byte](10 + extra + name + 4 + 8)
+    out(0) = 0x1f; out(1) = (if (valid) 0x8b else 0x8c).toByte
+    out(2) = 8 // CM: deflate
+    out(3) = ((if (hasExtra) 0x04 else 0) |
+      (if (fnameLen > 0) 0x08 else 0)).toByte
+    writeLE32(out, 4, mtime)
+    out(8) = 2 // XFL: max compression
+    out(9) = 3 // OS: unix
+    var p = 10
+    if (hasExtra) {
+      writeLE16(out, p, 6) // XLEN
+      out(p + 2) = 'G'; out(p + 3) = 'R'
+      writeLE16(out, p + 4, 2)
+      out(p + 6) = (mtime & 0xff).toByte
+      out(p + 7) = (fnameLen & 0xff).toByte
+      p += 8
+    }
+    if (fnameLen > 0) {
+      var i = 0
+      while (i < fnameLen) { out(p + i) = ('a' + i % 26).toByte; i += 1 }
+      out(p + fnameLen) = 0
+      p += fnameLen + 1
+    }
+    // stored-block stand-in body (final stored block, zero length)
+    out(p) = 0x01; out(p + 1) = 0; out(p + 2) = 0
+    out(p + 3) = 0xff.toByte
+    p += 4
+    writeLE32(out, p, mtime % 1000 * 7 + fnameLen) // CRC32 stand-in
+    writeLE32(out, p + 4, fnameLen * 7 + 11) // ISIZE
+    out
+  }
+
+  /** Parse [mtime, os, has_extra, fname_len, header_len, isize] out
+    * of a gzip member; NULL (never a throw) on a short buffer, bad
+    * magic, a CM other than deflate, any RESERVED FLG bit set, an
+    * FEXTRA block running past the body, an unterminated FNAME, or a
+    * member too short to hold the 8-byte trailer after the header —
+    * the walk-and-reject discipline a real gzip reader needs.
+    */
+  def gzipMeta(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 22) return null
+    if (bytes(0) != 0x1f || bytes(1) != 0x8b.toByte) return null
+    if (bytes(2) != 8) return null
+    val flg = bytes(3) & 0xff
+    if ((flg & 0xe0) != 0) return null // reserved bits
+    val mtime = readLE32(bytes, 4)
+    val os = (bytes(9) & 0xff).toLong
+    var p = 10
+    if ((flg & 0x04) != 0) { // FEXTRA
+      if (p + 2 > bytes.length) return null
+      val xlen = readLE16(bytes, p).toInt
+      p += 2 + xlen
+      if (p > bytes.length - 12) return null
+    }
+    var fnameLen = 0L
+    if ((flg & 0x08) != 0) { // FNAME: walk to the NUL
+      val start = p
+      while (p < bytes.length - 12 && bytes(p) != 0) p += 1
+      if (p >= bytes.length - 12) return null // unterminated
+      fnameLen = (p - start).toLong
+      p += 1
+    }
+    if (p + 4 + 8 > bytes.length) return null // body + trailer must fit
+    val isize = readLE32(bytes, bytes.length - 4)
+    new GenericArrayData(Array(mtime, os,
+      if ((flg & 0x04) != 0) 1L else 0L, fnameLen, p.toLong, isize))
   }
 
   /** Frame i covers code units [i*len/n, (i+1)*len/n) (integer floor);

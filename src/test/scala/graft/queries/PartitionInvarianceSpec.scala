@@ -264,7 +264,13 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // ties + min over broadcast sketch cells (q324), within-rowgroup
     // lag order (q325), bit_or mask census + lattice joins (q326)
     "q323_grid_close_pairs", "q324_cms_audit", "q325_storage_advisor",
-    "q326_shapley_attribution")
+    "q326_shapley_attribution",
+    // round-13 wave f: day-grain lag moments + sign-safe grid (q327),
+    // kernel variable-length walk (q328), cell-census rank pick +
+    // per-cell trunc-div sums (q329), supplier-grain square sums
+    // (q330)
+    "q327_autocorr_diagnostics", "q328_gzip_metadata",
+    "q329_ips_policy_eval", "q330_hhi_concentration")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
