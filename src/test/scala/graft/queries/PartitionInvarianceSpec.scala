@@ -270,7 +270,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // per-cell trunc-div sums (q329), supplier-grain square sums
     // (q330)
     "q327_autocorr_diagnostics", "q328_gzip_metadata",
-    "q329_ips_policy_eval", "q330_hhi_concentration")
+    "q329_ips_policy_eval", "q330_hhi_concentration",
+    // round-13 wave g: tiny-census self-join grids (q331), confusion
+    // census + reference cross join (q332), array-literal ring probe
+    // + cell census (q333), per-lang token census (q334)
+    "q331_welch_ttest", "q332_fairness_audit", "q333_consistent_hashing",
+    "q334_tokenizer_fertility")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
