@@ -275,7 +275,13 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // census + reference cross join (q332), array-literal ring probe
     // + cell census (q333), per-lang token census (q334)
     "q331_welch_ttest", "q332_fairness_audit", "q333_consistent_hashing",
-    "q334_tokenizer_fertility")
+    "q334_tokenizer_fertility",
+    // round-13 wave h: centroid dim census + nearest-tie pick (q335),
+    // per-doc running-cut window + fingerprint census (q336),
+    // iterated argmax-with-tie + broadcast-literal distance (q337),
+    // distinct-count stats onto a literal perm frame (q338)
+    "q335_nearest_centroid", "q336_cdc_chunking", "q337_kcenter_coreset",
+    "q338_join_order_cost")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
