@@ -379,6 +379,38 @@ object MultimodalOps {
       Seq(BinaryType), propagateNull = true, returnNullable = true))
   }
 
+  /** Kernel-backed ZIP catalog synthesis — see
+    * [[MultimodalKernels.zipCatalog]].
+    */
+  def zipCatalog(nEntries: Column, commentLen: Column,
+      valid: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, BinaryType, "zipCatalog",
+      Seq(ExprBridge.expression(nEntries.cast(IntegerType)),
+        ExprBridge.expression(commentLen.cast(IntegerType)),
+        ExprBridge.expression(valid.cast(BooleanType))),
+      Seq(IntegerType, IntegerType, BooleanType),
+      propagateNull = true, returnNullable = true))
+  }
+
+  /** Kernel-backed ZIP catalog parse: array [n_entries, cd_size,
+    * comment_len, total_name_len, total_usize], NULL on any
+    * validation failure — see [[MultimodalKernels.zipMeta]].
+    */
+  def zipMeta(payload: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType}
+    ExprBridge.column(StaticInvoke(
+      MultimodalKernels.getClass, ArrayType(LongType, containsNull = false),
+      "zipMeta",
+      Seq(ExprBridge.expression(payload.cast(BinaryType))),
+      Seq(BinaryType), propagateNull = true, returnNullable = true))
+  }
+
   /** Frame sampling (the video-pipeline shape): split a payload into
     * `n` contiguous frames and compute one feature per frame — here a
     * code-unit sum standing in for a real per-frame decode (the
@@ -1146,6 +1178,99 @@ object MultimodalKernels {
     val isize = readLE32(bytes, bytes.length - 4)
     new GenericArrayData(Array(mtime, os,
       if ((flg & 0x04) != 0) 1L else 0L, fnameLen, p.toLong, isize))
+  }
+
+  // ---- ZIP central directory + EOCD (the TENTH container member;
+  // what's NEW is that the entry point is found by a BACKWARDS scan:
+  // the end-of-central-directory record sits a variable-length
+  // comment before EOF, so a reader walks back looking for the
+  // signature and must disambiguate a signature-shaped byte run
+  // INSIDE the comment via the comment-length consistency check) ----
+
+  /** Minimal spec-shaped ZIP catalog: `nEntries` central-directory
+    * headers (46 bytes + a 2-byte name "f0".."f4", derived crc/size
+    * fields) followed by the 22-byte EOCD (counts, CD size, CD offset
+    * 0, comment length) and `commentLen` 'c' bytes. `valid=false`
+    * corrupts the EOCD signature. Range-checked: 1..5 entries (2-byte
+    * names by construction), comment 0..255.
+    */
+  def zipCatalog(nEntries: Int, commentLen: Int,
+      valid: Boolean): Array[Byte] = {
+    require(nEntries >= 1 && nEntries <= 5,
+      s"zip nEntries must be 1..5: $nEntries")
+    require(commentLen >= 0 && commentLen <= 255,
+      s"zip commentLen must be 0..255: $commentLen")
+    val entry = 46 + 2
+    val cdSize = entry * nEntries
+    val out = new Array[Byte](cdSize + 22 + commentLen)
+    var p = 0
+    var i = 0
+    while (i < nEntries) {
+      out(p) = 'P'; out(p + 1) = 'K'; out(p + 2) = 1; out(p + 3) = 2
+      writeLE32(out, p + 16, i * 3 + 7) // crc32 (derived stand-in)
+      writeLE32(out, p + 20, i * 3 + 7) // compressed size
+      writeLE32(out, p + 24, i * 5 + 11) // uncompressed size
+      writeLE16(out, p + 28, 2) // name length
+      writeLE32(out, p + 42, i * 10) // local header offset
+      out(p + 46) = 'f'; out(p + 47) = ('0' + i).toByte
+      p += entry
+      i += 1
+    }
+    out(p) = 'P'; out(p + 1) = 'K'; out(p + 2) = 5
+    out(p + 3) = (if (valid) 6 else 7).toByte
+    writeLE16(out, p + 8, nEntries) // entries on this disk
+    writeLE16(out, p + 10, nEntries) // entries total
+    writeLE32(out, p + 12, cdSize)
+    writeLE32(out, p + 16, 0) // CD offset
+    writeLE16(out, p + 20, commentLen)
+    var c = 0
+    while (c < commentLen) { out(p + 22 + c) = 'c'; c += 1 }
+    out
+  }
+
+  /** Parse [n_entries, cd_size, comment_len, total_name_len,
+    * total_usize] out of a ZIP catalog by the real-reader discipline:
+    * scan BACKWARDS from EOF for the EOCD signature, accept a
+    * candidate only if its comment-length field reaches exactly to
+    * EOF (rejecting signature look-alikes inside the comment), then
+    * walk the central directory forward validating each entry
+    * signature and the entry count. NULL on any failure.
+    */
+  def zipMeta(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 22) return null
+    var p = bytes.length - 22
+    val floor = math.max(0, bytes.length - 22 - 65535)
+    var eocd = -1
+    while (p >= floor && eocd < 0) {
+      if (bytes(p) == 'P' && bytes(p + 1) == 'K' && bytes(p + 2) == 5 &&
+        bytes(p + 3) == 6 &&
+        readLE16(bytes, p + 20) == (bytes.length - (p + 22)).toLong)
+        eocd = p
+      else p -= 1
+    }
+    if (eocd < 0) return null
+    val nEntries = readLE16(bytes, eocd + 10)
+    val cdSize = readLE32(bytes, eocd + 12)
+    val cdOff = readLE32(bytes, eocd + 16)
+    if (cdOff + cdSize > eocd) return null
+    var q = cdOff.toInt
+    val end = (cdOff + cdSize).toInt
+    var seen = 0L
+    var nameBytes = 0L
+    var usize = 0L
+    while (q + 46 <= end) {
+      if (bytes(q) != 'P' || bytes(q + 1) != 'K' || bytes(q + 2) != 1 ||
+        bytes(q + 3) != 2) return null
+      val nameLen = readLE16(bytes, q + 28).toInt
+      usize += readLE32(bytes, q + 24)
+      if (q + 46 + nameLen > end) return null
+      seen += 1
+      nameBytes += nameLen
+      q += 46 + nameLen
+    }
+    if (q != end || seen != nEntries) return null
+    new GenericArrayData(Array(nEntries, cdSize,
+      (bytes.length - (eocd + 22)).toLong, nameBytes, usize))
   }
 
   /** Frame i covers code units [i*len/n, (i+1)*len/n) (integer floor);

@@ -281,7 +281,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // iterated argmax-with-tie + broadcast-literal distance (q337),
     // distinct-count stats onto a literal perm frame (q338)
     "q335_nearest_centroid", "q336_cdc_chunking", "q337_kcenter_coreset",
-    "q338_join_order_cost")
+    "q338_join_order_cost",
+    // round-13 wave i: kernel backwards-scan parse (q339), two-level
+    // census reduces (q340), cumulative bucket census + gain-tie rank
+    // (q341), key-join + priority census (q342)
+    "q339_zip_catalog", "q340_als_step", "q341_decision_stump",
+    "q342_business_days")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
