@@ -286,7 +286,13 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // census reduces (q340), cumulative bucket census + gain-tie rank
     // (q341), key-join + priority census (q342)
     "q339_zip_catalog", "q340_als_step", "q341_decision_stump",
-    "q342_business_days")
+    "q342_business_days",
+    // round-13 wave j: value-grain census bytes (q343), ntile over a
+    // total order + cumulative decile frame (q344), conditional-agg
+    // pivot + sign-safe bridge (q345), log2 census + rank picks
+    // (q346)
+    "q343_dict_advisor", "q344_qini_uplift", "q345_price_volume_mix",
+    "q346_hdr_percentiles")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
