@@ -292,7 +292,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // pivot + sign-safe bridge (q345), log2 census + rank picks
     // (q346)
     "q343_dict_advisor", "q344_qini_uplift", "q345_price_volume_mix",
-    "q346_hdr_percentiles")
+    "q346_hdr_percentiles",
+    // round-13 wave k: two-hop core-flag joins over the pair frame
+    // (q347), per-arm cumulative crossing pick (q348), cohort min +
+    // cumulative age frame (q349), cell-census SS rollups (q350)
+    "q347_dbscan_census", "q348_sprt_monitor", "q349_ltv_triangle",
+    "q350_twoway_anova")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
