@@ -297,7 +297,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // (q347), per-arm cumulative crossing pick (q348), cohort min +
     // cumulative age frame (q349), cell-census SS rollups (q350)
     "q347_dbscan_census", "q348_sprt_monitor", "q349_ltv_triangle",
-    "q350_twoway_anova")
+    "q350_twoway_anova",
+    // round-13 wave l: moments broadcast onto a literal grid + mse
+    // rank (q351), top-(K+1) boundary + gridded logs (q352), census ×
+    // literal MDE grid (q353), part-grain cumulative-share cut (q354)
+    "q351_ridge_sweep", "q352_hill_tail", "q353_power_calc",
+    "q354_abc_classes")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
