@@ -302,7 +302,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // rank (q351), top-(K+1) boundary + gridded logs (q352), census ×
     // literal MDE grid (q353), part-grain cumulative-share cut (q354)
     "q351_ridge_sweep", "q352_hill_tail", "q353_power_calc",
-    "q354_abc_classes")
+    "q354_abc_classes",
+    // round-13 wave m: per-flag value-grain cut picks (q355), dual
+    // ntile full-outer census (q356), per-point rank-3 cut + left join
+    // (q357), user-census component folds (q358)
+    "q355_weighted_median", "q356_decile_migration", "q357_spatial_knn",
+    "q358_design_effect")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
