@@ -237,7 +237,11 @@ object Round13kQueries {
 
   // -- q350: two-way ANOVA ------------------------------------------------------------------
   // Main effects + interaction for returnflag × linestatus on the
-  // order-value grid, via the computational sums-of-squares identity
+  // order-value DOLLAR grid (cents would push Σ S_g²/n_g past 2^63 at
+  // sf0.1 — group sums reach ~1e12 cents, whose squared-over-n terms
+  // sum to ~1.5e19; dollars keep every IntegralDivide result and its
+  // sums inside BIGINT through 1000× with no semantic change to the
+  // F ratios), via the computational sums-of-squares identity
   // SS = Σ S_g²/n_g − S²/N evaluated with per-term trunc-div on
   // DECIMAL/HUGEINT (q271's one-way discipline, factored twice);
   // SS_AB = SS_cells − SS_A − SS_B, SS_err = SS_tot − SS_cells, and
@@ -246,7 +250,8 @@ object Round13kQueries {
   private def q350(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = Tables.read(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("a"), col("l_linestatus").as("b"),
-        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("y"))
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) div 100")
+          .as("y"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(y AS DECIMAL(38,0))")).as("s"),
@@ -283,7 +288,7 @@ object Round13kQueries {
       .localCheckpoint(true) // one row; melted into the report below
     def row(name: String, ss: String, df: String) = base.select(
       lit(name).as("component"), col(df).cast(LongType).as("df"),
-      expr(s"CAST($ss AS BIGINT)").as("ss_cents2"),
+      expr(s"CAST($ss AS BIGINT)").as("ss_dollars2"),
       // mean square can reach ~1e16: route the ×1e6 through DECIMAL
       // (a LONG product would overflow)
       expr(s"CAST(CAST($ss div $df AS DECIMAL(38,0)) * 1000000" +
@@ -293,7 +298,7 @@ object Round13kQueries {
       .unionAll(row("interaction", "ss_ab", "df_ab"))
       .unionAll(base.select(lit("error").as("component"),
         col("df_err").cast(LongType).as("df"),
-        expr("CAST(ss_err AS BIGINT)").as("ss_cents2"),
+        expr("CAST(ss_err AS BIGINT)").as("ss_dollars2"),
         lit(null).cast(LongType).as("f_ppm")))
       .orderBy("component")
   }
@@ -301,11 +306,11 @@ object Round13kQueries {
   private val q350Oracle: String =
     """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
       |    count(*) AS n,
-      |    sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |    sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 100
       |      AS HUGEINT)) AS s,
-      |    sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-      |      AS HUGEINT) * CAST(floor(l_extendedprice * 100 + 0.5)
-      |      AS BIGINT)) AS q
+      |    sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 100
+      |      AS HUGEINT) * (CAST(floor(l_extendedprice * 100 + 0.5)
+      |      AS BIGINT) // 100)) AS q
       |  FROM lineitem GROUP BY 1, 2),
       |ga AS (SELECT sum(gs * gs // gn) AS ta, count(*) AS la FROM
       |  (SELECT a, sum(n) AS gn, sum(s) AS gs FROM cells GROUP BY 1)),
@@ -325,7 +330,7 @@ object Round13kQueries {
       |  FROM base),
       |m AS (SELECT *, ss_err // df_err AS mse FROM d)
       |SELECT 'a_returnflag' AS component, CAST(df_a AS BIGINT) AS df,
-      |  CAST(ss_a AS BIGINT) AS ss_cents2,
+      |  CAST(ss_a AS BIGINT) AS ss_dollars2,
       |  CAST((ss_a // df_a) * 1000000 // nullif(mse, 0) AS BIGINT) AS f_ppm
       |FROM m
       |UNION ALL SELECT 'b_linestatus', CAST(df_b AS BIGINT),

@@ -307,7 +307,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // ntile full-outer census (q356), per-point rank-3 cut + left join
     // (q357), user-census component folds (q358)
     "q355_weighted_median", "q356_decile_migration", "q357_spatial_knn",
-    "q358_design_effect")
+    "q358_design_effect",
+    // round-13 wave n: edge census + nation rollups (q359), explode +
+    // full-outer month censuses (q360), rank-cut membership joins
+    // (q361), per-(type, day) lag windows (q362)
+    "q359_modularity", "q360_rev_recognition", "q361_rich_club",
+    "q362_heartbeat_gaps")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)

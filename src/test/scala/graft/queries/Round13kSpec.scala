@@ -89,12 +89,14 @@ class Round13kSpec extends PlantedQuerySpec {
 
   test("q350 two-way ANOVA: hand-computed balanced 2x2x2 design — " +
     "main effects, interaction, and F ratios on the ppm grid") {
+    // prices in whole hundreds so the DOLLAR grid (y = cents div 100)
+    // reproduces the same 100..700 values the SS table was computed on
     def li(a: String, b: String, price: Double) = (a, b, price)
     val dir = plant("lineitem" -> Seq(
-      li("R", "O", 1.00), li("R", "O", 2.00),
-      li("R", "F", 3.00), li("R", "F", 3.00),
-      li("N", "O", 1.00), li("N", "O", 1.00),
-      li("N", "F", 5.00), li("N", "F", 7.00))
+      li("R", "O", 100.00), li("R", "O", 200.00),
+      li("R", "F", 300.00), li("R", "F", 300.00),
+      li("N", "O", 100.00), li("N", "O", 100.00),
+      li("N", "F", 500.00), li("N", "F", 700.00))
       .toDF("l_returnflag", "l_linestatus", "l_extendedprice"))
     // corr 661250; ss_a 31250, ss_b 211250, ss_cells 303750,
     // ss_ab 61250, ss_tot 328750, ss_err 25000, mse 6250
