@@ -312,7 +312,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // full-outer month censuses (q360), rank-cut membership joins
     // (q361), per-(type, day) lag windows (q362)
     "q359_modularity", "q360_rev_recognition", "q361_rich_club",
-    "q362_heartbeat_gaps")
+    "q362_heartbeat_gaps",
+    // round-13 wave o: side-conditioned moment folds (q363), two-pass
+    // percentile-k weighted moments (q364), consequent-census status
+    // cut (q365), day-census dispersion folds (q366)
+    "q363_regression_discontinuity", "q364_huber_irls", "q365_fd_repair",
+    "q366_dispersion_test")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
