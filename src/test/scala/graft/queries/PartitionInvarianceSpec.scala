@@ -317,7 +317,12 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // percentile-k weighted moments (q364), consequent-census status
     // cut (q365), day-census dispersion folds (q366)
     "q363_regression_discontinuity", "q364_huber_irls", "q365_fd_repair",
-    "q366_dispersion_test")
+    "q366_dispersion_test",
+    // round-13 wave p: bigram-parity census (q367), merged-spine cum
+    // + lead gaps (q368), oriented triangle explode + reverse-cum
+    // (q369), per-fraction centroid builds + eval rank ties (q370)
+    "q367_watermark_detect", "q368_wasserstein_1d", "q369_ktruss_support",
+    "q370_learning_curve")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
