@@ -322,7 +322,10 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // + lead gaps (q368), oriented triangle explode + reverse-cum
     // (q369), per-fraction centroid builds + eval rank ties (q370)
     "q367_watermark_detect", "q368_wasserstein_1d", "q369_ktruss_support",
-    "q370_learning_curve")
+    "q370_learning_curve",
+    // round-13 wave q: perm-census rank counting + BH window (q371),
+    // 25-cell pooled folds (q372), day-pair percentile chain (q373)
+    "q371_permutation_fdr", "q372_james_stein", "q373_sn_scale")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
