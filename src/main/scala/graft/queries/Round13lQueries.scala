@@ -218,14 +218,18 @@ object Round13lQueries {
     parts
       .withColumn("cum", sum(col("rev_u")).over(w))
       .crossJoin(broadcast(tot))
-      .withColumn("before_ppm", expr("(cum - rev_u) * 1000000 div t"))
+      // DECIMAL: cum·1e6 passes 2^63 one order of magnitude above sf0.1
+      // (caught by the round-13 10× overflow stress)
+      .withColumn("before_ppm",
+        expr("CAST(cum - rev_u AS DECIMAL(38,0)) * 1000000 div t"))
       .withColumn("cls", when(col("before_ppm") < 800000L, "A")
         .when(col("before_ppm") < 950000L, "B").otherwise("C"))
       .groupBy("cls").agg(count(lit(1)).as("n_parts"),
         sum(col("rev_u")).as("rev_u"))
       .crossJoin(broadcast(tot))
       .select(col("cls"), col("n_parts"), col("rev_u"),
-        expr("rev_u * 1000000 div t").as("rev_share_ppm"))
+        expr("CAST(rev_u AS DECIMAL(38,0)) * 1000000 div t")
+          .as("rev_share_ppm"))
       .orderBy("cls")
   }
 
@@ -240,13 +244,16 @@ object Round13lQueries {
       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       |  FROM parts),
       |cls AS (SELECT rev_u,
-      |    CASE WHEN (cum - rev_u) * 1000000 // t < 800000 THEN 'A'
-      |      WHEN (cum - rev_u) * 1000000 // t < 950000 THEN 'B'
+      |    CASE WHEN CAST(cum - rev_u AS HUGEINT) * 1000000 // t < 800000
+      |      THEN 'A'
+      |      WHEN CAST(cum - rev_u AS HUGEINT) * 1000000 // t < 950000
+      |      THEN 'B'
       |      ELSE 'C' END AS cls
       |  FROM cum CROSS JOIN tot)
       |SELECT cls, count(*) AS n_parts,
       |  CAST(sum(rev_u) AS BIGINT) AS rev_u,
-      |  CAST(sum(rev_u) * 1000000 // t AS BIGINT) AS rev_share_ppm
+      |  CAST(sum(CAST(rev_u AS HUGEINT)) * 1000000 // t AS BIGINT)
+      |    AS rev_share_ppm
       |FROM cls CROSS JOIN tot GROUP BY cls, t ORDER BY cls""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
