@@ -130,12 +130,15 @@ object Round13pQueries {
 
   // -- q369: k-truss edge support ----------------------------------------------------------------
   // Cohesion beyond triangles-per-node: every edge's SUPPORT (the
-  // triangles containing it) over the strong co-supply graph (weight
-  // ≥ 4 keeps the graph sparse — stated, not hidden), as a support
-  // histogram with the reverse-cumulative k-truss membership counts.
-  // Triangle enumeration is the oriented a<b<c join; each triangle
-  // credits its three edges via one explode.
-  private val TrussMinW = 4L
+  // triangles containing it) over the strong co-supply graph, as a
+  // support histogram with the reverse-cumulative k-truss membership
+  // counts. "Strong" is a RANK cut — the top-K edges by weight — not
+  // an absolute count threshold: a fixed `w ≥ c` cutoff silently
+  // admits EVERY edge once volume grows (measured: 24% of edges at
+  // sf0.1, 100% at 10×), the min-count scale trap; the top-K graph is
+  // bounded at any data size. Triangle enumeration is the oriented
+  // a<b<c join; each triangle credits its three edges via one explode.
+  private val TrussTopEdges = 20000
 
   private def q369(spark: SparkSession, sfDir: String): DataFrame = {
     val os = Tables.read(spark, sfDir, "lineitem")
@@ -144,7 +147,8 @@ object Round13pQueries {
     val edges = os.join(os.select(col("ok"), col("sk").as("skb")), "ok")
       .where(col("sk") < col("skb"))
       .groupBy("sk", "skb").agg(count(lit(1)).as("w"))
-      .where(col("w") >= TrussMinW)
+      .orderBy(col("w").desc, col("sk"), col("skb"))
+      .limit(TrussTopEdges)
       .select(col("sk").as("a"), col("skb").as("b"))
       .localCheckpoint(true) // feeds 3 triangle sides + the census
     val tri = edges
@@ -170,7 +174,7 @@ object Round13pQueries {
        |edges AS (SELECT sk AS a, skb AS b FROM (
        |  SELECT x.sk, y.sk AS skb, count(*) AS w
        |  FROM os x JOIN os y ON x.ok = y.ok AND x.sk < y.sk
-       |  GROUP BY 1, 2) WHERE w >= $TrussMinW),
+       |  GROUP BY 1, 2) ORDER BY w DESC, sk, skb LIMIT $TrussTopEdges),
        |tri AS (SELECT e1.a, e1.b, e2.b AS c
        |  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
