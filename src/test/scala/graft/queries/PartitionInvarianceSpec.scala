@@ -325,7 +325,11 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     "q370_learning_curve",
     // round-13 wave q: perm-census rank counting + BH window (q371),
     // 25-cell pooled folds (q372), day-pair percentile chain (q373)
-    "q371_permutation_fdr", "q372_james_stein", "q373_sn_scale")
+    "q371_permutation_fdr", "q372_james_stein", "q373_sn_scale",
+    // round-13 wave r: joint-census marginal joins + gridded logs
+    // (q374), alphabet-census log folds (q375), per-level rank pick
+    // (q376)
+    "q374_mi_matrix", "q375_char_entropy", "q376_hierarchy_rollup")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
