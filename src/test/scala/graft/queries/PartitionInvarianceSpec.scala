@@ -329,7 +329,9 @@ class PartitionInvarianceSpec extends EtlSpecBase {
     // round-13 wave r: joint-census marginal joins + gridded logs
     // (q374), alphabet-census log folds (q375), per-level rank pick
     // (q376)
-    "q374_mi_matrix", "q375_char_entropy", "q376_hierarchy_rollup")
+    "q374_mi_matrix", "q375_char_entropy", "q376_hierarchy_rollup",
+    // round-13 wave s: vote pivot + weighted re-vote rank ties (q377)
+    "q377_dawid_skene")
 
   private def fingerprint(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sf)
