@@ -32,7 +32,8 @@ object SparkEntry {
       Round13hQueries.defs ++ Round13iQueries.defs ++ Round13jQueries.defs ++
       Round13kQueries.defs ++ Round13lQueries.defs ++ Round13mQueries.defs ++
       Round13nQueries.defs ++ Round13oQueries.defs ++ Round13pQueries.defs ++
-      Round13qQueries.defs ++ Round13rQueries.defs ++ Round13sQueries.defs
+      Round13qQueries.defs ++ Round13rQueries.defs ++ Round13sQueries.defs ++
+      Round14Queries.defs
 
   /** Flagship: full auto-cleaning ETL of the sf0.001 events table
     * (driver smoke-checks rows > 0).

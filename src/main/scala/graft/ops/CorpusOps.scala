@@ -85,7 +85,9 @@ object CorpusOps {
       .withColumn("rnk", row_number().over(ord))
       .withColumn("cum_c", sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
       .crossJoin(broadcast(tot))
-      .select(col("rnk"), col("tok"), col("c"), col("cum_c"),
+      // row_number is INT in Spark, BIGINT in DuckDB — emit BIGINT
+      .select(col("rnk").cast("long").as("rnk"), col("tok"), col("c"),
+        col("cum_c"),
         (col("cum_c").cast(DoubleType) / col("t")).as("share"))
       .orderBy("rnk")
   }

@@ -45,7 +45,10 @@ object MatchOps {
     val best = Window.partitionBy("id").orderBy(col("dist"), col("rid"))
     cand.withColumn("rn", row_number().over(best))
       .where(col("rn") === 1)
-      .select(col("id"), col("rid").as("match_id"), col("dist"))
+      // BIGINT like the oracle (levenshtein is INT; the driver hash is
+      // type-sensitive — VERDICT r13 #3 width-normalization sweep)
+      .select(col("id"), col("rid").as("match_id"),
+        col("dist").cast("long").as("dist"))
       .orderBy("id")
   }
 

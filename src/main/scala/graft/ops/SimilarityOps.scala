@@ -781,7 +781,8 @@ object SimilarityOps {
       .agg(max(abs(col("v"))).as("ma"))
       .select(col("dim"), (col("ma").cast(DoubleType) / lit(127.0)).as("scale"))
     flat.join(broadcast(scales), "dim")
-      .select(col(idCol), col("dim"),
+      // BIGINT dim like DuckDB's list_transform index (posexplode: INT)
+      .select(col(idCol), col("dim").cast("long").as("dim"),
         when(col("scale") === 0d, 0L)
           .otherwise(greatest(lit(-127L), least(lit(127L),
             floor(col("v").cast(DoubleType) / col("scale") + lit(0.5)))))

@@ -563,7 +563,9 @@ object StatsOps {
         count(lit(1)).cast(dec).as("nd"),
         sum(col("rev_u")).as("rev_u"))
       .crossJoin(broadcast(tot))
-      .select(col("dow"), col("n_days"), col("rev_u"),
+      // BIGINT dow like DuckDB's isodow (weekday+1 is INT in Spark)
+      .select(col("dow").cast(LongType).as("dow"), col("n_days"),
+        col("rev_u"),
         try_divide((col("rev_u").cast(dec) * col("nt")).cast(DoubleType),
           (col("nd") * col("st")).cast(DoubleType)).as("idx"))
       .orderBy("dow")

@@ -403,7 +403,7 @@ object TextOps {
       array_distinct(tokens(c)),
       array(langStopwords.toMap.apply("en").map(lit): _*)))
     def safe(flag: Column): Column = coalesce(flag, lit(false))
-    df.select(col(idCol), n.as("n_tok"),
+    df.select(col(idCol), n.cast("long").as("n_tok"),
       safe(n >= minTok && n <= maxTok).as("r_ntok"),
       safe(wlen >= minWlen && wlen <= maxWlen).as("r_wlen"),
       safe(alphaFrac >= minAlphaFrac).as("r_alpha"),

@@ -56,7 +56,7 @@ object Round11fQueries {
       .withColumn("__n7", count(lit(1)).over(w7))
       .withColumn("__s7", sum(col("rev_u")).over(w7))
       .where(col("__n7") === 7)
-      .select((weekday(col("day")) + 1).as("dow"),
+      .select((weekday(col("day")) + 1).cast("long").as("dow"),
         (col("rev_u") - expr("__s7 div 7")).as("dev_u"))
       .localCheckpoint(true) // feeds the seasonal fit AND the residual pass
     val sea = dev.groupBy("dow")

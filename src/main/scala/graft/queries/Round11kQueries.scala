@@ -82,7 +82,7 @@ object Round11kQueries {
       .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
         floor(col("o_totalprice")).as("pu"))
       .select(col("priority"),
-        ntile(4).over(w).as("q4"),
+        ntile(4).over(w).cast(LongType).as("q4"),
         floor(percent_rank().over(w) * 1000 + lit(0.5)).cast(LongType)
           .as("prm"),
         floor(cume_dist().over(w) * 1000 + lit(0.5)).cast(LongType)

@@ -70,7 +70,7 @@ object Round12dQueries {
   // ride every row.
   private def q250(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.read(spark, sfDir, "orders")
-      .select(year(to_date(col("o_orderdate"))).as("yr"),
+      .select(year(to_date(col("o_orderdate"))).cast(LongType).as("yr"),
         when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "A")
           .otherwise("B").as("cohort"),
         floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType)

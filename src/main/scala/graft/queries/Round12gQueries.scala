@@ -152,7 +152,7 @@ object Round12gQueries {
         .where(to_date(col("l_shipdate")) >= lit(Q7Start).cast("date") &&
           to_date(col("l_shipdate")) < lit(Q7End).cast("date")))
       .select(col("l_orderkey"), col("l_suppkey"),
-        year(to_date(col("l_shipdate"))).as("l_year"),
+        year(to_date(col("l_shipdate"))).cast("long").as("l_year"),
         (col("ep_c") * (lit(100L) - col("d_c"))).as("vol_u"))
     li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -219,7 +219,7 @@ object Round12gQueries {
       .where(to_date(col("o_orderdate")) >= lit(Q8Start).cast("date") &&
         to_date(col("o_orderdate")) < lit(Q8End).cast("date"))
       .select(col("o_orderkey"), col("o_custkey"),
-        year(to_date(col("o_orderdate"))).as("o_year"))
+        year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
     val li = moneyGrid(Tables.read(spark, sfDir, "lineitem"))
       .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_suppkey"),

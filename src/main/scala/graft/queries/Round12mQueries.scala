@@ -115,8 +115,8 @@ object Round12mQueries {
        |    CAST((sc*sc + ss*ss) // 1000000000000000000 AS BIGINT)
        |      AS power_u
        |  FROM sums)
-       |SELECT period, n_days, s_c_u, s_s_u, power_u,
-       |  power_u = (SELECT max(power_u) FROM pw) AS dominant
+       |SELECT CAST(period AS BIGINT) AS period, n_days, s_c_u, s_s_u,
+       |  power_u, power_u = (SELECT max(power_u) FROM pw) AS dominant
        |FROM pw ORDER BY period""".stripMargin
   }
 

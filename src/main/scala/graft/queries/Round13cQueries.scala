@@ -213,8 +213,8 @@ object Round13cQueries {
       .groupBy("priority", "status")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
         min(col("odate")).as("d_min"), max(col("odate")).as("d_max"),
-        max(col("card_len")).as("max_len"),
-        min(col("card_len")).as("min_len"))
+        max(col("card_len")).cast(LongType).as("max_len"),
+        min(col("card_len")).cast(LongType).as("min_len"))
       .orderBy("priority", "status")
   }
 

@@ -157,7 +157,10 @@ object Round13eQueries {
       (expr("CAST(year(l_shipdate) AS BIGINT)") * lit(12L) +
         month(col("l_shipdate"))).as("mo"),
       col("l_linenumber").as("ln"))
-      .withColumn("b", expr("sd div 16"))
+      // sign-safe: Spark div truncates, DuckDB // floors — agree on
+      // trunc-toward-zero so pre-epoch shipdates bucket identically
+      .withColumn("b",
+        expr("CASE WHEN sd < 0 THEN -((-sd) div 16) ELSE sd div 16 END"))
     val lagged = base.select(col("b"), col("mo"), col("ok"), col("pm"),
       lag("mo", 1).over(w).as("lmo"), lag("ok", 1).over(w).as("lok"),
       lag("pm", 1).over(w).as("lpm"))
@@ -190,7 +193,10 @@ object Round13eQueries {
 
   private val q325Oracle: String =
     """WITH base AS (SELECT
-      |    CAST(CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS BIGINT) // 16 AS b,
+      |    CASE WHEN CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+      |      THEN -(CAST(DATE '1995-01-01' - CAST(l_shipdate AS DATE) AS BIGINT) // 16)
+      |      ELSE CAST(CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS BIGINT) // 16
+      |    END AS b,
       |    CAST(CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS sd,
       |    CAST(year(l_shipdate) AS BIGINT) * 12 + month(l_shipdate) AS mo,
       |    l_orderkey AS ok,

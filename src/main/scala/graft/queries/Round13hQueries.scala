@@ -198,7 +198,8 @@ object Round13hQueries {
        |r1 AS (SELECT 1 AS step, (SELECT cid FROM c1) AS center_id,
        |  max(d) AS radius_d2 FROM d1),
        |$steps
-       |SELECT CAST(step AS BIGINT) AS step, center_id, radius_d2
+       |SELECT CAST(step AS BIGINT) AS step, center_id,
+       |  CAST(radius_d2 AS BIGINT) AS radius_d2
        |FROM (SELECT * FROM r1
        |UNION ALL $unions) ORDER BY step""".stripMargin
   }

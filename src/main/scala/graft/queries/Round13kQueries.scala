@@ -37,6 +37,13 @@ object Round13kQueries {
       .withColumn("cx", expr(s"x div $DbR"))
       .withColumn("cy", expr(s"y div $DbR"))
       .localCheckpoint(true)
+    // scale knob (VERDICT r13 #5): the density-adaptive grid computes
+    // the identical census without enumerating the full neighbor disk;
+    // q378 runs it unconditionally under the same oracle
+    if (sys.props.get("graft.spatial.adaptive").contains("true"))
+      return graft.ops.SpatialOps.dbscanCensus(pts.select("id", "x", "y"),
+        DbR, DbMinPts,
+        graft.ops.SpatialOps.adaptiveSide(pts.select("id", "x", "y"), DbR))
     val home = pts.select(col("id").as("idb"), col("x").as("xb"),
       col("y").as("yb"), (col("cx") * lit(1024L) + col("cy")).as("cell"))
     val offs = array(lit(-1L), lit(0L), lit(1L))
@@ -72,7 +79,7 @@ object Round13kQueries {
       .orderBy("cls")
   }
 
-  private val q347Oracle: String = {
+  private[queries] val q347Oracle: String = {
     val r2 = DbR * DbR
     s"""WITH h AS (SELECT c_custkey AS id,
        |    (c_custkey*1103515245 + 12345) % 2147483648 AS h1,
@@ -274,12 +281,16 @@ object Round13kQueries {
     val base = tot.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
       .crossJoin(broadcast(sab))
       .withColumn("corr", expr("ss * ss div nn"))
-      .withColumn("ss_a", expr("ta - corr"))
-      .withColumn("ss_b", expr("tb - corr"))
-      .withColumn("ss_cells", expr("tab - corr"))
-      .withColumn("ss_ab", expr("ss_cells - ss_a - ss_b"))
-      .withColumn("ss_tot", expr("qq - corr"))
-      .withColumn("ss_err", expr("ss_tot - ss_cells"))
+      // each SS is a difference of per-term-truncated quantities, so
+      // tiny negatives are possible on adversarial data; clamp at 0 on
+      // BOTH sides so the later trunc-div never sees a sign Spark and
+      // DuckDB divide differently (ADVICE r13)
+      .withColumn("ss_a", expr("greatest(ta - corr, 0)"))
+      .withColumn("ss_b", expr("greatest(tb - corr, 0)"))
+      .withColumn("ss_cells", expr("greatest(tab - corr, 0)"))
+      .withColumn("ss_ab", expr("greatest(ss_cells - ss_a - ss_b, 0)"))
+      .withColumn("ss_tot", expr("greatest(qq - corr, 0)"))
+      .withColumn("ss_err", expr("greatest(ss_tot - ss_cells, 0)"))
       .withColumn("df_a", expr("la - 1"))
       .withColumn("df_b", expr("lb - 1"))
       .withColumn("df_ab", expr("(la - 1) * (lb - 1)"))
@@ -321,10 +332,14 @@ object Round13kQueries {
       |tot AS (SELECT sum(n) AS nn, sum(s) AS ss, sum(q) AS qq FROM cells),
       |base AS (SELECT *,
       |    ss * ss // nn AS corr FROM tot, ga, gb, gab),
-      |d AS (SELECT ta - corr AS ss_a, tb - corr AS ss_b,
-      |    tab - corr AS ss_cells,
-      |    (tab - corr) - (ta - corr) - (tb - corr) AS ss_ab,
-      |    qq - corr AS ss_tot, (qq - corr) - (tab - corr) AS ss_err,
+      |d AS (SELECT greatest(ta - corr, 0) AS ss_a,
+      |    greatest(tb - corr, 0) AS ss_b,
+      |    greatest(tab - corr, 0) AS ss_cells,
+      |    greatest(greatest(tab - corr, 0) - greatest(ta - corr, 0)
+      |      - greatest(tb - corr, 0), 0) AS ss_ab,
+      |    greatest(qq - corr, 0) AS ss_tot,
+      |    greatest(greatest(qq - corr, 0) - greatest(tab - corr, 0), 0)
+      |      AS ss_err,
       |    la - 1 AS df_a, lb - 1 AS df_b,
       |    (la - 1) * (lb - 1) AS df_ab, nn - lab AS df_err
       |  FROM base),

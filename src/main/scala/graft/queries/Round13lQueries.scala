@@ -98,7 +98,8 @@ object Round13lQueries {
        |  GROUP BY 1, 2, 3),
        |rk AS (SELECT *, row_number() OVER (ORDER BY val_mse, lambda) AS rk
        |  FROM scored)
-       |SELECT lambda, CAST(b_milli AS BIGINT) AS b_milli,
+       |SELECT CAST(lambda AS BIGINT) AS lambda,
+       |  CAST(b_milli AS BIGINT) AS b_milli,
        |  CAST(a_milli AS BIGINT) AS a_milli, val_mse, rk = 1 AS is_best
        |FROM rk ORDER BY lambda""".stripMargin
   }

@@ -117,6 +117,12 @@ object Round13mQueries {
       .withColumn("cx", expr(s"x div $KnnR"))
       .withColumn("cy", expr(s"y div $KnnR"))
       .localCheckpoint(true)
+    // scale knob (VERDICT r13 #5): density-adaptive grid, identical
+    // result; q379 runs it unconditionally under the same oracle
+    if (sys.props.get("graft.spatial.adaptive").contains("true"))
+      return graft.ops.SpatialOps.spatialKnn(pts.select("id", "x", "y"),
+        KnnR, graft.ops.SpatialOps.adaptiveSide(pts.select("id", "x", "y"),
+          KnnR), 3)
     val home = pts.select(col("id").as("idb"), col("x").as("xb"),
       col("y").as("yb"), (col("cx") * lit(1024L) + col("cy")).as("cell"))
     val offs = array(lit(-1L), lit(0L), lit(1L))
@@ -147,7 +153,7 @@ object Round13mQueries {
       .orderBy("id")
   }
 
-  private val q357Oracle: String = {
+  private[queries] val q357Oracle: String = {
     val r2 = KnnR * KnnR
     s"""WITH h AS (SELECT c_custkey AS id,
        |    (c_custkey*1103515245 + 12345) % 2147483648 AS h1,

@@ -112,7 +112,7 @@ class Round7cSpec extends EtlSpecBase {
       (12L, "gamma-99", "01")) // no match within 2
       .toDF("id", "name", "block")
     val got = MatchOps.fuzzyBestMatch(dirty, clean, 2)
-      .as[(Long, Long, Int)].collect().toSeq
+      .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((10L, 1L, 1), (11L, 3L, 0)), got.toString)
   }
 
@@ -120,7 +120,7 @@ class Round7cSpec extends EtlSpecBase {
     val clean = Seq((7L, "aab", "b"), (4L, "abb", "b")).toDF("id", "name", "block")
     val dirty = Seq((1L, "ab", "b")).toDF("id", "name", "block")
     val got = MatchOps.fuzzyBestMatch(dirty, clean, 2)
-      .as[(Long, Long, Int)].collect().toSeq
+      .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 4L, 1)), got.toString) // both dist 1; rid 4 < 7
   }
 

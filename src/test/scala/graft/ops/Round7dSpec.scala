@@ -36,7 +36,7 @@ class Round7dSpec extends EtlSpecBase {
   test("vocabCoverage: ranks by count desc then token, shares accumulate to 1") {
     val df = Seq("a a a b b c").toDF("t")
     val got = CorpusOps.vocabCoverage(df, "t", k = 10)
-      .as[(Int, String, Long, Long, Double)].collect().toSeq
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
     assert(got == Seq(
       (1, "a", 3L, 3L, 0.5),
       (2, "b", 2L, 5L, 5.0 / 6.0),

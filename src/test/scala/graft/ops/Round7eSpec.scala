@@ -81,7 +81,7 @@ class Round7eSpec extends EtlSpecBase {
       .map { case (d, p) => (java.sql.Timestamp.valueOf(d + " 00:00:00"), p, 0.0) }
       .toDF("l_shipdate", "l_extendedprice", "l_discount")
     val got = StatsOps.dowSeasonality(df)
-      .as[(Int, Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long, Double)].collect().toSeq
     // overall mean 200.00/day: Mon idx 0.5, Tue idx 1.5
     assert(got == Seq((1, 1L, 1000000L, 0.5), (2, 1L, 3000000L, 1.5)),
       got.toString)

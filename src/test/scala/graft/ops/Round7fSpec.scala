@@ -121,7 +121,7 @@ class Round7fSpec extends EtlSpecBase {
       (1L, Array(1.0f, -0.5f, 0.0f)),
       (2L, Array(-2.0f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
     val got = SimilarityOps.quantizeInt8(df, "vec_id", "embedding")
-      .as[(Long, Int, Long)].collect().toSeq
+      .as[(Long, Long, Long)].collect().toSeq
     // dim0 maxabs 2 -> scale 2/127: 1.0 -> 64 (63.5+.5 floor), -2.0 -> -127
     // dim1 maxabs .5: -0.5 -> -127, 0.25 -> 64; dim2 all zero -> 0
     assert(got == Seq(
@@ -134,7 +134,7 @@ class Round7fSpec extends EtlSpecBase {
       (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11 - 5) / 5.0f)))
     val df = vecs.toDF("vec_id", "embedding")
     val codes = SimilarityOps.quantizeInt8(df, "vec_id", "embedding")
-      .as[(Long, Int, Long)].collect()
+      .as[(Long, Long, Long)].collect()
       .map { case (id, d, c) => (id, d) -> c }.toMap
     val maxAbs = Array.tabulate(4)(d => vecs.map(v => math.abs(v._2(d))).max)
     for ((id, vec) <- vecs; d <- 0 until 4) {

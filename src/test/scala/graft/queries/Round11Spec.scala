@@ -293,9 +293,9 @@ class Round11Spec extends PlantedQuerySpec {
       (i.toLong, ts(f"1970-01-${i + 1}%02dT00:00:00Z"), r)
     }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
     val got = run("q207_seasonal_decompose", plant("orders" -> orders))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))
-    val expected = Seq((1, 1L, -10L, 0L), (2, 1L, -10L, 0L), (7, 1L, 0L, 0L))
+    val expected = Seq((1L, 1L, -10L, 0L), (2L, 1L, -10L, 0L), (7L, 1L, 0L, 0L))
     assert(got.toSeq == expected, got.mkString(", "))
   }
 
@@ -540,14 +540,14 @@ class Round11Spec extends PlantedQuerySpec {
     val orders = Seq((1L, "P", 10.0), (2L, "P", 20.0), (3L, "P", 30.0),
       (4L, "P", 40.0)).toDF("o_orderkey", "o_orderpriority", "o_totalprice")
     val got = run("q221_analytic_suite", plant("orders" -> orders))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5),
         if (r.isNullAt(6)) None else Some(r.getLong(6))))
     val expected = Seq(
-      ("P", 1, 1L, 10L, 0L, 250L, None),
-      ("P", 2, 1L, 20L, 333L, 500L, Some(2L)),
-      ("P", 3, 1L, 30L, 667L, 750L, Some(2L)),
-      ("P", 4, 1L, 40L, 1000L, 1000L, Some(2L)))
+      ("P", 1L, 1L, 10L, 0L, 250L, None),
+      ("P", 2L, 1L, 20L, 333L, 500L, Some(2L)),
+      ("P", 3L, 1L, 30L, 667L, 750L, Some(2L)),
+      ("P", 4L, 1L, 40L, 1000L, 1000L, Some(2L)))
     assert(got.toSeq == expected, got.mkString(", "))
   }
 

@@ -253,12 +253,12 @@ class Round12bSpec extends PlantedQuerySpec {
       o(1996, "5-LOW", 99.0), o(1996, "5-LOW", 99.0))
       .toDF("o_orderdate", "o_orderpriority", "o_totalprice")
     val got = run("q250_simpson_check", plant("orders" -> orders))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6),
         r.getBoolean(7)))
     val expected = Seq(
-      (1995, 2L, 10.0, 1L, 9.0, 1L, -1L, true),
-      (1996, 1L, 100.0, 2L, 99.0, 1L, -1L, true))
+      (1995L, 2L, 10.0, 1L, 9.0, 1L, -1L, true),
+      (1996L, 1L, 100.0, 2L, 99.0, 1L, -1L, true))
     assert(got.toSeq == expected, got.mkString(", "))
   }
 }

@@ -74,10 +74,10 @@ class Round12gSpec extends PlantedQuerySpec {
         (3L, 1L, 1L, 1d, 40.00, 0.00, 0.00, "1996-06-01"), // cust N3 drop
         (1L, 1L, 1L, 1d, 50.00, 0.00, 0.00, "1995-06-01"))) // date drop
     val got = run("q257_tpch_q7", dir).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(
-      ("NATION_13", "NATION_19", 1996, 100000L),
-      ("NATION_19", "NATION_13", 1997, 180000L)), got.mkString(", "))
+      ("NATION_13", "NATION_19", 1996L, 100000L),
+      ("NATION_19", "NATION_13", 1997L, 180000L)), got.mkString(", "))
   }
 
   test("q258 Q8: per-year ppm share; non-ASIA customer and non-type " +
@@ -103,10 +103,10 @@ class Round12gSpec extends PlantedQuerySpec {
         (1L, 2L, 1L, 1d, 40.00, 0.00, 0.00, "1996-06-02"), // PROMO drop
         (3L, 1L, 1L, 1d, 50.00, 0.00, 0.00, "1996-06-02"))) // AFRICA drop
     val got = run("q258_tpch_q8", dir).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(
-      (1996, 100000L, 300000L, 333333L),
-      (1997, 100000L, 100000L, 1000000L)), got.mkString(", "))
+      (1996L, 100000L, 300000L, 333333L),
+      (1997L, 100000L, 100000L, 1000000L)), got.mkString(", "))
   }
 
   test("q259 Q13: zero-order customers land in the c_count=0 bucket") {

@@ -70,6 +70,6 @@ class Round13cSpec extends PlantedQuerySpec {
     assert(r.getDate(4).toString == "1997-03-15" &&
       r.getDate(5).toString == "1997-03-15")
     // 12 + 12 + 15 + 15 + 2 + 8 = 64 fixed columns
-    assert(r.getInt(6) == 64 && r.getInt(7) == 64, r.toString)
+    assert(r.getLong(6) == 64L && r.getLong(7) == 64L, r.toString)
   }
 }

@@ -38,6 +38,15 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: columns {sc} != {dc}")
             n_fail += 1
             continue
+        # Type sensitivity: the driver hashes typed values, so an
+        # oracle that returns HUGEINT/DECIMAL/DOUBLE where the Spark
+        # dump has BIGINT diverges even when every cell is equal
+        # (q337, round 13). Compare DESCRIBE output on both sides.
+        tdiffs = _type_diffs(con, sql, f"{outdir}/{name}/*.parquet")
+        if tdiffs:
+            print(f"FAIL {name}: output-type divergence: {tdiffs}")
+            n_fail += 1
+            continue
         import numpy as np
         sortable = [c for c in sc
                     if not isinstance(spark_df[c].iloc[0] if len(spark_df) else None,
@@ -72,6 +81,34 @@ def main(sfdir, outdir):
             print(f"PASS {name} ({len(a)} rows, {len(sc)} cols)")
     print(f"{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'}")
     return 1 if n_fail else 0
+
+
+def _canon_type(t):
+    """Collapse spellings that hash identically via pandas (DECIMAL
+    scale noise, VARCHAR aliases) but keep width/family distinctions
+    the driver's hash can see."""
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return "DECIMAL"
+    if t in ("TEXT", "STRING", "CHAR", "BPCHAR"):
+        return "VARCHAR"
+    if t == "TIMESTAMP_NS":
+        return "TIMESTAMP"
+    return t
+
+
+def _type_diffs(con, sql, dump_glob):
+    """Per-column type divergences between the oracle SQL's result
+    schema and the Spark parquet dump's schema. Returns a list of
+    (col, spark_type, duck_type) tuples; empty = clean."""
+    def describe(q):
+        rows = con.sql(f"DESCRIBE {q}").fetchall()
+        return {r[0]: _canon_type(r[1]) for r in rows}
+    spark_t = describe(f"SELECT * FROM '{dump_glob}'")
+    duck_t = describe(f"({sql})")
+    return [(c, spark_t[c], duck_t[c])
+            for c in sorted(set(spark_t) & set(duck_t))
+            if spark_t[c] != duck_t[c]]
 
 
 def _eq(x, y):
