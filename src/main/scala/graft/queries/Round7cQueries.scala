@@ -49,7 +49,7 @@ object Round7cQueries {
   // blocking) as the catalogs grow.
   private val FuzzyMaxDist = 2
 
-  private def dirtyName(name: org.apache.spark.sql.Column,
+  private[queries] def dirtyName(name: org.apache.spark.sql.Column,
       key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(key % 3 === 0,
       concat(substring(name, 1, 11), substring(name, 13, 6)))
@@ -69,7 +69,7 @@ object Round7cQueries {
     MatchOps.fuzzyBestMatch(dirty, clean, FuzzyMaxDist)
   }
 
-  private val q105Oracle: String = {
+  private[queries] val q105Oracle: String = {
     // single line: this string is re-embedded in two more stripMargin
     // interpolations, which would eat a line-leading "||" as margins
     val dirtyCase =
