@@ -55,9 +55,13 @@ object Round14cQueries {
       .groupBy("n", "m")
       .agg(sum(expr("CAST(a + b AS DECIMAL(38,0)) * d * d")).as("s"))
       .select(col("n"), col("m"),
-        expr("CAST(((s * 1000) div (n * CAST(m AS DECIMAL(38,0))))" +
-          " * 1000 div (CAST(n + m AS DECIMAL(38,0)) * (n + m))" +
-          " AS BIGINT)").as("t_micro"))
+        // div returns BIGINT in Spark — route the intermediate back
+        // through DECIMAL or the *1000 overflows at 10x (caught by the
+        // round-14 offset-key stress)
+        expr("CAST(CAST((s * 1000) div (n * CAST(m AS DECIMAL(38,0)))" +
+          " AS DECIMAL(38,0)) * 1000 div" +
+          " (CAST(n + m AS DECIMAL(38,0)) * (n + m)) AS BIGINT)")
+          .as("t_micro"))
   }
 
   private val q387Oracle: String =

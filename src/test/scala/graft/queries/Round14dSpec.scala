@@ -17,7 +17,7 @@ class Round14dSpec extends PlantedQuerySpec {
     val dir = plant("customer" -> names)
     val viaBlock = run("q105_fuzzy_match", dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val viaQgram = run("q393_fuzzy_qgram", dir).collect()
+    val viaQgram = run("q393_fuzzy_deletion_join", dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(viaBlock.nonEmpty)
     assert(viaQgram == viaBlock,
