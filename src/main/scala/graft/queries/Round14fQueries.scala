@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-14 sixth wave: q396 — the 100 TB switch for q371's x99
+  * permutation expansion, in the q188 gate pattern: the normal
+  * approximation to the permutation null (exact finite-population
+  * moments, Phi via the Abramowitz-Stegun erf polynomial as one fixed
+  * IEEE expression) runs side-by-side with the empirical x99 path and
+  * the query emits agreement gates — a production deployment drops
+  * the permutation side and keeps the one-scan approximation.
+  */
+object Round14fQueries {
+
+  private val FdrPerms = 99
+
+  // Phi(|z|) via erf (A&S 7.1.26), written ONCE and shared by both
+  // engines: identical expression tree over identical doubles is
+  // bit-identical (the corr/OLS parity class). Input column: z2num,
+  // z2den (exact integers with z^2 = z2num^2/z2den); emits the
+  // two-sided p in 100ths.
+  private def approxP100(z2num: String, z2denNum: String,
+      nm1: String): String = {
+    val az = s"(abs(CAST($z2num AS DOUBLE)) / sqrt(CAST($z2denNum" +
+      s" AS DOUBLE) / CAST($nm1 AS DOUBLE)))"
+    val x = s"($az / 1.4142135623730951)" // |z|/sqrt(2)
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    val erf = s"(1.0 - (((((1.061405429 * $t - 1.453152027) * $t)" +
+      s" + 1.421413741) * $t - 0.284496736) * $t + 0.254829592) * $t" +
+      s" * exp(-($x * $x)))"
+    // two-sided p = 2*(1 - Phi(|z|)) = 1 - erf(|z|/sqrt(2)),
+    // approximating the SAME estimator the empirical path uses:
+    // p100 = 1 + #{perm >= obs} has expectation 1 + 99p — without the
+    // +1 floor the approximation reports 0 where 99 draws cannot, and
+    // a strong effect flips the BH decision (caught by the planted
+    // spec)
+    s"1 + CAST(floor((1.0 - $erf) * $FdrPerms + 0.5) AS BIGINT)"
+  }
+
+  private def q396(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.read(spark, sfDir, "customer")
+      .select(col("c_custkey").as("ck"),
+        col("c_nationkey").cast("long").as("nk"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"))
+      .localCheckpoint(true) // real census AND the x99 gate side
+    val g = cust.agg(count(lit(1)).as("nn"), sum(col("v")).as("gg"),
+      sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("qq"))
+    val statMilli = "CAST(CASE WHEN s * nn - gg * n < 0" +
+      " THEN -(s * nn - gg * n) ELSE s * nn - gg * n END" +
+      " AS DECIMAL(38,0)) * 1000 div (CAST(n AS DECIMAL(38,0)) * nn)"
+    val obs = cust.groupBy("nk")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .crossJoin(broadcast(g))
+      .select(col("nk"), col("n"), expr(statMilli).as("stat_milli"),
+        // z^2 = (s*nn - n*gg)^2 / (n*(nn-n)/(nn-1)*(nn*qq - gg^2))
+        // held as exact integer numerator/denominator
+        expr("s * nn - n * gg").as("z2num"),
+        // kept as an exact DECIMAL numerator — Spark's div would land
+        // the ~1e22 quotient in BIGINT and wrap
+        expr("CAST(n AS DECIMAL(38,0)) * (nn - n)" +
+          " * (nn * qq - CAST(gg AS DECIMAL(38,0)) * gg)").as("z2dnum"),
+        expr("nn - 1").as("nm1"))
+      .withColumn("approx_p100",
+        expr(approxP100("z2num", "z2dnum", "nm1")))
+    // the empirical x99 side (DROPPED in the production mode — it is
+    // the truth half of the gate, exactly like q188's exact-NDV side)
+    import spark.implicits._
+    val perms = (1 to FdrPerms).map(_.toLong).toDF("p")
+    val permStats = cust.crossJoin(broadcast(perms))
+      .select(col("p"), expr("((((ck + p * 1000003) * 1103515245" +
+        " + 12345) % 2147483648) * 1103515245 + 54321) % 2147483648 % 25")
+        .as("nk"), col("v"))
+      .groupBy("p", "nk").agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .crossJoin(broadcast(g))
+      .select(col("nk"), expr(statMilli).as("perm_stat"))
+    val pvals = obs.join(permStats, Seq("nk"), "left")
+      .groupBy("nk", "n", "stat_milli", "approx_p100")
+      .agg((lit(1L) + sum(when(col("perm_stat") >= col("stat_milli"), 1L)
+        .otherwise(0L))).as("p100"))
+    // BH at alpha 0.05 on BOTH p orderings; the gates: decisions agree
+    // and the approximate p sits within +/-15 hundredths of the
+    // empirical one (99-draw granularity + polynomial error)
+    def bh(pCol: String, flag: String)(df: DataFrame): DataFrame = {
+      val ranked = df.withColumn("__rk",
+        row_number().over(Window.orderBy(col(pCol), col("nk")))
+          .cast("long"))
+      val kmax = ranked.agg(coalesce(max(when(
+        col(pCol) * 5L <= col("__rk"), col("__rk"))), lit(0L))
+        .as(s"__kmax_$flag"))
+      ranked.crossJoin(broadcast(kmax))
+        .withColumn(flag, col("__rk") <= col(s"__kmax_$flag"))
+        .drop("__rk", s"__kmax_$flag")
+    }
+    bh("approx_p100", "rej_approx")(bh("p100", "rej_exact")(pvals))
+      .select(col("nk"), col("n"), col("stat_milli"), col("p100"),
+        col("approx_p100"),
+        (col("rej_exact") === col("rej_approx")).as("decision_agree"),
+        // +/-20 hundredths: fixture-scale groups (n ~ 600) track
+        // within 8; tiny groups (n ~ 8, the planted spec) drift to ~19
+        // because the permutation null MIXES rebinned group sizes while
+        // the approximation conditions on the observed n
+        (abs(col("p100") - col("approx_p100")) <= 20L).as("p_close"))
+      .orderBy("nk")
+  }
+
+  private val q396Oracle: String = {
+    val statMilli = "CAST(CASE WHEN s * nn - gg * n < 0" +
+      " THEN -(s * nn - gg * n) ELSE s * nn - gg * n END" +
+      " AS HUGEINT) * 1000 // (CAST(n AS HUGEINT) * nn)"
+    val p100 = approxP100("z2num", "z2dnum", "nm1")
+    s"""WITH cust AS (SELECT c_custkey AS ck,
+       |    CAST(c_nationkey AS BIGINT) AS nk,
+       |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+       |  FROM customer),
+       |g AS (SELECT count(*) AS nn, CAST(sum(v) AS BIGINT) AS gg,
+       |    sum(CAST(v AS HUGEINT) * v) AS qq FROM cust),
+       |obs AS (SELECT nk, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+       |  FROM cust GROUP BY 1),
+       |ob2 AS (SELECT nk, n, $statMilli AS stat_milli,
+       |    s * nn - n * gg AS z2num,
+       |    CAST(n AS HUGEINT) * (nn - n)
+       |      * (nn * qq - CAST(gg AS HUGEINT) * gg) AS z2dnum,
+       |    nn - 1 AS nm1
+       |  FROM obs, g),
+       |ob3 AS (SELECT nk, n, stat_milli, $p100 AS approx_p100 FROM ob2),
+       |perm AS (SELECT p.p,
+       |    ((((ck + p.p * 1000003) * 1103515245 + 12345) % 2147483648)
+       |      * 1103515245 + 54321) % 2147483648 % 25 AS nk, v
+       |  FROM cust, (SELECT unnest(range(1, ${FdrPerms + 1})) AS p) p),
+       |ps AS (SELECT nk, $statMilli AS perm_stat FROM
+       |  (SELECT p, nk, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+       |   FROM perm GROUP BY 1, 2), g),
+       |pv AS (SELECT o.nk, o.n, o.stat_milli, o.approx_p100,
+       |    1 + count(CASE WHEN ps.perm_stat >= o.stat_milli THEN 1 END)
+       |      AS p100
+       |  FROM ob3 o LEFT JOIN ps ON o.nk = ps.nk
+       |  GROUP BY 1, 2, 3, 4),
+       |r1 AS (SELECT *, row_number() OVER (ORDER BY p100, nk) AS rk1
+       |  FROM pv),
+       |k1 AS (SELECT coalesce(max(CASE WHEN p100 * 5 <= rk1
+       |    THEN rk1 END), 0) AS kmax1 FROM r1),
+       |r2 AS (SELECT r1.*, rk1 <= kmax1 AS rej_exact,
+       |    row_number() OVER (ORDER BY approx_p100, nk) AS rk2
+       |  FROM r1, k1),
+       |k2 AS (SELECT coalesce(max(CASE WHEN approx_p100 * 5 <= rk2
+       |    THEN rk2 END), 0) AS kmax2 FROM r2)
+       |SELECT nk, n, CAST(stat_milli AS BIGINT) AS stat_milli,
+       |  CAST(p100 AS BIGINT) AS p100,
+       |  approx_p100,
+       |  rej_exact = (rk2 <= kmax2) AS decision_agree,
+       |  abs(p100 - approx_p100) <= 20 AS p_close
+       |FROM r2, k2 ORDER BY nk""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q396_perm_fdr_normal", q396, Some(q396Oracle)),
+  )
+}
