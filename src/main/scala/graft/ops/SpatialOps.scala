@@ -36,6 +36,20 @@ import org.apache.spark.sql.functions._
   */
 object SpatialOps {
 
+  /** Input contract for every point frame in this object (ADVICE
+    * r14): x and y must be NONNEGATIVE integers with x/s and y/s
+    * below 2^21. Spark's `div` truncates toward zero, so a negative
+    * coordinate would fold cells around 0 and silently corrupt the
+    * exact offset classification; a caller with signed coordinates
+    * shifts them nonnegative first (distance is translation-
+    * invariant). [[adaptiveSide]] enforces this driver-side on its
+    * one scalar aggregate; the per-point paths document rather than
+    * scan — a data-level require would cost a full pass. */
+  private def requireNonneg(x0: Long, y0: Long, x1: Long, y1: Long, s: Long): Unit =
+    require(x0 >= 0L && y0 >= 0L && x1 / s < M && y1 / s < M,
+      s"SpatialOps needs nonnegative coords with coord/s < 2^21, got " +
+        s"x in [$x0,$x1], y in [$y0,$y1], s=$s")
+
   /** (cx, cy) packs into cx*M + cy. 2^21 exceeds any cell-coordinate
     * span this machinery sees (side >= 32 over a <=2^20 grid); an
     * offset that underflows cy lands on a phantom cell no point
@@ -80,10 +94,15 @@ object SpatialOps {
       min(col("x")).as("x0"), max(col("x")).as("x1"),
       min(col("y")).as("y0"), max(col("y")).as("y1")).collect()(0)
     if (row.isNullAt(1) || row.getLong(0) == 0L) return r
+    val s0 = math.max(r / 16L, 32L)
+    // the min/max are already in hand — enforce the coordinate
+    // contract here, at the smallest side any caller can get back
+    requireNonneg(row.getLong(1), row.getLong(3),
+      row.getLong(2), row.getLong(4), s0)
     val area = (row.getLong(2) - row.getLong(1) + 1).toDouble *
       (row.getLong(4) - row.getLong(3) + 1).toDouble
     val s = math.sqrt(target.toDouble * area / row.getLong(0)).toLong
-    math.max(math.min(s, r), math.max(r / 16L, 32L))
+    math.max(math.min(s, r), s0)
   }
 
   private def withCells(pts: DataFrame, s: Long): DataFrame = pts
@@ -97,8 +116,9 @@ object SpatialOps {
   /** Exact weighted count of points within distance `r` of each point
     * (self excluded): cnt(a) = sum of w(b) over b != a with
     * dist(a,b) <= r. Input needs (id, x, y, `wCol`) with `wCol` a LONG
-    * weight and UNIQUE ids. Returns (id, cnt) for EVERY input point
-    * (zero-neighbor points included). */
+    * weight, UNIQUE ids, and coordinates per the [[requireNonneg]]
+    * contract (nonnegative; coord/s < 2^21). Returns (id, cnt) for
+    * EVERY input point (zero-neighbor points included). */
   def withinCounts(pts: DataFrame, r: Long, s: Long, wCol: String): DataFrame =
     withinCountsAB(pts, pts, r, s, wCol, excludeSameId = true)
 
@@ -242,7 +262,8 @@ object SpatialOps {
     *     data) re-probes with the legacy 3x3-at-R window.
     *
     * Returns (id, topk) with topk a (d2, idb)-sorted struct array of
-    * size <= k; points with no neighbor within r emit no row. The
+    * size <= k; points with no neighbor within r emit no row.
+    * Coordinates per the [[requireNonneg]] contract. The
     * per-point candidate fold is ONE map-side-combinable aggregation
     * (sorted-array slice), never a whole-partition window sort. */
   def topKWithin(pts: DataFrame, r: Long, s: Long, k: Int): DataFrame = {

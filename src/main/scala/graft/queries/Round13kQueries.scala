@@ -37,13 +37,18 @@ object Round13kQueries {
       .withColumn("cx", expr(s"x div $DbR"))
       .withColumn("cy", expr(s"y div $DbR"))
       .localCheckpoint(true)
-    // scale knob (VERDICT r13 #5): the density-adaptive grid computes
-    // the identical census without enumerating the full neighbor disk;
-    // q378 runs it unconditionally under the same oracle
-    if (sys.props.get("graft.spatial.adaptive").contains("true"))
-      return graft.ops.SpatialOps.dbscanCensus(pts.select("id", "x", "y"),
-        DbR, DbMinPts,
-        graft.ops.SpatialOps.adaptiveSide(pts.select("id", "x", "y"), DbR))
+    // DEFAULT dispatch = the density probe (round 15, VERDICT r14 #1):
+    // adaptiveSide returns a cell side < R exactly when density makes
+    // the legacy 3x3 pair join quadratic-expensive AND the ring
+    // machinery pays — route those to the adaptive census
+    // (bit-identical, same oracle, q378's unconditional path). A probe
+    // result of R means density is too low to matter and the legacy
+    // join stays. graft.spatial.legacy=true opts OUT (round 14's
+    // opt-IN graft.spatial.adaptive knob is retired).
+    val p3 = pts.select("id", "x", "y")
+    val side = graft.ops.SpatialOps.adaptiveSide(p3, DbR)
+    if (side < DbR && !sys.props.get("graft.spatial.legacy").contains("true"))
+      return graft.ops.SpatialOps.dbscanCensus(p3, DbR, DbMinPts, side)
     val home = pts.select(col("id").as("idb"), col("x").as("xb"),
       col("y").as("yb"), (col("cx") * lit(1024L) + col("cy")).as("cell"))
     val offs = array(lit(-1L), lit(0L), lit(1L))

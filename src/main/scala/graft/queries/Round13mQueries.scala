@@ -117,12 +117,15 @@ object Round13mQueries {
       .withColumn("cx", expr(s"x div $KnnR"))
       .withColumn("cy", expr(s"y div $KnnR"))
       .localCheckpoint(true)
-    // scale knob (VERDICT r13 #5): density-adaptive grid, identical
-    // result; q379 runs it unconditionally under the same oracle
-    if (sys.props.get("graft.spatial.adaptive").contains("true"))
-      return graft.ops.SpatialOps.spatialKnn(pts.select("id", "x", "y"),
-        KnnR, graft.ops.SpatialOps.adaptiveSide(pts.select("id", "x", "y"),
-          KnnR), 3)
+    // DEFAULT dispatch = the density probe (round 15, VERDICT r14 #1):
+    // cell side < R from adaptiveSide means the adaptive grid pays —
+    // run it (bit-identical, same oracle, q379's unconditional path);
+    // side == R keeps the legacy 3x3 join. graft.spatial.legacy=true
+    // opts OUT (the opt-IN graft.spatial.adaptive knob is retired).
+    val p3 = pts.select("id", "x", "y")
+    val side = graft.ops.SpatialOps.adaptiveSide(p3, KnnR)
+    if (side < KnnR && !sys.props.get("graft.spatial.legacy").contains("true"))
+      return graft.ops.SpatialOps.spatialKnn(p3, KnnR, side, 3)
     val home = pts.select(col("id").as("idb"), col("x").as("xb"),
       col("y").as("yb"), (col("cx") * lit(1024L) + col("cy")).as("cell"))
     val offs = array(lit(-1L), lit(0L), lit(1L))

@@ -36,9 +36,13 @@ object Round13qQueries {
         expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"))
       .localCheckpoint(true) // feeds the real census AND 99 permuted
     val g = cust.agg(count(lit(1)).as("nn"), sum(col("v")).as("gg"))
-    val statMilli = "CAST(CASE WHEN s * nn - gg * n < 0" +
-      " THEN -(s * nn - gg * n) ELSE s * nn - gg * n END" +
-      " AS DECIMAL(38,0)) * 1000 div (CAST(n AS DECIMAL(38,0)) * nn)"
+    // the cross-multiplication rides DECIMAL(38,0) from the first
+    // product (ADVICE r14, with q391/q396): BIGINT s * nn sits within
+    // a small factor of Long.MAX at ~sf100+, where Spark wraps
+    // silently while DuckDB raises
+    val statMilli = "abs(CAST(s AS DECIMAL(38,0)) * nn" +
+      " - CAST(gg AS DECIMAL(38,0)) * n)" +
+      " * 1000 div (CAST(n AS DECIMAL(38,0)) * nn)"
     val obs = cust.groupBy("nk")
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
       .crossJoin(broadcast(g))
@@ -68,9 +72,9 @@ object Round13qQueries {
   }
 
   private val q371Oracle: String = {
-    val statMilli = "CAST(CASE WHEN s * nn - gg * n < 0" +
-      " THEN -(s * nn - gg * n) ELSE s * nn - gg * n END" +
-      " AS HUGEINT) * 1000 // (CAST(n AS HUGEINT) * nn)"
+    val statMilli = "abs(CAST(s AS HUGEINT) * nn" +
+      " - CAST(gg AS HUGEINT) * n)" +
+      " * 1000 // (CAST(n AS HUGEINT) * nn)"
     s"""WITH cust AS (SELECT c_custkey AS ck,
        |    CAST(c_nationkey AS BIGINT) AS nk,
        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v

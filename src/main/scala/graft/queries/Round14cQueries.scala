@@ -163,14 +163,19 @@ object Round14cQueries {
       .groupBy("g").agg(count(lit(1)).as("ng"), sum(col("y")).as("sg"))
     val tot = cells.agg(sum(col("ng")).as("nn"), sum(col("sg")).as("ss"),
       count(lit(1)).as("ng_total"))
+    // leave-one-out sums ride DECIMAL(38,0) before the x1000 scaling
+    // (ADVICE r14): in BIGINT, ss * 1000 sits within a small factor of
+    // Long.MAX at ~sf100+, where Spark wraps silently while DuckDB
+    // raises; div lands the (small) quotient back in BIGINT
     cells.crossJoin(broadcast(tot))
       .select(col("nn"), col("ss"), col("ng_total"),
-        expr("(ss - sg) * 1000 div (nn - ng)").as("th"))
+        expr("(CAST(ss AS DECIMAL(38,0)) - sg) * 1000 div (nn - ng)")
+          .as("th"))
       .groupBy("nn", "ss", "ng_total")
       .agg(sum(col("th")).as("st"),
         sum(expr("CAST(th AS DECIMAL(38,0)) * th")).as("qt"))
       .select(col("ng_total").as("n_groups"),
-        expr("ss * 1000 div nn").as("theta_milli"),
+        expr("CAST(ss AS DECIMAL(38,0)) * 1000 div nn").as("theta_milli"),
         expr("CAST((ng_total - 1) * (ng_total * qt" +
           " - CAST(st AS DECIMAL(38,0)) * st)" +
           " div (CAST(ng_total AS DECIMAL(38,0)) * ng_total) AS BIGINT)")
@@ -189,11 +194,13 @@ object Round14cQueries {
        |    CAST(sum(sg) AS BIGINT) AS ss, count(*) AS ng_total
        |  FROM cells),
        |th AS (SELECT nn, ss, ng_total,
-       |    (ss - sg) * 1000 // (nn - ng) AS th FROM cells, tot),
+       |    CAST((CAST(ss AS HUGEINT) - sg) * 1000 // (nn - ng) AS BIGINT)
+       |      AS th FROM cells, tot),
        |ag AS (SELECT nn, ss, ng_total, CAST(sum(th) AS BIGINT) AS st,
        |    sum(CAST(th AS HUGEINT) * th) AS qt
        |  FROM th GROUP BY 1, 2, 3)
-       |SELECT ng_total AS n_groups, ss * 1000 // nn AS theta_milli,
+       |SELECT ng_total AS n_groups,
+       |  CAST(CAST(ss AS HUGEINT) * 1000 // nn AS BIGINT) AS theta_milli,
        |  CAST((ng_total - 1) * (ng_total * qt - CAST(st AS HUGEINT) * st)
        |    // (CAST(ng_total AS HUGEINT) * ng_total) AS BIGINT)
        |    AS jk_var_milli2,

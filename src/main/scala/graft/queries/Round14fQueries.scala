@@ -47,16 +47,21 @@ object Round14fQueries {
       .localCheckpoint(true) // real census AND the x99 gate side
     val g = cust.agg(count(lit(1)).as("nn"), sum(col("v")).as("gg"),
       sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("qq"))
-    val statMilli = "CAST(CASE WHEN s * nn - gg * n < 0" +
-      " THEN -(s * nn - gg * n) ELSE s * nn - gg * n END" +
-      " AS DECIMAL(38,0)) * 1000 div (CAST(n AS DECIMAL(38,0)) * nn)"
+    // cross-multiplications ride DECIMAL(38,0) from the first product
+    // (ADVICE r14): in BIGINT, s * nn sits within a small factor of
+    // Long.MAX at ~sf100+, where Spark wraps silently while DuckDB
+    // raises — the q387 discipline applied before the scaling too
+    val statMilli = "abs(CAST(s AS DECIMAL(38,0)) * nn" +
+      " - CAST(gg AS DECIMAL(38,0)) * n)" +
+      " * 1000 div (CAST(n AS DECIMAL(38,0)) * nn)"
     val obs = cust.groupBy("nk")
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
       .crossJoin(broadcast(g))
       .select(col("nk"), col("n"), expr(statMilli).as("stat_milli"),
         // z^2 = (s*nn - n*gg)^2 / (n*(nn-n)/(nn-1)*(nn*qq - gg^2))
         // held as exact integer numerator/denominator
-        expr("s * nn - n * gg").as("z2num"),
+        expr("CAST(s AS DECIMAL(38,0)) * nn - CAST(n AS DECIMAL(38,0)) * gg")
+          .as("z2num"),
         // kept as an exact DECIMAL numerator — Spark's div would land
         // the ~1e22 quotient in BIGINT and wrap
         expr("CAST(n AS DECIMAL(38,0)) * (nn - n)" +
@@ -80,8 +85,9 @@ object Round14fQueries {
       .agg((lit(1L) + sum(when(col("perm_stat") >= col("stat_milli"), 1L)
         .otherwise(0L))).as("p100"))
     // BH at alpha 0.05 on BOTH p orderings; the gates: decisions agree
-    // and the approximate p sits within +/-15 hundredths of the
-    // empirical one (99-draw granularity + polynomial error)
+    // and the approximate p sits within +/-20 hundredths of the
+    // empirical one (99-draw granularity + polynomial error; the
+    // bound's rationale is on the p_close column below)
     def bh(pCol: String, flag: String)(df: DataFrame): DataFrame = {
       val ranked = df.withColumn("__rk",
         row_number().over(Window.orderBy(col(pCol), col("nk")))
@@ -106,9 +112,9 @@ object Round14fQueries {
   }
 
   private val q396Oracle: String = {
-    val statMilli = "CAST(CASE WHEN s * nn - gg * n < 0" +
-      " THEN -(s * nn - gg * n) ELSE s * nn - gg * n END" +
-      " AS HUGEINT) * 1000 // (CAST(n AS HUGEINT) * nn)"
+    val statMilli = "abs(CAST(s AS HUGEINT) * nn" +
+      " - CAST(gg AS HUGEINT) * n)" +
+      " * 1000 // (CAST(n AS HUGEINT) * nn)"
     val p100 = approxP100("z2num", "z2dnum", "nm1")
     s"""WITH cust AS (SELECT c_custkey AS ck,
        |    CAST(c_nationkey AS BIGINT) AS nk,
@@ -119,7 +125,7 @@ object Round14fQueries {
        |obs AS (SELECT nk, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
        |  FROM cust GROUP BY 1),
        |ob2 AS (SELECT nk, n, $statMilli AS stat_milli,
-       |    s * nn - n * gg AS z2num,
+       |    CAST(s AS HUGEINT) * nn - CAST(n AS HUGEINT) * gg AS z2num,
        |    CAST(n AS HUGEINT) * (nn - n)
        |      * (nn * qq - CAST(gg AS HUGEINT) * gg) AS z2dnum,
        |    nn - 1 AS nm1

@@ -41,12 +41,13 @@ object Round7cQueries {
   // The dirty side plants two deterministic typo classes on the
   // 18-char customer names (delete char 12 / swap chars 14-15; every
   // third name left exact) and must re-link each to the clean
-  // catalog. The block signature is the LAST THREE characters — both
-  // typo classes act strictly left of them, so the true match always
+  // catalog. Default path (round 15): MatchOps.deletionBestMatch —
+  // the domain-free tiered deletion-neighborhood join. The legacy
+  // opt-in block signature is the LAST THREE characters — both typo
+  // classes act strictly left of them, so the true match always
   // shares the block, and the key has ~1000 uniform values (digits):
-  // candidate pairs scale as |L|·|R|/1000, the knob a 100 TB
-  // deployment turns by widening the suffix (or switching to q-gram
-  // blocking) as the catalogs grow.
+  // candidate pairs scale as |L|·|R|/1000 — a knob that needs
+  // retuning as catalogs grow, which is why it lost default status.
   private val FuzzyMaxDist = 2
 
   private[queries] def dirtyName(name: org.apache.spark.sql.Column,
@@ -59,12 +60,14 @@ object Round7cQueries {
       .otherwise(name)
 
   private def q105(spark: SparkSession, sfDir: String): DataFrame = {
-    // scale knob (round 14, the q347 pattern): the domain-free tiered
-    // deletion-neighborhood path computes the identical best-match
-    // table 3.4x faster at 10x density; q393 runs it unconditionally
-    // under this same oracle
-    if (sys.props.get("graft.match.deletion").contains("true"))
-      return Round14dQueries.defs.head.fn(spark, sfDir)
+    // DEFAULT = the domain-free tiered deletion-neighborhood path
+    // (round 15, VERDICT r14 #1 — the scale-safe twin is no longer
+    // behind a knob): identical best-match table, 3.4x faster at 10x
+    // density, recall-lossless with no blocking key to design.
+    // graft.match.block=true opts BACK into the legacy suffix-block
+    // join (the knob inverted from round 14's graft.match.deletion).
+    if (!sys.props.get("graft.match.block").contains("true"))
+      return Round14dQueries.q393(spark, sfDir)
     val c = Tables.read(spark, sfDir, "customer")
     val clean = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
       expr("right(c_name, 3)").as("block"))
