@@ -90,11 +90,15 @@ object MatchOps {
         .select(col("id"), col("rid").as("match_id"),
           col("dist").cast("long").as("dist"))
     }
-    def sigs(df: DataFrame, idAs: String, maxDel: Int) = df
-      .select(col("id").as(idAs), explode(deletionVariants("name")).as("v"))
-      .where(if (maxDel >= 2) lit(true) else col("v.p2") === -1)
-      .select(col(idAs), xxhash64(col("v.s")).as("sig"),
-        col("v.p1").as(s"${idAs}_p1"), col("v.p2").as(s"${idAs}_p2"))
+    // the generator is SIZED to the deletion count each side needs:
+    // the variant arrays are interpreted higher-order functions, so
+    // building the full 172-struct neighborhood and filtering it down
+    // to the 19 <=1-deletion rows costs 9x the strings it keeps —
+    // measured 25.9 s vs 4.7 s for the tier-1 join at 10x density
+    def sigs(df: DataFrame, idAs: String, v: Column) = df
+      .select(col("id").as(idAs), explode(v).as("__v"))
+      .select(col(idAs), xxhash64(col("__v.s")).as("sig"),
+        col("__v.p1").as(s"${idAs}_p1"), col("__v.p2").as(s"${idAs}_p2"))
     def verify(cand: DataFrame): DataFrame = cand
       .select(col("id"), col("rid")).distinct()
       .join(dirty.select(col("id"), col("name")), "id")
@@ -111,8 +115,9 @@ object MatchOps {
       "left_anti")
     // tier 1: one-deletion neighborhood — complete for dist <= 1
     val t1 = verify(
-      sigs(rem1, "id", 1)
-        .join(sigs(clean, "rid", 1).hint("shuffle_hash"), "sig")
+      sigs(rem1, "id", deletionVariants01("name"))
+        .join(sigs(clean, "rid", deletionVariants01("name"))
+          .hint("shuffle_hash"), "sig")
         .where(deletionCompat(col("id_p1"), col("id_p2"),
           col("rid_p1"), col("rid_p2"))))
       .where(col("dist") === 1)
@@ -120,55 +125,58 @@ object MatchOps {
     val rem2 = rem1.select("id", "name")
       .join(t1.select("id").distinct(), Seq("id"), "left_anti")
     // tier 2: the full <=2-deletion neighborhood for the residue,
-    // split by (probe-deletions, build-deletions) class
-    val pa = sigs(rem2, "id", 2)
-    val paC = pa.where(col("id_p2") =!= -1) // 2 probe deletions
-    val buildFull = sigs(clean, "rid", 2)
-    val buildC = buildFull.where(col("rid_p2") =!= -1) // 2 build deletions
-    // <=1 deletion on the probe side: <=19 probe signatures per id
-    val candA = pa.where(col("id_p2") === -1)
-      .join(buildFull.hint("shuffle_hash"), "sig")
+    // split by (probe-deletions, build-deletions) class so each of
+    // the four joins generates exactly the variant depth it consumes
+    val p01 = sigs(rem2, "id", deletionVariants01("name"))
+    val p2 = sigs(rem2, "id", deletionVariants2("name"))
+    val b01 = sigs(clean, "rid", deletionVariants01("name"))
+    val b2 = sigs(clean, "rid", deletionVariants2("name"))
+    def compatJoin(p: DataFrame, b: DataFrame): DataFrame = p
+      .join(b.hint("shuffle_hash"), "sig")
       .where(deletionCompat(col("id_p1"), col("id_p2"),
         col("rid_p1"), col("rid_p2")))
-    // 2 probe deletions vs <=1 build deletion: <=19 build signatures
-    val candB = paC
-      .join(buildFull.where(col("rid_p2") === -1).hint("shuffle_hash"),
-        "sig")
-      .where(deletionCompat(col("id_p1"), col("id_p2"),
-        col("rid_p1"), col("rid_p2")))
-    // 2x2 — the ~136x-by-~136x class where the subsequence junk
+      .select(col("id"), col("rid"))
+    // 2x2 — the ~153x-by-~153x class where the subsequence junk
     // lives. (2,2)-compat is near(a1,b1) AND near(a2,b2); the first
     // conjunct moves INTO THE JOIN KEY: the probe explodes the <=5
     // b1 values within its window and the join runs on (sig, rid_p1),
     // so junk pairs with incompatible first edit points never form
-    val candC = paC
+    val cand22 = p2
       .withColumn("rid_p1", explode(sequence(
         greatest(col("id_p1") - 2, lit(1)), col("id_p1") + 2)))
-      .join(buildC.hint("shuffle_hash"), Seq("sig", "rid_p1"))
+      .join(b2.hint("shuffle_hash"), Seq("sig", "rid_p1"))
       .where(abs(col("id_p2") - col("rid_p2")) <= 2)
-    val t2 = verify(candA.select("id", "rid")
-        .unionAll(candB.select("id", "rid"))
-        .unionAll(candC.select("id", "rid")))
+      .select(col("id"), col("rid"))
+    val t2 = verify(compatJoin(p01, b01)
+        .unionAll(compatJoin(p01, b2))
+        .unionAll(compatJoin(p2, b01))
+        .unionAll(cand22))
       .where(col("dist") >= 0 && col("dist") <= 2)
     best(t0).unionAll(best(t1)).unionAll(best(t2)).orderBy("id")
   }
 
-  /** The <=2-deletion variant set of `nameCol` as an array of
-    * (s, p1, p2) structs — the variant string plus its sorted deleted
-    * positions (-1 = unused). */
-  private[graft] def deletionVariants(nameCol: String): Column = expr(
+  /** The <=1-deletion variant set of `nameCol` (1 + L structs) as
+    * (s, p1, p2) — the variant string plus its sorted deleted
+    * positions (-1 = unused). Kept separate from [[deletionVariants2]]
+    * because the arrays are interpreted higher-order functions:
+    * generating depth a consumer filters away costs the full depth. */
+  private[graft] def deletionVariants01(nameCol: String): Column = expr(
     s"flatten(array(" +
       s" array(struct($nameCol AS s, -1 AS p1, -1 AS p2))," +
       s" transform(sequence(1, length($nameCol)), i ->" +
       s"   struct(concat(substring($nameCol, 1, i-1)," +
       s"     substring($nameCol, i+1, length($nameCol))) AS s," +
-      s"     i AS p1, -1 AS p2))," +
-      s" flatten(transform(sequence(1, length($nameCol) - 1), i ->" +
-      s"   transform(sequence(i + 1, length($nameCol)), j ->" +
-      s"     struct(concat(substring($nameCol, 1, i-1)," +
-      s"       substring($nameCol, i+1, j-i-1)," +
-      s"       substring($nameCol, j+1, length($nameCol))) AS s," +
-      s"       i AS p1, j AS p2))))))")
+      s"     i AS p1, -1 AS p2))))")
+
+  /** The exactly-2-deletion variant set of `nameCol` (L(L-1)/2
+    * structs), positions sorted p1 < p2. */
+  private[graft] def deletionVariants2(nameCol: String): Column = expr(
+    s"flatten(transform(sequence(1, length($nameCol) - 1), i ->" +
+      s" transform(sequence(i + 1, length($nameCol)), j ->" +
+      s"   struct(concat(substring($nameCol, 1, i-1)," +
+      s"     substring($nameCol, i+1, j-i-1)," +
+      s"     substring($nameCol, j+1, length($nameCol))) AS s," +
+      s"     i AS p1, j AS p2))))")
 
   /** Sound alignment-compatibility of two sorted deletion-position
     * lists (sizes 0..2, -1-padded): empty lists always pass
