@@ -71,6 +71,16 @@ object Bench {
     // host two reps leave 1.7 s spreads on 4 s queries — regression
     // detection needs one more sample's worth of noise rejection
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // settle mode (default ON; SPARK_GRAFT_BENCH_SETTLE=0 disables for
+    // A/B runs): the spread hypothesis (VERDICT r14 #4) is that state
+    // debt from FINISHED queries lands inside later measured ones —
+    // (a) localCheckpoint blocks are only freed after a driver GC lets
+    // ContextCleaner's weak refs fire, so block-manager debt from 396
+    // queries x reps piles up and evicts/competes with live queries;
+    // (b) the listener bus queue saturates and stalls task submission.
+    // Between queries (untimed) we therefore drop every lingering
+    // persisted RDD deterministically and drain the listener bus.
+    val settle = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE", "1") != "0"
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }.zipWithIndex.map {
       case ((name, fn), i) =>
@@ -90,6 +100,12 @@ object Bench {
               false
             }
           ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        if (settle) {
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          org.apache.spark.GraftSparkInternals
+            .drainListenerBus(spark.sparkContext)
         }
         val best = runs.map(_._1).min
         (name, best, runs.map(_._1).max - best, runs.forall(_._2))

@@ -11,6 +11,10 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // FAIR so ConcurrentExecSpec can give each submitting thread its
+    // own pool; single-threaded suites are unaffected (one job at a
+    // time schedules identically under FAIR and FIFO)
+    .config("spark.scheduler.mode", "FAIR")
     .getOrCreate()
 }
 
