@@ -35,7 +35,7 @@ object SparkEntry {
       Round13qQueries.defs ++ Round13rQueries.defs ++ Round13sQueries.defs ++
       Round14Queries.defs ++ Round14bQueries.defs ++ Round14cQueries.defs ++
       Round14dQueries.defs ++ Round14eQueries.defs ++
-      Round14fQueries.defs
+      Round14fQueries.defs ++ Round15Queries.defs
 
   /** Flagship: full auto-cleaning ETL of the sf0.001 events table
     * (driver smoke-checks rows > 0).
