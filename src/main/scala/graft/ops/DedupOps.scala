@@ -512,24 +512,69 @@ object DedupOps {
         "values where maxDist + 1 divides 32 give the tightest buckets")
     val nChunks = maxDist + 1
     val bits = 32 / nChunks
+    // TWO-LEVEL pigeonhole (round 15): on shared-vocabulary corpora the
+    // signatures CLUSTER, so a single bits-wide bucket goes quadratic —
+    // one 8-bit bucket held 17k docs at 10x density (290M candidate
+    // pairs, 54 s). Alongside the clean chunk, a pair within maxDist
+    // also has a clean subBits-wide piece among the nChunks pieces of
+    // the LOW nChunks*subBits bits (its <= maxDist diffs cannot dirty
+    // all of them) — and the two clean indices exist INDEPENDENTLY, so
+    // the join key extends to (c, v, c2, v2) with an nChunks^2-way
+    // explode that splits every hot bucket by bits the first level
+    // ignored. The fixed sub-chunk layout (not remainder-of-c) keeps
+    // the canonical filter below one CASE per level — a per-branch
+    // remainder rebuild ran 2x slower than the dedup shuffle it
+    // replaced. subBits = 0 (maxDist >= 16) degenerates to
+    // single-level banding.
+    val subBits = (32 - bits) / nChunks
     val sigs = df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))
+    val subIdx = if (subBits == 0) Seq(0) else 0 until nChunks
+    val keys = for (c <- 0 until nChunks; c2 <- subIdx)
+      yield struct(lit(c).as("c"),
+        shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("v"),
+        lit(c2).as("c2"),
+        (if (subBits == 0) lit(0L)
+         else shiftright(col("sh"), c2 * subBits)
+           .bitwiseAND(lit((1L << subBits) - 1))).as("v2"))
     val chunks = sigs.select(col("id"), col("sh"),
-      explode(array((0 until nChunks).map(c => struct(lit(c).as("c"),
-        shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("v"))): _*)).as("ck"))
-      .select(col("id"), col("sh"), col("ck.c").as("c"), col("ck.v").as("v"))
-    // verify BEFORE dedup: the popcount check needs no extra join (both
-    // signatures ride the candidate row), so it runs inside the join's
-    // codegen stage and the dropDuplicates shuffle only carries the
-    // small verified set — not the raw bucket-collision pairs, which
-    // a skewed chunk value can make orders of magnitude larger
-    chunks.select(col("c"), col("v"), col("id").as("id_a"), col("sh").as("sh_a"))
-      .join(chunks.select(col("c"), col("v"), col("id").as("id_b"), col("sh").as("sh_b")),
-        Seq("c", "v"))
-      .where(col("id_a") < col("id_b"))
+      explode(array(keys: _*)).as("ck"))
+      .select(col("id"), col("sh"), col("ck.c").as("c"), col("ck.v").as("v"),
+        col("ck.c2").as("c2"), col("ck.v2").as("v2"))
+    // CANONICAL-KEY emission instead of a dedup shuffle: a pair that
+    // agrees on k of the nChunks^2 keys would surface k times (a
+    // dist-0 pair: ALL of them — and on a templated corpus the
+    // duplicated TRUE pairs, not the junk, dominate the candidate
+    // stream: 67M of 84M rows at 10x). Which keys agree is a pure
+    // function of x = sh_a XOR sh_b: each row keeps the pair only at
+    // (first clean chunk of x, first clean sub-chunk of x) — exact
+    // multiplicity 1 from two nested-CASE values evaluated once per
+    // row inside the join's codegen stage; dropDuplicates (and its
+    // 67M-row shuffle) disappears outright.
+    def firstClean(x: Column, width: Int, n: Int): Column =
+      (n - 2 to 0 by -1).foldLeft(lit(n - 1)) { (acc, i) =>
+        when(shiftright(x, i * width)
+          .bitwiseAND(lit((1L << width) - 1)) === 0, lit(i))
+          .otherwise(acc)
+      }
+    val xorCol = col("sh_a").bitwiseXOR(col("sh_b"))
+    val canonical = col("c") === firstClean(xorCol, bits, nChunks) &&
+      (if (subBits == 0) lit(true)
+       else col("c2") === firstClean(xorCol, subBits, nChunks))
+    // shuffle_hash, not broadcast: Catalyst broadcasts the chunk table
+    // (its parquet-stat estimate stays under the threshold) and the
+    // single driver-built hashed relation probes at ~3M rows/s — the
+    // per-partition hash build is 13-20x faster on the 106M-row
+    // candidate stream (measured 32.0 s vs 2.5 s at 10x), and it
+    // scales with executors where a broadcast cannot
+    chunks.select(col("c"), col("v"), col("c2"), col("v2"),
+        col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(chunks.select(col("c"), col("v"), col("c2"), col("v2"),
+        col("id").as("id_b"), col("sh").as("sh_b")).hint("shuffle_hash"),
+        Seq("c", "v", "c2", "v2"))
+      .where(col("id_a") < col("id_b") && canonical)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("dist"))
       .where(col("dist") <= maxDist)
-      .dropDuplicates("id_a", "id_b")
   }
 
   def simhash32Sql(e: String): String = {

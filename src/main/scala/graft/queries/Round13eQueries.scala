@@ -43,15 +43,21 @@ object Round13eQueries {
       .localCheckpoint(true) // feeds the home AND expanded sides
     val home = pts.select(col("id").as("idb"), col("x").as("xb"),
       col("y").as("yb"), (col("cx") * lit(1024L) + col("cy")).as("cell"))
-    val offs = array(lit(-1L), lit(0L), lit(1L))
+    // HALF-PLANE probe (round 15): each unordered pair is produced
+    // exactly once — the id order is only needed inside the self cell.
+    // The old 3x3-probe-then-ida<idb plan materialized every candidate
+    // twice before the filter (324M join rows at 10x density); the
+    // half-window halves the join output with an identical pair set.
+    val halfOffs = Seq((0L, 0L), (1L, 0L), (-1L, 1L), (0L, 1L), (1L, 1L))
     val ex = pts
-      .withColumn("dx", explode(offs))
-      .withColumn("dy", explode(offs))
+      .withColumn("o", explode(array(halfOffs.map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)))
       .select(col("id").as("ida"), col("x").as("xa"), col("y").as("ya"),
-        ((col("cx") + col("dx")) * lit(1024L) + col("cy") + col("dy"))
+        (col("o.dx") === 0 && col("o.dy") === 0).as("self"),
+        ((col("cx") + col("o.dx")) * lit(1024L) + col("cy") + col("o.dy"))
           .as("cell"))
-    ex.join(home, "cell")
-      .where(col("ida") < col("idb"))
+    ex.join(home.hint("shuffle_hash"), "cell")
+      .where(!col("self") || col("ida") < col("idb"))
       .select(((col("xa") - col("xb")) * (col("xa") - col("xb")) +
         (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2"))
       .where(col("d2") <= lit(r2))
