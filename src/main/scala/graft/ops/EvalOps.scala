@@ -12,6 +12,54 @@ import org.apache.spark.sql.types.DoubleType
   */
 object EvalOps {
 
+  private val CumBuckets = 32
+
+  /** Exact cumulative sums over a value-keyed census, decomposed into
+    * percentile-cut value-contiguous buckets (the q223 Mann-Whitney /
+    * q231 Kruskal-Wallis / q248 PR-AUC prefix machinery) so no window
+    * ever runs on a single partition of the VALUE DOMAIN — on a real
+    * model-score or continuous-value column that domain approaches the
+    * row count, and an unpartitioned `Window.orderBy` would sort it on
+    * one task. Appends, per requested sum column `c`, a `__cum_c`
+    * column = Σ of `c` over census rows with value strictly below
+    * (exclusive) or up to and including (inclusive) this row's value.
+    * Exact for ANY cut placement since + is associative and buckets
+    * are value-contiguous; the sketch cuts only balance the buckets.
+    * The only unpartitioned window left is the ≤[[CumBuckets]]-row
+    * carry prefix — bounded by config, not data. `valueCol` must be
+    * numeric (it feeds the percentile sketch) and the census must hold
+    * one row per distinct value (so within-bucket ordering is
+    * tie-free, hence deterministic).
+    */
+  private def bucketedCum(census: DataFrame, valueCol: String,
+      sumCols: Seq[String], inclusive: Boolean): DataFrame = {
+    val ck = census.localCheckpoint(true) // cuts probe + bucketed pass
+    val fracs = (1 until CumBuckets).map(_.toDouble / CumBuckets)
+    val cuts = ck.agg(percentile_approx(col(valueCol).cast(DoubleType),
+      array(fracs.map(lit): _*), lit(10000)).as("__cuts"))
+    val bucketed = ck.crossJoin(broadcast(cuts))
+      .withColumn("__bkt", (1 until CumBuckets).foldLeft(lit(1)) {
+        case (acc, i) => acc + when(col(valueCol).cast(DoubleType) >
+          element_at(col("__cuts"), i), 1).otherwise(0)
+      })
+      .drop("__cuts")
+      .localCheckpoint(true) // carry census + windowed pass
+    val carryAggs = sumCols.map(c => sum(col(c)).as(s"__bsum_$c"))
+    val carryW = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = sumCols.foldLeft(
+        bucketed.groupBy("__bkt").agg(carryAggs.head, carryAggs.tail: _*)) {
+      (df, c) => df.withColumn(s"__carry_$c",
+        coalesce(sum(col(s"__bsum_$c")).over(carryW), lit(0L)))
+    }.select(col("__bkt") +: sumCols.map(c => col(s"__carry_$c")): _*)
+    val w = Window.partitionBy("__bkt").orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+    sumCols.foldLeft(bucketed.join(broadcast(carried), "__bkt")) { (df, c) =>
+      df.withColumn(s"__cum_$c",
+        col(s"__carry_$c") + coalesce(sum(col(c)).over(w), lit(0L)))
+    }.drop("__bkt" +: sumCols.map(c => s"__carry_$c"): _*)
+  }
+
   /** Exact ROC AUC of `scoreCol` as a predictor of `labelCol`
     * (boolean), ties handled by average ranks — computed ENTIRELY in
     * integer arithmetic on doubled ranks:
@@ -21,21 +69,20 @@ object EvalOps {
     * Returns one row (np, nn, auc); degenerate label splits (NP or
     * NN = 0) yield NULL, DuckDB's x/0 convention.
     *
-    * Scale shape: one partial-aggregable score-group count, a
-    * cumulative window over DISTINCT scores ordered by score (the
-    * score domain, not the row count; for continuous scores bucket
-    * first), and a 1-row fold. `np·r2 ≤ N·2N` caps the exact path at
-    * ~3e9 rows per evaluation slice — beyond that, pre-bucket scores.
+    * Scale shape: one partial-aggregable score-group count, the
+    * [[bucketedCum]] prefix over the distinct-score census (bucket-
+    * partitioned windows — safe even when the score domain approaches
+    * the row count), and a 1-row fold. `np·r2 ≤ N·2N` caps the exact
+    * path at ~3e9 rows per evaluation slice — beyond that, pre-bucket
+    * scores.
     */
   def aucRankSum(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
     val g = df.select(labelCol.as("y"), scoreCol.as("s"))
       .groupBy("s").agg(count(lit(1)).as("cnt"),
         sum(when(col("y"), 1L).otherwise(0L)).as("np"))
-    val ord = Window.orderBy("s")
-    val withR2 = g.withColumn("below",
-        coalesce(sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("r2", lit(2L) * col("below") + col("cnt") + lit(1L))
-    withR2.agg(sum(col("np")).as("np"),
+    bucketedCum(g, "s", Seq("cnt"), inclusive = false)
+      .withColumn("r2", lit(2L) * col("__cum_cnt") + col("cnt") + lit(1L))
+      .agg(sum(col("np")).as("np"),
         sum(col("cnt") - col("np")).as("nn"),
         sum(col("np") * col("r2")).as("s2"))
       .select(col("np"), col("nn"),
@@ -144,18 +191,20 @@ object EvalOps {
     * (n_a, n_b, ks, at_value).
     *
     * Scale shape: one value-keyed conditional count (the shuffle is
-    * the VALUE DOMAIN, not the row count), one ordered window over
-    * distinct values, a 1-row TakeOrdered.
+    * the VALUE DOMAIN, not the row count), the [[bucketedCum]] prefix
+    * over the distinct-value census (bucket-partitioned windows —
+    * safe even when the value domain approaches the row count), a
+    * 1-row TakeOrdered.
     */
   def ksDrift(df: DataFrame, inA: Column, valueCol: Column): DataFrame = {
     val g = df.select(inA.as("a"), valueCol.as("v"))
       .groupBy("v").agg(
         sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
-    val ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    val tot = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    g.select(col("v"), sum(col("ca")).over(ord).as("cua"),
-        sum(col("cb")).over(ord).as("cub"))
+    val cum = bucketedCum(g, "v", Seq("ca", "cb"), inclusive = true)
+    val tot = cum.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.select(col("v"), col("__cum_ca").as("cua"),
+        col("__cum_cb").as("cub"))
       .crossJoin(broadcast(tot))
       .select(col("n_a"), col("n_b"),
         abs(col("cua").cast(DoubleType) / col("n_a").cast(DoubleType) -

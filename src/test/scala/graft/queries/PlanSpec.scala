@@ -852,6 +852,25 @@ class PlanSpec extends EtlSpecBase {
     assert(plan.contains("partial_"), s"CDF counts must combine map-side:\n$plan")
   }
 
+  test("q112 AUC / q122 KS: every window is bucket-partitioned (no " +
+    "unpartitioned value-domain window — round-16 rework onto the " +
+    "q223 bucketed prefix machinery)") {
+    // on a continuous score/value column the distinct domain approaches
+    // the row count, so an unpartitioned Window.orderBy would sort it
+    // on ONE task; the only unpartitioned window allowed is the
+    // <=32-row carry prefix, identified by its __bkt ordering key
+    for (q <- Seq("q112_auc_score", "q122_ks_drift")) {
+      val plan = planOf(q)
+      val windows = plan.linesIterator
+        .filter(_.contains("windowspecdefinition(")).toSeq
+      assert(windows.nonEmpty, s"$q: expected bucketed windows:\n$plan")
+      windows.foreach { l =>
+        assert(l.contains("__bkt"),
+          s"$q: unpartitioned value-domain window: $l\n$plan")
+      }
+    }
+  }
+
   test("q109 histogram: the min/max row broadcasts; counts combine map-side") {
     val plan = planOf("q109_histogram")
     assert(plan.contains("Broadcast"), s"1-row bounds frame must broadcast:\n$plan")
