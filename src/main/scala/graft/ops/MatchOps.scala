@@ -159,19 +159,28 @@ object MatchOps {
     * (s, p1, p2) — the variant string plus its sorted deleted
     * positions (-1 = unused). Kept separate from [[deletionVariants2]]
     * because the arrays are interpreted higher-order functions:
-    * generating depth a consumer filters away costs the full depth. */
+    * generating depth a consumer filters away costs the full depth.
+    * Length-guarded (ADVICE r15): `sequence(lo, hi)` DESCENDS when
+    * hi < lo (Spark's default step is -1), so an unguarded generator
+    * on the empty string would emit junk variants whose p1 collides
+    * with the -1 "unused" sentinel and silently degrades
+    * [[deletionCompat]] to always-pass for those rows. */
   private[graft] def deletionVariants01(nameCol: String): Column = expr(
     s"flatten(array(" +
       s" array(struct($nameCol AS s, -1 AS p1, -1 AS p2))," +
-      s" transform(sequence(1, length($nameCol)), i ->" +
+      s" transform(CASE WHEN length($nameCol) >= 1" +
+      s"     THEN sequence(1, length($nameCol)) ELSE array() END, i ->" +
       s"   struct(concat(substring($nameCol, 1, i-1)," +
       s"     substring($nameCol, i+1, length($nameCol))) AS s," +
       s"     i AS p1, -1 AS p2))))")
 
   /** The exactly-2-deletion variant set of `nameCol` (L(L-1)/2
-    * structs), positions sorted p1 < p2. */
+    * structs), positions sorted p1 < p2; empty for strings shorter
+    * than 2 (same descending-sequence guard as
+    * [[deletionVariants01]]). */
   private[graft] def deletionVariants2(nameCol: String): Column = expr(
-    s"flatten(transform(sequence(1, length($nameCol) - 1), i ->" +
+    s"flatten(transform(CASE WHEN length($nameCol) >= 2" +
+      s"   THEN sequence(1, length($nameCol) - 1) ELSE array() END, i ->" +
       s" transform(sequence(i + 1, length($nameCol)), j ->" +
       s"   struct(concat(substring($nameCol, 1, i-1)," +
       s"     substring($nameCol, i+1, j-i-1)," +

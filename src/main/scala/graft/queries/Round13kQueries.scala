@@ -44,11 +44,15 @@ object Round13kQueries {
     // (bit-identical, same oracle, q378's unconditional path). A probe
     // result of R means density is too low to matter and the legacy
     // join stays. graft.spatial.legacy=true opts OUT (round 14's
-    // opt-IN graft.spatial.adaptive knob is retired).
+    // opt-IN graft.spatial.adaptive knob is retired) — checked BEFORE
+    // the probe (ADVICE r15) so the opt-out also bypasses adaptiveSide's
+    // coordinate require and its extra scalar scan.
     val p3 = pts.select("id", "x", "y")
-    val side = graft.ops.SpatialOps.adaptiveSide(p3, DbR)
-    if (side < DbR && !sys.props.get("graft.spatial.legacy").contains("true"))
-      return graft.ops.SpatialOps.dbscanCensus(p3, DbR, DbMinPts, side)
+    if (!sys.props.get("graft.spatial.legacy").contains("true")) {
+      val side = graft.ops.SpatialOps.adaptiveSide(p3, DbR)
+      if (side < DbR)
+        return graft.ops.SpatialOps.dbscanCensus(p3, DbR, DbMinPts, side)
+    }
     val home = pts.select(col("id").as("idb"), col("x").as("xb"),
       col("y").as("yb"), (col("cx") * lit(1024L) + col("cy")).as("cell"))
     val offs = array(lit(-1L), lit(0L), lit(1L))

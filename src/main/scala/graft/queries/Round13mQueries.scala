@@ -121,11 +121,15 @@ object Round13mQueries {
     // cell side < R from adaptiveSide means the adaptive grid pays —
     // run it (bit-identical, same oracle, q379's unconditional path);
     // side == R keeps the legacy 3x3 join. graft.spatial.legacy=true
-    // opts OUT (the opt-IN graft.spatial.adaptive knob is retired).
+    // opts OUT (the opt-IN graft.spatial.adaptive knob is retired) —
+    // checked BEFORE the probe (ADVICE r15) so the opt-out also
+    // bypasses adaptiveSide's coordinate require and its extra scan.
     val p3 = pts.select("id", "x", "y")
-    val side = graft.ops.SpatialOps.adaptiveSide(p3, KnnR)
-    if (side < KnnR && !sys.props.get("graft.spatial.legacy").contains("true"))
-      return graft.ops.SpatialOps.spatialKnn(p3, KnnR, side, 3)
+    if (!sys.props.get("graft.spatial.legacy").contains("true")) {
+      val side = graft.ops.SpatialOps.adaptiveSide(p3, KnnR)
+      if (side < KnnR)
+        return graft.ops.SpatialOps.spatialKnn(p3, KnnR, side, 3)
+    }
     val home = pts.select(col("id").as("idb"), col("x").as("xb"),
       col("y").as("yb"), (col("cx") * lit(1024L) + col("cy")).as("cell"))
     val offs = array(lit(-1L), lit(0L), lit(1L))

@@ -266,6 +266,11 @@ object Round15Queries {
   // words absent from the other source contribute exactly ln 2 per
   // unit mass, so their whole mass folds in via the shared-word count
   // totals — the word-grain join only ever sees the intersection.
+  // Disjoint-vocabulary pairs (ADVICE r15): the pair spine is the
+  // |sources|² self-join of the TINY per-source totals frame, left-
+  // joined to the intersection aggregates with sums coalesced to 0 —
+  // the same formula then yields the closed-form kl = js = ln 2, so a
+  // maximally-divergent pair emits a row instead of silently vanishing.
   // Sign-safe trunc-div everywhere a sum can go negative.
   private val Ln2Micro = 693147L // floor(ln(2)*1e6 + 0.5)
 
@@ -296,11 +301,21 @@ object Round15Queries {
       " AS DOUBLE) / CAST(CAST(c1 AS DECIMAL(38,0)) * n2" +
       " + CAST(c2 AS DECIMAL(38,0)) * n1 AS DOUBLE)) * 1000000 + 0.5)" +
       " AS BIGINT)"
-    val pairs = a.join(b, "token").where(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b", "n1", "n2")
+    val inter = a.join(b, "token").where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
       .agg(sum(expr(s"CAST(c1 AS DECIMAL(38,0)) * ($lnA)")).as("sa"),
         sum(expr(s"CAST(c2 AS DECIMAL(38,0)) * ($lnB)")).as("sb"),
         sum(col("c1")).as("c1both"), sum(col("c2")).as("c2both"))
+    val spine = ns.select(col("source").as("src_a"), col("n").as("n1"))
+      .crossJoin(broadcast(
+        ns.select(col("source").as("src_b"), col("n").as("n2"))))
+      .where(col("src_a") < col("src_b"))
+    val pairs = spine.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n1"), col("n2"),
+        coalesce(col("sa"), lit(0L)).as("sa"),
+        coalesce(col("sb"), lit(0L)).as("sb"),
+        coalesce(col("c1both"), lit(0L)).as("c1both"),
+        coalesce(col("c2both"), lit(0L)).as("c2both"))
     pairs.select(col("src_a"), col("src_b"),
         expr(signDiv(s"sa + CAST(n1 - c1both AS DECIMAL(38,0))" +
           s" * $Ln2Micro", "n1")).as("kl_a_micro"),
@@ -335,18 +350,26 @@ object Round15Queries {
        |    ON x.token = y.token AND x.source < y.source
        |  JOIN ns na ON na.source = x.source
        |  JOIN ns nb ON nb.source = y.source),
-       |pr AS (SELECT src_a, src_b, n1, n2,
+       |pr AS (SELECT src_a, src_b,
        |    sum(CAST(c1 AS HUGEINT) * ($lnA)) AS sa,
        |    sum(CAST(c2 AS HUGEINT) * ($lnB)) AS sb,
        |    CAST(sum(c1) AS BIGINT) AS c1both,
        |    CAST(sum(c2) AS BIGINT) AS c2both
-       |  FROM p0 GROUP BY 1, 2, 3, 4),
+       |  FROM p0 GROUP BY 1, 2),
+       |ap AS (SELECT na.source AS src_a, nb.source AS src_b,
+       |    na.n AS n1, nb.n AS n2
+       |  FROM ns na JOIN ns nb ON na.source < nb.source),
+       |pc AS (SELECT ap.src_a, ap.src_b, ap.n1, ap.n2,
+       |    coalesce(sa, 0) AS sa, coalesce(sb, 0) AS sb,
+       |    coalesce(c1both, 0) AS c1both, coalesce(c2both, 0) AS c2both
+       |  FROM ap LEFT JOIN pr
+       |    ON ap.src_a = pr.src_a AND ap.src_b = pr.src_b),
        |k AS (SELECT src_a, src_b,
        |    ${sdiv(s"sa + CAST(n1 - c1both AS HUGEINT) * $Ln2Micro",
                    "n1")} AS kl_a_micro,
        |    ${sdiv(s"sb + CAST(n2 - c2both AS HUGEINT) * $Ln2Micro",
                    "n2")} AS kl_b_micro
-       |  FROM pr)
+       |  FROM pc)
        |SELECT src_a, src_b, kl_a_micro, kl_b_micro,
        |  ${sdiv("kl_a_micro + kl_b_micro", "2")} AS js_micro
        |FROM k ORDER BY src_a, src_b""".stripMargin

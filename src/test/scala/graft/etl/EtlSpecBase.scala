@@ -21,4 +21,23 @@ object TestSpark {
 abstract class EtlSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sc = spark.sparkContext
+
+  /** Runs `body` with the JVM-global system property `key` set to
+    * `value`, restoring the prior state after (ADVICE r15). sys.props
+    * is unsynchronized global state: this helper is only sound under
+    * SERIAL suite execution (sbt's default here — parallelExecution
+    * is not enabled, and ConcurrentExecSpec's intra-suite threads
+    * never touch property-dispatched queries). A suite that needs a
+    * property-pinned path must use this instead of bare mutation so
+    * the restore survives assertion failures.
+    */
+  def withSysProp[A](key: String, value: String)(body: => A): A = {
+    val prior = sys.props.get(key)
+    sys.props(key) = value
+    try body
+    finally prior match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props.remove(key)
+    }
+  }
 }

@@ -17,13 +17,13 @@ class Round14dSpec extends PlantedQuerySpec {
     val dir = plant("customer" -> names)
     // q105 defaults to the deletion path since round 15 — pin the
     // LEGACY suffix-block path here so the two sides stay independent
-    // implementations (the comparison is the point of this test)
-    val viaBlock =
-      try {
-        sys.props("graft.match.block") = "true"
-        run("q105_fuzzy_match", dir).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-      } finally sys.props.remove("graft.match.block")
+    // implementations (the comparison is the point of this test).
+    // withSysProp documents the serial-suite-execution requirement
+    // and restores any prior value even on assertion failure
+    val viaBlock = withSysProp("graft.match.block", "true") {
+      run("q105_fuzzy_match", dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
     val viaQgram = run("q393_fuzzy_deletion_join", dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(viaBlock.nonEmpty)
