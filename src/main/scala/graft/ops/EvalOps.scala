@@ -12,53 +12,17 @@ import org.apache.spark.sql.types.DoubleType
   */
 object EvalOps {
 
-  private val CumBuckets = 32
-
-  /** Exact cumulative sums over a value-keyed census, decomposed into
-    * percentile-cut value-contiguous buckets (the q223 Mann-Whitney /
-    * q231 Kruskal-Wallis / q248 PR-AUC prefix machinery) so no window
-    * ever runs on a single partition of the VALUE DOMAIN — on a real
-    * model-score or continuous-value column that domain approaches the
-    * row count, and an unpartitioned `Window.orderBy` would sort it on
-    * one task. Appends, per requested sum column `c`, a `__cum_c`
-    * column = Σ of `c` over census rows with value strictly below
-    * (exclusive) or up to and including (inclusive) this row's value.
-    * Exact for ANY cut placement since + is associative and buckets
-    * are value-contiguous; the sketch cuts only balance the buckets.
-    * The only unpartitioned window left is the ≤[[CumBuckets]]-row
-    * carry prefix — bounded by config, not data. `valueCol` must be
-    * numeric (it feeds the percentile sketch) and the census must hold
-    * one row per distinct value (so within-bucket ordering is
-    * tie-free, hence deterministic).
+  /** Exact cumulative sums over a value-keyed census with every
+    * window bucket-partitioned — on a real model-score or continuous-
+    * value column the distinct domain approaches the row count, and an
+    * unpartitioned `Window.orderBy` would sort it on one task. The
+    * machinery lives in [[LayoutOps.censusCum]] (shared with the
+    * q354/q356 ranking reworks); this shim only fixes the asc/no-tie
+    * shape both EvalOps callers use.
     */
   private def bucketedCum(census: DataFrame, valueCol: String,
-      sumCols: Seq[String], inclusive: Boolean): DataFrame = {
-    val ck = census.localCheckpoint(true) // cuts probe + bucketed pass
-    val fracs = (1 until CumBuckets).map(_.toDouble / CumBuckets)
-    val cuts = ck.agg(percentile_approx(col(valueCol).cast(DoubleType),
-      array(fracs.map(lit): _*), lit(10000)).as("__cuts"))
-    val bucketed = ck.crossJoin(broadcast(cuts))
-      .withColumn("__bkt", (1 until CumBuckets).foldLeft(lit(1)) {
-        case (acc, i) => acc + when(col(valueCol).cast(DoubleType) >
-          element_at(col("__cuts"), i), 1).otherwise(0)
-      })
-      .drop("__cuts")
-      .localCheckpoint(true) // carry census + windowed pass
-    val carryAggs = sumCols.map(c => sum(col(c)).as(s"__bsum_$c"))
-    val carryW = Window.orderBy("__bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carried = sumCols.foldLeft(
-        bucketed.groupBy("__bkt").agg(carryAggs.head, carryAggs.tail: _*)) {
-      (df, c) => df.withColumn(s"__carry_$c",
-        coalesce(sum(col(s"__bsum_$c")).over(carryW), lit(0L)))
-    }.select(col("__bkt") +: sumCols.map(c => col(s"__carry_$c")): _*)
-    val w = Window.partitionBy("__bkt").orderBy(col(valueCol).asc)
-      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
-    sumCols.foldLeft(bucketed.join(broadcast(carried), "__bkt")) { (df, c) =>
-      df.withColumn(s"__cum_$c",
-        col(s"__carry_$c") + coalesce(sum(col(c)).over(w), lit(0L)))
-    }.drop("__bkt" +: sumCols.map(c => s"__carry_$c"): _*)
-  }
+      sumCols: Seq[String], inclusive: Boolean): DataFrame =
+    LayoutOps.censusCum(census, valueCol, sumCols, inclusive)
 
   /** Exact ROC AUC of `scoreCol` as a predictor of `labelCol`
     * (boolean), ties handled by average ranks — computed ENTIRELY in

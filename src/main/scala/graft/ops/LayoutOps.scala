@@ -106,7 +106,8 @@ object LayoutOps {
     * for the `valueCol IS NOT NULL` rows.
     */
   def globalRank(df: org.apache.spark.sql.DataFrame, valueCol: String,
-      tieCol: String, nBuckets: Int = 32): org.apache.spark.sql.DataFrame = {
+      tieCol: String, nBuckets: Int = 32,
+      desc: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBuckets > 1, s"nBuckets must exceed 1: $nBuckets")
     val df0 = df.where(col(valueCol).isNotNull)
@@ -125,17 +126,106 @@ object LayoutOps {
       .drop("__cuts")
       .localCheckpoint(true) // feeds the offset census AND the rank pass
     // offsets: an nBuckets-row frame; the cumulative window is bounded
-    // by the CONFIG constant, not the data (the day-grain argument)
+    // by the CONFIG constant, not the data (the day-grain argument).
+    // Buckets are ascending in value, so a DESC rank just accumulates
+    // the offsets from the top bucket down
+    val bktOrd = if (desc) Window.orderBy(col("__bkt").desc)
+      else Window.orderBy(col("__bkt").asc)
     val offsets = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
-        coalesce(sum(col("__n")).over(Window.orderBy("__bkt")
+        coalesce(sum(col("__n")).over(bktOrd
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__bkt"), col("__off"))
     val w = Window.partitionBy("__bkt")
-      .orderBy(col(valueCol).asc, col(tieCol).asc)
+      .orderBy(if (desc) col(valueCol).desc else col(valueCol).asc,
+        col(tieCol).asc)
     bucketed.join(broadcast(offsets), "__bkt")
       .withColumn("rank", col("__off") + row_number().over(w))
       .drop("__bkt", "__off")
+  }
+
+  /** Exact `ntile(k)` over (`valueCol` [asc|desc], `tieCol` asc)
+    * WITHOUT a single-partition window: the global ordinal comes from
+    * [[globalRank]]'s bucketed machinery and the tile is pure
+    * arithmetic on (rank, n) — the SQL-standard split where the first
+    * `n mod k` tiles carry one extra row. Appends `tileCol` (LONG,
+    * 1-based); same non-NULL `valueCol` contract as [[globalRank]].
+    */
+  def globalNtile(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      tieCol: String, k: Int, tileCol: String, desc: Boolean = false,
+      nBuckets: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val ranked = globalRank(df, valueCol, tieCol, nBuckets, desc)
+    val n = ranked.agg(count(lit(1)).as("__ntot"))
+    // q = n div k rows per tile, the first m = n mod k tiles carry one
+    // extra. All divisions are `div` on nonnegative BIGINTs (truncation
+    // = floor); the q = 0 regime (n < k) never reaches the ELSE branch
+    // because big·m = n there
+    ranked.crossJoin(broadcast(n))
+      .withColumn(tileCol, expr(
+        s"CASE WHEN rank <= (__ntot div $k + 1) * (__ntot % $k)" +
+          s" THEN (rank - 1) div (__ntot div $k + 1) + 1" +
+          s" ELSE (__ntot % $k) + (rank - (__ntot div $k + 1)" +
+          s" * (__ntot % $k) - 1) div (__ntot div $k) + 1 END")
+        .cast("long"))
+      .drop("__ntot", "rank")
+  }
+
+  /** Exact cumulative sums over a value-keyed CENSUS, decomposed into
+    * percentile-cut value-contiguous buckets so no window ever runs on
+    * a single partition of the value domain (the q223 Mann-Whitney /
+    * q231 Kruskal-Wallis / q248 PR-AUC prefix machinery, generalized).
+    * Appends, per requested sum column `c`, a `__cum_c` column = Σ of
+    * `c` over census rows ordered by (`valueCol` [asc|desc]
+    * [, `tieCol` asc]) up to and including (inclusive = true) or
+    * strictly before (false) this row. Exact for ANY cut placement
+    * since + is associative and buckets are value-contiguous (strict
+    * `>` against the cuts keeps value ties in one bucket); the sketch
+    * cuts only balance the buckets. The only unpartitioned window left
+    * is the ≤nBuckets-row carry prefix — bounded by config, not data.
+    *
+    * `valueCol` must be numeric and non-NULL (the [[globalRank]]
+    * contract). Pass `tieCol` when the census holds multiple rows per
+    * value (e.g. a per-key frame cumulated by a measure); without it
+    * the census must be one row per distinct value so the within-
+    * bucket order is total. Sum columns must be integral/DECIMAL
+    * (the empty prefix coalesces to 0).
+    */
+  def censusCum(census: org.apache.spark.sql.DataFrame, valueCol: String,
+      sumCols: Seq[String], inclusive: Boolean, desc: Boolean = false,
+      tieCol: Option[String] = None,
+      nBuckets: Int = 32): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 1, s"nBuckets must exceed 1: $nBuckets")
+    require(sumCols.nonEmpty, "censusCum needs at least one sum column")
+    val ck = census.localCheckpoint(true) // cuts probe + bucketed pass
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = ck.agg(percentile_approx(col(valueCol).cast("double"),
+      array(fracs.map(lit): _*), lit(10000)).as("__cuts"))
+    val bucketed = ck.crossJoin(broadcast(cuts))
+      .withColumn("__bkt", (1 until nBuckets).foldLeft(lit(1)) {
+        case (acc, i) => acc + when(col(valueCol).cast("double") >
+          element_at(col("__cuts"), i), 1).otherwise(0)
+      })
+      .drop("__cuts")
+      .localCheckpoint(true) // carry census + windowed pass
+    val carryAggs = sumCols.map(c => sum(col(c)).as(s"__bsum_$c"))
+    val bktOrd = if (desc) Window.orderBy(col("__bkt").desc)
+      else Window.orderBy(col("__bkt").asc)
+    val carryW = bktOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val carried = sumCols.foldLeft(
+        bucketed.groupBy("__bkt").agg(carryAggs.head, carryAggs.tail: _*)) {
+      (df, c) => df.withColumn(s"__carry_$c",
+        coalesce(sum(col(s"__bsum_$c")).over(carryW), lit(0L)))
+    }.select(col("__bkt") +: sumCols.map(c => col(s"__carry_$c")): _*)
+    val ordCols = (if (desc) col(valueCol).desc else col(valueCol).asc) +:
+      tieCol.map(t => col(t).asc).toSeq
+    val w = Window.partitionBy("__bkt").orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+    sumCols.foldLeft(bucketed.join(broadcast(carried), "__bkt")) { (df, c) =>
+      df.withColumn(s"__cum_$c",
+        col(s"__carry_$c") + coalesce(sum(col(c)).over(w), lit(0L)))
+    }.drop("__bkt" +: sumCols.map(c => s"__carry_$c"): _*)
   }
 }
 

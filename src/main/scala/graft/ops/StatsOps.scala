@@ -494,23 +494,31 @@ object StatsOps {
       .groupBy("t").agg(
         sum(when(col("e"), 1L).otherwise(0L)).as("d"),
         sum(when(!col("e"), 1L).otherwise(0L)).as("c"))
-    val ord = Window.orderBy("t")
-    val nTot = g.agg(sum(col("d") + col("c")).as("n_tot"))
-    val before = coalesce(
-      sum(col("d") + col("c")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
-      lit(0L))
-    val withRisk = g.crossJoin(broadcast(nTot))
-      .withColumn("n_risk", col("n_tot") - before)
+      .withColumn("dc", col("d") + col("c"))
+    // both prefix passes ride the bucketed census machinery (round 16,
+    // the q112/q122 rework): on a CONTINUOUS time column the distinct-
+    // time domain approaches the subject count and an unpartitioned
+    // Window.orderBy("t") would sort it on one task. The exclusive
+    // prefix for the risk set is the inclusive one minus the row's own
+    // mass (associative sums, exact)
+    val cum1 = graft.ops.LayoutOps.censusCum(g, "t", Seq("dc"),
+      inclusive = true)
+    val nTot = cum1.agg(sum(col("dc")).as("n_tot"))
+    val withRisk = cum1.crossJoin(broadcast(nTot))
+      .withColumn("n_risk",
+        col("n_tot") - (col("__cum_dc") - col("dc")))
     val term = when(col("d") > 0 && col("d") < col("n_risk"),
       floor(log((col("n_risk") - col("d")).cast(DoubleType) /
         col("n_risk").cast(DoubleType)) * lit(1000000.0) + lit(0.5)).cast(LongType))
       .otherwise(lit(0L))
     val extinct = when(col("d") === col("n_risk"), 1L).otherwise(0L)
-    val frame = ord.rowsBetween(Window.unboundedPreceding, 0)
-    withRisk
+    val cum2 = graft.ops.LayoutOps.censusCum(
+      withRisk.withColumn("term", term).withColumn("ext", extinct),
+      "t", Seq("term", "ext"), inclusive = true)
+    cum2
       .withColumn("logs_u",
-        when(sum(extinct).over(frame) > 0, lit(null))
-          .otherwise(sum(term).over(frame)))
+        when(col("__cum_ext") > 0, lit(null))
+          .otherwise(col("__cum_term")))
       .select(col("t"), col("n_risk"), col("d"), col("c"), col("logs_u"))
       .orderBy("t")
   }

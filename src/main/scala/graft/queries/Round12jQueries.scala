@@ -41,17 +41,18 @@ object Round12jQueries {
         sum(when(col("evt"), 1L).otherwise(0L)).as("d"),
         sum(col("g1")).as("a1"),
         count(lit(1)).as("a"))
-    val ord = Window.orderBy("t")
-    val tot = census.agg(sum(col("a1")).as("n1_tot"),
+    // risk-set prefixes ride the bucketed census machinery (round 16,
+    // the q112/q122 rework) — exact on any cut placement, and the time
+    // domain never funnels through one window task even when it is
+    // continuous rather than this query's bounded day grain
+    val cum = LayoutOps.censusCum(census, "t", Seq("a1", "a"),
+      inclusive = true)
+    val tot = cum.agg(sum(col("a1")).as("n1_tot"),
       sum(col("a")).as("n_tot"), sum(col("d1")).as("e1"),
       (sum(col("d")) - sum(col("d1"))).as("e0"))
-    val prev1 = coalesce(sum(col("a1"))
-      .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    val prevA = coalesce(sum(col("a"))
-      .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    val risk = census.crossJoin(broadcast(tot))
-      .withColumn("n1", col("n1_tot") - prev1)
-      .withColumn("n", col("n_tot") - prevA)
+    val risk = cum.crossJoin(broadcast(tot))
+      .withColumn("n1", col("n1_tot") - (col("__cum_a1") - col("a1")))
+      .withColumn("n", col("n_tot") - (col("__cum_a") - col("a")))
     val D = DoubleType
     val omeTerm = when(col("d") > 0,
       floor((col("d1").cast(D) -

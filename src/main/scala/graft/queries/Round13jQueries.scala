@@ -81,14 +81,18 @@ object Round13jQueries {
     val fcnt = Tables.read(spark, sfDir, "orders")
       .where(col("o_orderstatus") === "F")
       .groupBy(col("o_custkey").as("ck")).agg(count(lit(1)).as("fc"))
-    val units = Tables.read(spark, sfDir, "customer")
-      .select(col("c_custkey").as("ck"), col("c_acctbal").as("score"),
-        (col("c_custkey") % 2).as("treat"))
-      .join(fcnt, Seq("ck"), "left")
-      .withColumn("conv", when(coalesce(col("fc"), lit(0L)) >= 4L, 1L)
-        .otherwise(0L))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("score").desc, col("ck"))))
+    // deciles via the bucketed global-ntile (round 16): the unit
+    // census is customer-grain — data-proportional — so the former
+    // unpartitioned `ntile OVER (ORDER BY score DESC)` was a
+    // single-task sort of the whole population
+    val units = graft.ops.LayoutOps.globalNtile(
+      Tables.read(spark, sfDir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_acctbal").as("score"),
+          (col("c_custkey") % 2).as("treat"))
+        .join(fcnt, Seq("ck"), "left")
+        .withColumn("conv", when(coalesce(col("fc"), lit(0L)) >= 4L, 1L)
+          .otherwise(0L)),
+      "score", "ck", 10, "decile", desc = true)
     val cells = units.groupBy("decile").agg(
       sum(when(col("treat") === 1, 1L).otherwise(0L)).as("nt"),
       sum(when(col("treat") === 0, 1L).otherwise(0L)).as("nc"),

@@ -206,18 +206,20 @@ object Round13lQueries {
   // The inventory 80/15/5 census: parts ranked by revenue, classified
   // by the cumulative share BEFORE each part (so the part crossing a
   // boundary still belongs to the class it completes), rolled up per
-  // class. The rank window is part-grain (dimension-bounded at any
-  // data scale).
+  // class. The cumulative ranking rides LayoutOps.censusCum (round 16
+  // — the part domain GROWS with data scale, so the former global
+  // `Window.orderBy(rev desc)` was a single-task sort waiting to
+  // happen; bucketed prefixes are exact for any cut placement).
   private def q354(spark: SparkSession, sfDir: String): DataFrame = {
     val parts = Tables.read(spark, sfDir, "lineitem")
       .groupBy(col("l_partkey").as("pk"))
       .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
         .as("rev_u"))
-    val tot = parts.agg(sum(col("rev_u")).as("t"))
-    val w = Window.orderBy(col("rev_u").desc, col("pk"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    parts
-      .withColumn("cum", sum(col("rev_u")).over(w))
+    val cum = graft.ops.LayoutOps.censusCum(parts, "rev_u", Seq("rev_u"),
+      inclusive = true, desc = true, tieCol = Some("pk"))
+    val tot = cum.agg(sum(col("rev_u")).as("t"))
+    cum
+      .withColumn("cum", col("__cum_rev_u"))
       .crossJoin(broadcast(tot))
       // DECIMAL: cum·1e6 passes 2^63 one order of magnitude above sf0.1
       // (caught by the round-13 10× overflow stress)

@@ -68,13 +68,16 @@ object Round13mQueries {
   private val MigY1 = 1997
 
   private def q356(spark: SparkSession, sfDir: String): DataFrame = {
-    def yearRev(y: Int) = Tables.read(spark, sfDir, "orders")
-      .where(expr(s"year(o_orderdate) = $y"))
-      .groupBy(col("o_custkey").as("ck"))
-      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
-        .as("rev"))
-      .withColumn("d", ntile(10).over(
-        Window.orderBy(col("rev").desc, col("ck"))).cast("long"))
+    // deciles via the bucketed global-ntile (round 16): the customer
+    // domain grows with data scale, so the former unpartitioned
+    // `ntile OVER (ORDER BY rev DESC)` was a single-task sort
+    def yearRev(y: Int) = graft.ops.LayoutOps.globalNtile(
+      Tables.read(spark, sfDir, "orders")
+        .where(expr(s"year(o_orderdate) = $y"))
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("rev")),
+      "rev", "ck", 10, "d", desc = true)
     yearRev(MigY0).select(col("ck"), col("d").as("d0"))
       .join(yearRev(MigY1).select(col("ck"), col("d").as("d1")),
         Seq("ck"), "full_outer")

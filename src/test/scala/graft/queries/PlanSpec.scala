@@ -852,14 +852,18 @@ class PlanSpec extends EtlSpecBase {
     assert(plan.contains("partial_"), s"CDF counts must combine map-side:\n$plan")
   }
 
-  test("q112 AUC / q122 KS: every window is bucket-partitioned (no " +
-    "unpartitioned value-domain window — round-16 rework onto the " +
-    "q223 bucketed prefix machinery)") {
-    // on a continuous score/value column the distinct domain approaches
-    // the row count, so an unpartitioned Window.orderBy would sort it
-    // on ONE task; the only unpartitioned window allowed is the
-    // <=32-row carry prefix, identified by its __bkt ordering key
-    for (q <- Seq("q112_auc_score", "q122_ks_drift")) {
+  test("q112 AUC / q122 KS / q124 KM / q275 logrank / q354 ABC / q356 " +
+    "deciles: every data window is bucket-partitioned (round-16 rework " +
+    "onto the bucketed prefix/rank machinery)") {
+    // on a continuous score/value/time column — or a key domain that
+    // grows with the data (parts, customers) — the distinct domain
+    // approaches the row count, so an unpartitioned Window.orderBy
+    // would sort it on ONE task; the only unpartitioned windows allowed
+    // are the <=32-row carry/offset prefixes, identified by their
+    // __bkt ordering key, and (q344/q356) the fixed 10-row decile-grain
+    // cums, identified by their decile/tile ordering key
+    for (q <- Seq("q112_auc_score", "q122_ks_drift", "q124_km_survival",
+        "q275_logrank", "q354_abc_classes", "q166_global_rank")) {
       val plan = planOf(q)
       val windows = plan.linesIterator
         .filter(_.contains("windowspecdefinition(")).toSeq
@@ -868,6 +872,15 @@ class PlanSpec extends EtlSpecBase {
         assert(l.contains("__bkt"),
           s"$q: unpartitioned value-domain window: $l\n$plan")
       }
+    }
+    for (q <- Seq("q344_qini_uplift", "q356_decile_migration")) {
+      val plan = planOf(q)
+      plan.linesIterator.filter(_.contains("windowspecdefinition("))
+        .foreach { l =>
+          assert(l.contains("__bkt") || l.contains("decile") ||
+            l.contains(", d#"),
+            s"$q: unpartitioned data-grain window: $l\n$plan")
+        }
     }
   }
 

@@ -54,6 +54,39 @@ class Round16Spec extends PlantedQuerySpec {
     assert(v2("") == 0 && v2("a") == 0 && v2("ab") == 1, v2.toString)
   }
 
+  test("globalNtile matches Spark's ntile exactly: remainder spread, " +
+    "ties, n < k, desc") {
+    import org.apache.spark.sql.expressions.Window
+    // 23 rows over 10 tiles (n mod k = 3 -> first 3 tiles take 3 rows),
+    // with value ties broken by id; also exercises n < k via the slice
+    val rows = Seq.tabulate(23)(i => ((i * 7 + 3) % 5 * 10L, i.toLong))
+    for ((n, k) <- Seq((23, 10), (7, 10), (20, 4))) {
+      val df = rows.take(n).toDF("v", "id")
+      val want = df.withColumn("t",
+          ntile(k).over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+        .select("id", "t").as[(Long, Long)].collect().toMap
+      val got = graft.ops.LayoutOps.globalNtile(df, "v", "id", k, "t",
+          desc = true, nBuckets = 4)
+        .select("id", "t").as[(Long, Long)].collect().toMap
+      assert(got == want, s"n=$n k=$k: $got vs $want")
+    }
+  }
+
+  test("censusCum desc with tie column matches the plain global window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((30L, 1L, 5L), (30L, 2L, 7L), (10L, 3L, 1L),
+      (20L, 4L, 2L), (20L, 5L, 4L), (40L, 6L, 9L))
+      .toDF("v", "pk", "m")
+    val w = Window.orderBy(col("v").desc, col("pk"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("cum", sum(col("m")).over(w))
+      .select("pk", "cum").as[(Long, Long)].collect().toMap
+    val got = graft.ops.LayoutOps.censusCum(df, "v", Seq("m"),
+        inclusive = true, desc = true, tieCol = Some("pk"), nBuckets = 3)
+      .select(col("pk"), col("__cum_m")).as[(Long, Long)].collect().toMap
+    assert(got == want, s"$got vs $want")
+  }
+
   test("deletionBestMatch: 1-char names link exactly without the 2-del " +
     "junk tier firing") {
     val dirty = Seq((1L, "a"), (2L, "zq")).toDF("id", "name")
