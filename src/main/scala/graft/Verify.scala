@@ -7,11 +7,20 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_AQE=1 runs the sweep under adaptive execution with
+    // skew-join splitting — the 100 TB cluster default. Results must be
+    // bit-identical to the static-plan sweep (round 17 gate): AQE
+    // changes plan SHAPES (coalesced shuffles, demoted broadcasts,
+    // split skewed partitions), so any query whose answer depends on a
+    // partition count or layout diverges here first.
+    val aqe = sys.env.get("SPARK_GRAFT_AQE").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.skewJoin.enabled", aqe)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

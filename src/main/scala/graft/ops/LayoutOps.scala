@@ -110,6 +110,12 @@ object LayoutOps {
       desc: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBuckets > 1, s"nBuckets must exceed 1: $nBuckets")
+    // `rank` is the output contract; a pre-existing `rank` (or an
+    // internal scratch name) would be silently overwritten and dropped
+    // — fail loudly instead (ADVICE r16)
+    for (c <- Seq("rank", "__bkt", "__cuts", "__off", "__n"))
+      require(!df.columns.contains(c),
+        s"globalRank: input already has a `$c` column; rename it first")
     val df0 = df.where(col(valueCol).isNotNull)
     val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
     // SKETCH cuts (round 12, the q223/q231 note): ranks are exact for
@@ -155,6 +161,8 @@ object LayoutOps {
       tieCol: String, k: Int, tileCol: String, desc: Boolean = false,
       nBuckets: Int = 32): org.apache.spark.sql.DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    require(!df.columns.contains("__ntot"),
+      "globalNtile: input already has a `__ntot` column; rename it first")
     val ranked = globalRank(df, valueCol, tieCol, nBuckets, desc)
     val n = ranked.agg(count(lit(1)).as("__ntot"))
     // q = n div k rows per tile, the first m = n mod k tiles carry one
@@ -194,7 +202,8 @@ object LayoutOps {
   def censusCum(census: org.apache.spark.sql.DataFrame, valueCol: String,
       sumCols: Seq[String], inclusive: Boolean, desc: Boolean = false,
       tieCol: Option[String] = None,
-      nBuckets: Int = 32): org.apache.spark.sql.DataFrame = {
+      nBuckets: Int = 32,
+      partCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBuckets > 1, s"nBuckets must exceed 1: $nBuckets")
     require(sumCols.nonEmpty, "censusCum needs at least one sum column")
@@ -202,30 +211,93 @@ object LayoutOps {
     val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val cuts = ck.agg(percentile_approx(col(valueCol).cast("double"),
       array(fracs.map(lit): _*), lit(10000)).as("__cuts"))
+    // the non-NULL valueCol contract fails LOUDLY at execution (ADVICE
+    // r16): percentile ignores NULLs and the bucket fold would have
+    // silently sent NULL rows to bucket 1, diverging from both the
+    // documented contract and DuckDB's NULLS LAST
+    val guardedBase = when(col(valueCol).isNull,
+      raise_error(lit(s"censusCum: NULL $valueCol violates the " +
+        "non-NULL valueCol contract")).cast("int")).otherwise(lit(1))
     val bucketed = ck.crossJoin(broadcast(cuts))
-      .withColumn("__bkt", (1 until nBuckets).foldLeft(lit(1)) {
+      .withColumn("__bkt", (1 until nBuckets).foldLeft(guardedBase) {
         case (acc, i) => acc + when(col(valueCol).cast("double") >
           element_at(col("__cuts"), i), 1).otherwise(0)
       })
       .drop("__cuts")
       .localCheckpoint(true) // carry census + windowed pass
     val carryAggs = sumCols.map(c => sum(col(c)).as(s"__bsum_$c"))
+    val bktOrd = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(if (desc) col("__bkt").desc else col("__bkt").asc)
+    val carryW = bktOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val carryKeys = partCols :+ "__bkt"
+    val carried = sumCols.foldLeft(
+        bucketed.groupBy(carryKeys.map(col): _*)
+          .agg(carryAggs.head, carryAggs.tail: _*)) {
+      (df, c) => df.withColumn(s"__carry_$c",
+        coalesce(sum(col(s"__bsum_$c")).over(carryW), lit(0L)))
+    }.select(carryKeys.map(col) ++ sumCols.map(c => col(s"__carry_$c")): _*)
+    val ordCols = (if (desc) col(valueCol).desc else col(valueCol).asc) +:
+      tieCol.map(t => col(t).asc).toSeq
+    val w = Window.partitionBy(carryKeys.map(col): _*).orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+    sumCols.foldLeft(bucketed.join(broadcast(carried), carryKeys)) {
+      (df, c) => df.withColumn(s"__cum_$c",
+        col(s"__carry_$c") + coalesce(sum(col(c)).over(w), lit(0L)))
+    }.drop("__bkt" +: sumCols.map(c => s"__carry_$c"): _*)
+  }
+
+  /** Exact running MAX over a value-keyed census — [[censusCum]]'s
+    * machinery with max as the (equally associative) combiner, for
+    * prefix-dominance shapes (Pareto frontiers, record-to-date
+    * series). Appends, per column `c`, `__cmax_c` = max of `c` over
+    * census rows ordered by `valueCol` [asc|desc] strictly before
+    * (inclusive = false) or up to (true) this row; the empty prefix is
+    * NULL (there is no identity element for max over an open domain —
+    * Spark's null-skipping `greatest` folds the carry in). Same
+    * non-NULL `valueCol` contract and one-row-per-value census
+    * contract (pass `tieCol` otherwise) as [[censusCum]].
+    */
+  def censusCumMax(census: org.apache.spark.sql.DataFrame, valueCol: String,
+      maxCols: Seq[String], inclusive: Boolean, desc: Boolean = false,
+      tieCol: Option[String] = None,
+      nBuckets: Int = 32): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 1, s"nBuckets must exceed 1: $nBuckets")
+    require(maxCols.nonEmpty, "censusCumMax needs at least one column")
+    val ck = census.localCheckpoint(true)
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = ck.agg(percentile_approx(col(valueCol).cast("double"),
+      array(fracs.map(lit): _*), lit(10000)).as("__cuts"))
+    val guardedBase = when(col(valueCol).isNull,
+      raise_error(lit(s"censusCumMax: NULL $valueCol violates the " +
+        "non-NULL valueCol contract")).cast("int")).otherwise(lit(1))
+    val bucketed = ck.crossJoin(broadcast(cuts))
+      .withColumn("__bkt", (1 until nBuckets).foldLeft(guardedBase) {
+        case (acc, i) => acc + when(col(valueCol).cast("double") >
+          element_at(col("__cuts"), i), 1).otherwise(0)
+      })
+      .drop("__cuts")
+      .localCheckpoint(true)
+    val carryAggs = maxCols.map(c => max(col(c)).as(s"__bmax_$c"))
     val bktOrd = if (desc) Window.orderBy(col("__bkt").desc)
       else Window.orderBy(col("__bkt").asc)
     val carryW = bktOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val carried = sumCols.foldLeft(
+    val carried = maxCols.foldLeft(
         bucketed.groupBy("__bkt").agg(carryAggs.head, carryAggs.tail: _*)) {
       (df, c) => df.withColumn(s"__carry_$c",
-        coalesce(sum(col(s"__bsum_$c")).over(carryW), lit(0L)))
-    }.select(col("__bkt") +: sumCols.map(c => col(s"__carry_$c")): _*)
+        max(col(s"__bmax_$c")).over(carryW))
+    }.select(col("__bkt") +: maxCols.map(c => col(s"__carry_$c")): _*)
     val ordCols = (if (desc) col(valueCol).desc else col(valueCol).asc) +:
       tieCol.map(t => col(t).asc).toSeq
     val w = Window.partitionBy("__bkt").orderBy(ordCols: _*)
       .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
-    sumCols.foldLeft(bucketed.join(broadcast(carried), "__bkt")) { (df, c) =>
-      df.withColumn(s"__cum_$c",
-        col(s"__carry_$c") + coalesce(sum(col(c)).over(w), lit(0L)))
-    }.drop("__bkt" +: sumCols.map(c => s"__carry_$c"): _*)
+    maxCols.foldLeft(bucketed.join(broadcast(carried), "__bkt")) { (df, c) =>
+      // greatest skips NULLs (Spark semantics): an absent carry or an
+      // empty within-bucket prefix contributes nothing; both absent
+      // yields NULL — the documented empty-prefix value
+      df.withColumn(s"__cmax_$c",
+        greatest(col(s"__carry_$c"), max(col(c)).over(w)))
+    }.drop("__bkt" +: maxCols.map(c => s"__carry_$c"): _*)
   }
 }
 

@@ -123,8 +123,11 @@ object Round12pQueries {
   // EXACT ppb trunc-div terms — unlike KM's log-product, the hazard
   // sum needs no transcendental at all, so this curve is float-free
   // end to end. Variance (Σ d/n²) rides a 1e-12 grid the same way.
-  // The event-day frame is calendar-bounded; the prefix windows are
-  // the q124 precedent.
+  // Both distinct-duration prefixes ride LayoutOps.censusCum (round
+  // 17, closing the round-16 survival-family sweep): on a continuous
+  // duration column the distinct-time census approaches the subject
+  // count, so an unpartitioned Window.orderBy(t) would sort it on one
+  // task — StatsOps.kaplanMeier (q124) is the model.
   private def q302(spark: SparkSession, sfDir: String): DataFrame = {
     val firstShip = Tables.read(spark, sfDir, "lineitem")
       .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("ship"))
@@ -138,19 +141,19 @@ object Round12pQueries {
     val g = obs.groupBy(col("t")).agg(
       sum(when(col("evt"), 1L).otherwise(0L)).as("d"),
       sum(when(!col("evt"), 1L).otherwise(0L)).as("c"))
-    val ord = Window.orderBy(col("t"))
-    val nTot = g.agg(sum(col("d") + col("c")).as("n_tot"))
-    val before = coalesce(sum(col("d") + col("c"))
-      .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    val frame = ord.rowsBetween(Window.unboundedPreceding, 0)
-    g.crossJoin(broadcast(nTot))
-      .withColumn("n_risk", col("n_tot") - before)
-      .withColumn("haz_u", sum(expr("d * 1000000000 div n_risk"))
-        .over(frame))
-      .withColumn("var_u", sum(expr("d * 1000000000000 div (n_risk * n_risk)"))
-        .over(frame))
-      .select(col("t"), col("n_risk"), col("d"), col("c"),
-        col("haz_u"), col("var_u"))
+      .withColumn("dc", col("d") + col("c"))
+    // exclusive risk-set prefix = inclusive minus the row's own mass
+    val cum1 = graft.ops.LayoutOps.censusCum(g, "t", Seq("dc"),
+      inclusive = true)
+    val nTot = cum1.agg(sum(col("dc")).as("n_tot"))
+    val withRisk = cum1.crossJoin(broadcast(nTot))
+      .withColumn("n_risk", col("n_tot") - (col("__cum_dc") - col("dc")))
+      .withColumn("hterm", expr("d * 1000000000 div n_risk"))
+      .withColumn("vterm", expr("d * 1000000000000 div (n_risk * n_risk)"))
+    val cum2 = graft.ops.LayoutOps.censusCum(withRisk, "t",
+      Seq("hterm", "vterm"), inclusive = true)
+    cum2.select(col("t"), col("n_risk"), col("d"), col("c"),
+      col("__cum_hterm").as("haz_u"), col("__cum_vterm").as("var_u"))
       .orderBy(col("t"))
   }
 

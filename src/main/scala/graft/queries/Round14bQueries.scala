@@ -57,34 +57,42 @@ object Round14bQueries {
   // onto the GLOBAL decile boundary at the same rank fraction (lower
   // order statistic at rank ceil(p*n) — exact, no interpolation) and
   // report the per-decile shift a normalizer would apply. Scale
-  // shape: two rank windows over (source)- and ()-partitioned sorts;
-  // the boundary frames are deciles x sources, constants.
+  // shape (round 17, the WindowInventory gate's first catch): the
+  // r14 form ranked every ROW under a ()-/(source)-partitioned
+  // row_number — one task per source and one for the globe. Both
+  // passes now ride LayoutOps.censusCum over the (source, n_chars)
+  // VALUE census: the order statistic at rank r is the value whose
+  // cumulative-count range contains r, so no row-grain sort exists
+  // anywhere and every window is bucket-partitioned.
   private def q382(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.read(spark, sfDir, "documents")
-      .select(col("source"), col("n_chars"))
-      .localCheckpoint(true) // feeds both rank passes
+    val census = Tables.read(spark, sfDir, "documents")
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds both cumulative passes
     val deciles = (1 to 9).map(_.toLong)
-    def cuts(df: DataFrame, part: Seq[String]): DataFrame = {
-      val w = Window.partitionBy(part.map(col): _*)
-        .orderBy(col("n_chars"))
-      val grp = if (part.isEmpty) df.withColumn("__g", lit(1))
-        .groupBy("__g") else df.groupBy(part.head, part.tail: _*)
-      val n = grp.agg(count(lit(1)).as("__n"))
-      val ranked = df.withColumn("__rk", row_number().over(w).cast("long"))
-      val joined = if (part.isEmpty) ranked.crossJoin(broadcast(n))
-      else ranked.join(broadcast(n), part)
+    def cuts(cen: DataFrame, part: Seq[String]): DataFrame = {
+      val cum = graft.ops.LayoutOps.censusCum(cen, "n_chars", Seq("cnt"),
+        inclusive = true, partCols = part)
+      val totals = if (part.isEmpty) cen.agg(sum(col("cnt")).as("__n"))
+        else cen.groupBy(part.map(col): _*).agg(sum(col("cnt")).as("__n"))
+      val joined = if (part.isEmpty) cum.crossJoin(broadcast(totals))
+        else cum.join(broadcast(totals), part)
       joined
         .withColumn("__d", explode(array(deciles.map(lit): _*)))
-        // lower order statistic at rank ceil(d*n/10): rk*10 in
-        // (d*n - 10, d*n] picks exactly it
-        .where(col("__rk") * 10 - col("__d") * col("__n") <= lit(0) &&
-          (col("__rk") + 1) * 10 - col("__d") * col("__n") > lit(0))
+        // the order statistic sits at rank rk = floor(d*n/10) (the
+        // r14 row_number pick: rk*10 <= d*n < (rk+1)*10); value v
+        // holds ranks (cum_excl, cum_incl], so v is the cut iff
+        // d*n >= 10*(cum_excl+1) and d*n <= 10*cum_incl + 9
+        .where(col("__d") * col("__n") >=
+            (col("__cum_cnt") - col("cnt") + 1) * 10 &&
+          col("__d") * col("__n") <= col("__cum_cnt") * 10 + 9)
         .select((part.map(col) :+ col("__d").as("decile") :+
           col("n_chars").as("cut")): _*)
     }
-    val src = cuts(docs, Seq("source"))
-    val glob = cuts(docs, Nil).select(col("decile"),
-      col("cut").as("glob_cut"))
+    val src = cuts(census, Seq("source"))
+    val glob = cuts(census.groupBy(col("n_chars"))
+        .agg(sum(col("cnt")).as("cnt")), Nil)
+      .select(col("decile"), col("cut").as("glob_cut"))
     src.join(broadcast(glob), "decile")
       .select(col("source"), col("decile"), col("cut").as("src_cut"),
         col("glob_cut"), (col("glob_cut") - col("cut")).as("shift"))

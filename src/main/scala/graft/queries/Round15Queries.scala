@@ -198,12 +198,24 @@ object Round15Queries {
       val keys = part :+ "a"
       val grain = in.groupBy(keys.map(col): _*)
         .agg(max(col("b")).as("bmax"))
-      val w = Window.partitionBy(part.map(col): _*)
-        .orderBy(col("a").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
+      // the global pass's prefix-max rides the bucketed census
+      // machinery (round 17): on a token-count VALUE census an
+      // unpartitioned Window.orderBy(a) grows with the length domain;
+      // the per-source pass keeps its (source)-partitioned window —
+      // its input is already the per-source a-grain census
+      val dominated = if (part.isEmpty)
+        graft.ops.LayoutOps.censusCumMax(grain, "a", Seq("bmax"),
+            inclusive = false, desc = true)
+          .withColumnRenamed("__cmax_bmax", "mprev")
+      else {
+        val w = Window.partitionBy(part.map(col): _*)
+          .orderBy(col("a").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        grain.withColumn("mprev", max(col("bmax")).over(w))
+      }
       // keep-side keys renamed: the grain frame derives from `in`, so
       // un-renamed columns would be lineage-ambiguous in the join
-      val keep = grain.withColumn("mprev", max(col("bmax")).over(w))
+      val keep = dominated
         .where(col("mprev").isNull || col("bmax") > col("mprev"))
         .select(keys.map(n => col(n).as(s"__k_$n")) :+ col("bmax"): _*)
       in.join(keep, keys.map(n => col(n) === col(s"__k_$n"))

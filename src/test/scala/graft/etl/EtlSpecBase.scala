@@ -5,8 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local session for the whole test JVM. */
 object TestSpark {
+  // local[4, 2]: maxFailures = 2, so a planted first-attempt task
+  // failure is RETRIED like on a real cluster (RetryDeterminismSpec)
+  // instead of failing the job — local's default is maxFailures = 1.
+  // Deterministic failures (raise_error guards etc.) still propagate,
+  // just after the retry also fails.
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

@@ -54,9 +54,18 @@ class CancellationSpec extends PlantedQuerySpec {
     assert(outcome.isDefined,
       "the heavy probe completed before the cancel landed — the test " +
         "proved nothing; pick a heavier probe query")
+    // message wording differs across Spark versions — also accept the
+    // structured error condition (SPARK_JOB_CANCELLED class) so a
+    // wording change makes this self-diagnosing, not flaky (ADVICE r16)
+    val cond = outcome.get match {
+      case st: org.apache.spark.SparkThrowable =>
+        Option(st.getCondition).getOrElse("")
+      case _ => ""
+    }
     val msg = outcome.get.toString.toLowerCase
-    assert(msg.contains("cancel"),
-      s"probe failed for a non-cancellation reason: ${outcome.get}")
+    assert(msg.contains("cancel") || cond.toLowerCase.contains("cancel"),
+      s"probe failed for a non-cancellation reason " +
+        s"(condition=$cond): ${outcome.get}")
     // the session must be fully usable afterwards: same slice, same rows
     val after = slice.map(n => n -> canon(n, dir)).toMap
     slice.foreach { n =>

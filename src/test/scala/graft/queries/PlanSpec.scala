@@ -863,7 +863,8 @@ class PlanSpec extends EtlSpecBase {
     // __bkt ordering key, and (q344/q356) the fixed 10-row decile-grain
     // cums, identified by their decile/tile ordering key
     for (q <- Seq("q112_auc_score", "q122_ks_drift", "q124_km_survival",
-        "q275_logrank", "q354_abc_classes", "q166_global_rank")) {
+        "q275_logrank", "q354_abc_classes", "q166_global_rank",
+        "q302_nelson_aalen")) {
       val plan = planOf(q)
       val windows = plan.linesIterator
         .filter(_.contains("windowspecdefinition(")).toSeq

@@ -52,8 +52,11 @@ build("orders", lambda i: f"o_orderkey + {i * MAXO} AS o_orderkey, "
 build("lineitem", lambda i: f"l_orderkey + {i * MAXO} AS l_orderkey, "
       "l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
       "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate")
+# user_id rides the CUSTOMER offset (ADVICE r16): the Round11g RI
+# audit joins events.user_id to c_custkey, so replicated events must
+# reference replicated customers — an i*MAXU offset would orphan them
 build("events", lambda i: f"event_id + {i * MAXE} AS event_id, ts, "
-      f"user_id + {i * MAXU} AS user_id, event_type, value, props")
+      f"user_id + {i * MAXC} AS user_id, event_type, value, props")
 for t in ("region", "nation", "part", "supplier", "documents",
           "embeddings"):
     con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
