@@ -207,6 +207,11 @@ object LayoutOps {
     import org.apache.spark.sql.expressions.Window
     require(nBuckets > 1, s"nBuckets must exceed 1: $nBuckets")
     require(sumCols.nonEmpty, "censusCum needs at least one sum column")
+    // scratch names would be silently clobbered (the
+    // pairSlopeMedianParts outer-bucket bug, round 17) — fail loudly
+    for (c <- Seq("__bkt", "__cuts"))
+      require(!census.columns.contains(c),
+        s"censusCum: input already has a `$c` column; rename it first")
     val ck = census.localCheckpoint(true) // cuts probe + bucketed pass
     val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val cuts = ck.agg(percentile_approx(col(valueCol).cast("double"),
@@ -264,6 +269,9 @@ object LayoutOps {
     import org.apache.spark.sql.expressions.Window
     require(nBuckets > 1, s"nBuckets must exceed 1: $nBuckets")
     require(maxCols.nonEmpty, "censusCumMax needs at least one column")
+    for (c <- Seq("__bkt", "__cuts"))
+      require(!census.columns.contains(c),
+        s"censusCumMax: input already has a `$c` column; rename it first")
     val ck = census.localCheckpoint(true)
     val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val cuts = ck.agg(percentile_approx(col(valueCol).cast("double"),

@@ -1122,4 +1122,92 @@ object StatsOps {
        |  last_value(rev IGNORE NULLS) OVER (PARTITION BY o_custkey
        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS rev_ffill
        |FROM __j ORDER BY o_custkey, day""".stripMargin
+
+  // ---- Theil-Sen pairwise-slope median ----------------------------------
+
+  /** The two middle order statistics of the Theil-Sen pairwise-slope
+    * multiset `(r2−r1)·10⁶ div (d2−d1)` over all day pairs d1 < d2,
+    * WITHOUT ever materializing a pair-sized census (round 17, the
+    * stretched-calendar stress: the r11 one-pass form built a
+    * (slope → count) census with near-pair cardinality — ~288M
+    * nearly-distinct slopes at 24k days — and its shuffle spilled the
+    * engine to a halt; measured q228 5.4 s at 2.5k days vs >10 min at
+    * 25k).
+    *
+    * Three passes over the IMPLICIT pair stream (a broadcast range
+    * self-join that is never persisted), each with O(nBuckets) or
+    * O(pairs/nBuckets) state:
+    *  1. probe — approx percentile cuts + the exact pair count; any
+    *     contiguous cut placement yields the same order statistics,
+    *     so sketch cuts cost no exactness (the globalRank argument).
+    *  2. counts — exact per-bucket pair counts (nBuckets counters,
+    *     map-side combined), prefix-summed into bucket offsets; the
+    *     1-2 buckets holding ranks (n−1) div 2 and n div 2 are the
+    *     targets.
+    *  3. narrowed census — pairs in target buckets only (≈ 2/nBuckets
+    *     of the mass) collapse to a (slope → count) census; exact
+    *     within-bucket prefixes ride [[LayoutOps.censusCum]]
+    *     partitioned by the outer bucket, and the two ranks are
+    *     picked by integer rank containment.
+    *
+    * Returns one row (n_pairs, __v1, __v2); the Theil-Sen median is
+    * (__v1 + __v2) / 2 (quantile_cont parity, q228) and the exact
+    * doubled median is __v1 + __v2 (q251).
+    */
+  def pairSlopeMedianParts(daily: DataFrame, dCol: String, rCol: String,
+      nBuckets: Int = 32): DataFrame = {
+    val ck = daily.select(col(dCol).cast(LongType).as("__pd"),
+      col(rCol).cast(LongType).as("__pr")).localCheckpoint(true)
+    val rhs = broadcast(ck.select(col("__pd").as("__pd2"),
+      col("__pr").as("__pr2")))
+    def pairs: DataFrame = ck.join(rhs, col("__pd") < col("__pd2"))
+      .select(expr("(__pr2 - __pr) * 1000000 div (__pd2 - __pd)").as("__s"))
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    // cut placement costs NO exactness (ranks are exact for any
+    // contiguous bucketing), so the probe pass never touches the full
+    // pair stream: cuts come from a deterministic ≤2048-day stride
+    // sample (≤2M sample pairs) and the exact pair count is pure
+    // arithmetic on the day count
+    val nDays = ck.count()
+    val stride = math.max(1L, (nDays + 2047L) / 2048L)
+    val sL = ck.where(pmod(col("__pd"), lit(stride)) === 0)
+    val sR = broadcast(sL.select(col("__pd").as("__pd2"),
+      col("__pr").as("__pr2")))
+    val probe = sL.join(sR, col("__pd") < col("__pd2"))
+      .select(expr("(__pr2 - __pr) * 1000000 div (__pd2 - __pd)").as("__s"))
+      .agg(percentile_approx(col("__s"), array(fracs.map(lit): _*),
+        lit(10000)).as("__cuts"))
+      .withColumn("np", lit(nDays * (nDays - 1L) / 2L))
+      .localCheckpoint(true)
+    def bucketed: DataFrame = pairs.crossJoin(broadcast(probe))
+      .withColumn("__bkt", (1 until nBuckets).foldLeft(lit(1)) {
+        case (acc, i) => acc + when(col("__s") >
+          element_at(col("__cuts"), i), 1).otherwise(0)
+      })
+    val counts = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+    val off = counts.withColumn("__off",
+      coalesce(sum(col("__n")).over(Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val targets = off.crossJoin(broadcast(probe.select(col("np"))))
+      .where(expr("np div 2") >= col("__off") &&
+        expr("(np - 1) div 2") < col("__off") + col("__n"))
+      .select(col("__bkt"), col("__off"))
+      .localCheckpoint(true) // 1-2 rows: both ranks' buckets
+    // the outer bucket renames to __tbkt: censusCum builds its OWN
+    // __bkt scratch column and would silently clobber this one
+    val census = bucketed.join(broadcast(targets), "__bkt")
+      .groupBy("__bkt", "__off", "__s").agg(count(lit(1)).as("__c"))
+      .withColumnRenamed("__bkt", "__tbkt")
+    val cum = LayoutOps.censusCum(census, "__s", Seq("__c"),
+      inclusive = true, partCols = Seq("__tbkt"))
+    cum.crossJoin(broadcast(probe.select(col("np"))))
+      .withColumn("__cum0", col("__off") + col("__cum___c") - col("__c"))
+      .agg(max(col("np")).as("n_pairs"),
+        max(when(expr("(np - 1) div 2") >= col("__cum0") &&
+          expr("(np - 1) div 2") < col("__cum0") + col("__c"),
+          col("__s"))).as("__v1"),
+        max(when(expr("np div 2") >= col("__cum0") &&
+          expr("np div 2") < col("__cum0") + col("__c"),
+          col("__s"))).as("__v2"))
+  }
 }

@@ -59,16 +59,23 @@ object Round10eQueries {
     val sparse = grid.join(daily, Seq("day"), "left")
     val before = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val after = Window.orderBy("day")
-      .rowsBetween(0, Window.unboundedFollowing)
+    // "next observed" = last-non-null over the REVERSED expanding
+    // frame, never `first over (0, unboundedFollowing)`: Spark
+    // re-evaluates shrinking UnboundedFollowing frames from scratch
+    // per row — O(days²), measured 16.5 s on the 25k-day stretched
+    // calendar vs 0.5 s at 2.5k days (round 17). The reversed
+    // expanding frame is O(days) and picks the identical day.
+    val beforeDesc = Window.orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     // day-grain windows: calendar-bounded frame (the q104/q149 argument)
     val withEnds = sparse
       .withColumn("pv", last(col("rev_u"), ignoreNulls = true).over(before))
       .withColumn("pd", last(when(col("rev_u").isNotNull, col("day")),
         ignoreNulls = true).over(before))
-      .withColumn("nv", first(col("rev_u"), ignoreNulls = true).over(after))
-      .withColumn("nd", first(when(col("rev_u").isNotNull, col("day")),
-        ignoreNulls = true).over(after))
+      .withColumn("nv", last(col("rev_u"), ignoreNulls = true)
+        .over(beforeDesc))
+      .withColumn("nd", last(when(col("rev_u").isNotNull, col("day")),
+        ignoreNulls = true).over(beforeDesc))
     // the interpolation fraction runs in DOUBLE with an explicit floor
     // on BOTH engines: a bare long/long divide then cast would
     // truncate in Spark but ROUND in DuckDB's CAST(double AS BIGINT)

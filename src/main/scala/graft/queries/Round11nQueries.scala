@@ -66,70 +66,24 @@ object Round11nQueries {
   // integer micro-units/day (trunc div, negative-safe — both engines
   // round toward zero).
   //
-  // The pairwise-slope MEDIAN is exact but never funnels the ~3M-row
-  // fan-out through Spark's `percentile` (whose per-partition
-  // value→count maps merge and sort on ONE reducer — measured 13.8 s
-  // at sf0.1, VERDICT r11 #1). Instead the q223/q231 bucketed-census
-  // machinery: slopes collapse to a (slope_u → count) census (the
-  // only fan-out-sized shuffle, map-side combined), sketch cuts split
-  // the census into 32 value-contiguous buckets (cut PLACEMENT needs
-  // no exactness — any contiguous bucketing yields the same global
-  // ranks), a 32-row carry frame turns per-bucket prefix sums into
-  // global cumulative counts, and the two middle order statistics are
-  // picked by integer rank comparison. quantile_cont parity:
-  // (v₍k₁₎+v₍k₂₎)/2 with k₁=(n−1) div 2, k₂=n div 2 equals DuckDB's
-  // v₍k₁₎+frac·(v₍k₂₎−v₍k₁₎) exactly (longs ≪ 2⁵³, frac ∈ {0, 0.5}).
-  // The OLS slope (exact decimal sums, one double division) rides
-  // along for the robustness comparison.
-  private val TsBuckets = 32
-
+  // The pairwise-slope MEDIAN is exact but materializes NO pair-sized
+  // state (round 17; the r11 slope census was near-pair-cardinality
+  // and spilled at 24k days): StatsOps.pairSlopeMedianParts makes
+  // three O(small-state) passes over the implicit pair stream —
+  // approx cuts + exact count, exact per-bucket counts, then an exact
+  // rank pick inside the 1-2 median buckets only. quantile_cont
+  // parity: (v₍k₁₎+v₍k₂₎)/2 with k₁=(n−1) div 2, k₂=n div 2 equals
+  // DuckDB's v₍k₁₎+frac·(v₍k₂₎−v₍k₁₎) exactly (longs ≪ 2⁵³,
+  // frac ∈ {0, 0.5}). The OLS slope (exact decimal sums, one double
+  // division) rides along for the robustness comparison.
   private def q228(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec = DecimalType(38, 0)
     val daily = Tables.read(spark, sfDir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(floor(col("o_totalprice"))).as("r"))
       .select(unix_date(col("day")).cast(LongType).as("d"), col("r"))
       .localCheckpoint(true) // day-grain frame: pairs + OLS moments
-    val census = daily.select(col("d").as("d1"), col("r").as("r1"))
-      .join(broadcast(daily.select(col("d").as("d2"), col("r").as("r2"))),
-        col("d1") < col("d2"))
-      .select(expr("(r2 - r1) * 1000000 div (d2 - d1)").as("slope_u"))
-      .groupBy("slope_u").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // cuts probe + bucketed prefix share it
-    val fracs = (1 until TsBuckets).map(_.toDouble / TsBuckets)
-    val cuts = census.agg(
-      percentile_approx(col("slope_u"), array(fracs.map(lit): _*),
-        lit(10000)).as("__cuts"),
-      sum(col("cnt")).as("n_pairs"))
-    val bucketed = census.crossJoin(broadcast(cuts))
-      .withColumn("__bkt", (1 until TsBuckets).foldLeft(lit(1)) {
-        case (acc, i) =>
-          acc + when(col("slope_u") >
-            element_at(col("__cuts"), i), 1).otherwise(0)
-      })
-      .drop("__cuts")
-      .localCheckpoint(true)
-    val carries = bucketed.groupBy("__bkt").agg(sum(col("cnt")).as("__bsum"))
-      .withColumn("__carry",
-        coalesce(sum(col("__bsum")).over(Window.orderBy("__bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bkt"), col("__carry"))
-    val w = Window.partitionBy("__bkt").orderBy(col("slope_u").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = bucketed.join(broadcast(carries), "__bkt")
-      .withColumn("__cum0",
-        col("__carry") + coalesce(sum(col("cnt")).over(w), lit(0L)))
-    val ts = ranked
-      .where(col("__cum0") <= expr("n_pairs div 2") &&
-        col("__cum0") + col("cnt") > expr("(n_pairs - 1) div 2"))
-      .agg(max(col("n_pairs")).as("n_pairs"),
-        max(when(expr("(n_pairs - 1) div 2") >= col("__cum0") &&
-          expr("(n_pairs - 1) div 2") < col("__cum0") + col("cnt"),
-          col("slope_u"))).as("__v1"),
-        max(when(expr("n_pairs div 2") >= col("__cum0") &&
-          expr("n_pairs div 2") < col("__cum0") + col("cnt"),
-          col("slope_u"))).as("__v2"))
+    val ts = graft.ops.StatsOps.pairSlopeMedianParts(daily, "d", "r")
       .select(col("n_pairs"),
         ((col("__v1") + col("__v2")).cast(DoubleType) / lit(2.0)).as("__med"))
     val ols = daily.agg(

@@ -35,28 +35,10 @@ object Round12eQueries {
       .select(col("day"), unix_date(col("day")).cast(LongType).as("d"),
         col("r"))
       .localCheckpoint(true)
-    val census = daily.select(col("d").as("d1"), col("r").as("r1"))
-      .join(broadcast(daily.select(col("d").as("d2"), col("r").as("r2"))),
-        col("d1") < col("d2"))
-      .select(expr("(r2 - r1) * 1000000 div (d2 - d1)").as("slope_u"))
-      .groupBy("slope_u").agg(count(lit(1)).as("cnt"))
-      // the pair fan-out is the only data²-of-days work — pin it, or
-      // the cuts probe, the total, and the bucketing each re-run it
-      // (measured 6.3 s → the q228 steady state without this)
-      .localCheckpoint(true)
-    val tot = census.agg(sum(col("cnt")).as("np"))
-    val ranked = Round12Queries.withCum0(census, "slope_u", "cnt")
-      .crossJoin(broadcast(tot))
-    val slope2 = ranked
-      .where(col("__cum0") <= expr("np div 2") &&
-        col("__cum0") + col("cnt") > expr("(np - 1) div 2"))
-      .agg(
-        max(when(expr("(np - 1) div 2") >= col("__cum0") &&
-          expr("(np - 1) div 2") < col("__cum0") + col("cnt"),
-          col("slope_u"))).as("__v1"),
-        max(when(expr("np div 2") >= col("__cum0") &&
-          expr("np div 2") < col("__cum0") + col("cnt"),
-          col("slope_u"))).as("__v2"))
+    // the slope median runs the 3-pass pair-stream selection (round
+    // 17, shared with q228): no pair-sized census ever materializes,
+    // so the day² fan-out costs compute but never spills
+    val slope2 = graft.ops.StatsOps.pairSlopeMedianParts(daily, "d", "r")
       .select((col("__v1") + col("__v2")).as("slope2_u"))
     val detr = daily.crossJoin(broadcast(slope2))
       .select(col("day"), col("r"), (col("d") % 7).as("dow"),

@@ -213,19 +213,79 @@ object Round13qQueries {
   // median of those medians, scaled by the 1.1926 consistency
   // constant. The pairwise frame is day² — calendar-bounded (the q251
   // argument), never data². Medians are the exact interpolating
-  // percentile (the q43 parity class); the one float product lands on
-  // a milli grid. MAD reported alongside: Sn needs no center, MAD
-  // does.
+  // percentile; the one float product lands on a milli grid. MAD
+  // reported alongside: Sn needs no center, MAD does.
+  //
+  // The per-day inner medians materialize NO pair-sized state (round
+  // 17, the stretched-calendar stress: `percentile(abs(y−yb), 0.5)`
+  // buffers all D−1 distances PER GROUP — day² longs in agg buffers,
+  // spilled at 24k days). Instead the q228 3-pass pair-stream
+  // selection, per-group: one probe pass fixes GLOBAL approx distance
+  // cuts (any contiguous placement is rank-exact per day), one pass
+  // takes exact per-(day, bucket) counts — every day's rank targets
+  // are known for free (its distance count is exactly D−1) — and the
+  // last pass ranks only each day's 1-2 median buckets (~1/32 of the
+  // mass), windowed per (day, bucket).
+  private val SnBuckets = 32
+
   private def q373(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val daily = Tables.read(spark, sfDir, "orders")
       .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
       .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))" +
         " div 100").as("y"))
       .localCheckpoint(true) // feeds the pair frame AND the MAD side
-    val b = daily.select(col("day").as("dayb"), col("y").as("yb"))
-    val inner = daily.crossJoin(b).where(col("day") =!= col("dayb"))
+    val b = broadcast(daily.select(col("day").as("dayb"), col("y").as("yb")))
+    def pairs: DataFrame = daily.crossJoin(b)
+      .where(col("day") =!= col("dayb"))
+      .select(col("day"), abs(col("y") - col("yb")).as("dist"))
+    val fracs = (1 until SnBuckets).map(_.toDouble / SnBuckets)
+    // cut placement is rank-exact per day for ANY contiguous
+    // bucketing, so the cuts probe rides a deterministic ≤2048-day
+    // stride sample of BOTH sides; nper = D − 1 is exact arithmetic
+    val nDays = daily.count()
+    val stride = math.max(1L, (nDays + 2047L) / 2048L)
+    val sL = daily.where(pmod(unix_date(col("day")), lit(stride)) === 0)
+    val sR = broadcast(sL.select(col("day").as("dayb"), col("y").as("yb")))
+    val probe = sL.crossJoin(sR).where(col("day") =!= col("dayb"))
+      .agg(percentile_approx(abs(col("y") - col("yb")),
+        array(fracs.map(lit): _*), lit(10000)).as("__cuts"))
+      .withColumn("nper", lit(nDays - 1L))
+      .localCheckpoint(true) // one row
+    def bucketed: DataFrame = pairs.crossJoin(broadcast(probe))
+      .withColumn("__bkt", (1 until SnBuckets).foldLeft(lit(1)) {
+        case (acc, i) => acc + when(col("dist") >
+          element_at(col("__cuts"), i), 1).otherwise(0)
+      })
+    val offs = bucketed.groupBy("day", "__bkt")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n"))
+        .over(Window.partitionBy("day").orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // 0-based median ranks over each day's D-1 distances
+    val targets = offs.crossJoin(broadcast(probe.select(col("nper"))))
+      .where(expr("nper div 2") >= col("__off") &&
+        expr("(nper - 1) div 2") < col("__off") + col("__n"))
+      .select(col("day"), col("__bkt"), col("__off"))
+      .localCheckpoint(true) // <= 2 rows per day
+    val w = Window.partitionBy("day", "__bkt").orderBy("dist")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // a day whose two median ranks straddle a bucket boundary keeps
+    // BOTH buckets: the window stays per (day, bucket) so each row's
+    // prefix adds only its own bucket's mass to that bucket's offset
+    val inner = bucketed.join(broadcast(targets), Seq("day", "__bkt"))
+      .groupBy(col("day"), col("__bkt"), col("__off"), col("dist"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum0",
+        col("__off") + sum(col("__c")).over(w) - col("__c"))
+      .crossJoin(broadcast(probe.select(col("nper"))))
       .groupBy("day").agg(
-        expr("percentile(abs(y - yb), 0.5)").as("medabs"))
+        ((max(when(expr("(nper - 1) div 2") >= col("__cum0") &&
+            expr("(nper - 1) div 2") < col("__cum0") + col("__c"),
+            col("dist"))) +
+          max(when(expr("nper div 2") >= col("__cum0") &&
+            expr("nper div 2") < col("__cum0") + col("__c"),
+            col("dist")))).cast("double") / lit(2.0)).as("medabs"))
     val sn = inner.agg(count(lit(1)).as("n_days"),
       expr("CAST(floor(percentile(medabs, 0.5) * 1.1926 * 1000 + 0.5)" +
         " AS BIGINT)").as("sn_milli"))
