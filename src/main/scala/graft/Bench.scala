@@ -14,9 +14,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Adaptive execution ON by default (round 17, guide §2.2/§9):
+    // AQE is Spark's own default since 3.2 and the 100 TB cluster
+    // posture (byte-sized partition coalescing + skew-join splitting);
+    // the bench had been pinning it off, which (a) diverges from the
+    // deployment default and (b) pays `shuffle.partitions` scheduling
+    // quanta per exchange regardless of bytes. shuffle.partitions
+    // stays = SPARK_GRAFT_CPUS (the driver contract and the AQE
+    // *initial* partition count); AQE then adapts DOWN by measured
+    // bytes, which is exactly the "scale-adaptive, not constant"
+    // partitioning the optimization round asks for. Correctness under
+    // AQE is oracle-gated (400/400 at sf0.01, BASELINE round-17 row).
+    // SPARK_GRAFT_AQE=0 opts back into static plans for A/B runs.
+    val aqe = !sys.env.get("SPARK_GRAFT_AQE").contains("0")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.skewJoin.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // checkpoint/cache blocks are cleaned via weak refs, i.e. only

@@ -7,13 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // SPARK_GRAFT_AQE=1 runs the sweep under adaptive execution with
-    // skew-join splitting — the 100 TB cluster default. Results must be
-    // bit-identical to the static-plan sweep (round 17 gate): AQE
-    // changes plan SHAPES (coalesced shuffles, demoted broadcasts,
-    // split skewed partitions), so any query whose answer depends on a
-    // partition count or layout diverges here first.
-    val aqe = sys.env.get("SPARK_GRAFT_AQE").contains("1")
+    // Adaptive execution ON by default since round 17 (it is the
+    // bench/driver posture now — see Bench.scala); the round-17 gate
+    // proved the full 400-query sweep bit-identical under both modes.
+    // SPARK_GRAFT_AQE=0 opts back into static plans: AQE changes plan
+    // SHAPES (coalesced shuffles, demoted broadcasts, split skewed
+    // partitions), so any query whose answer depended on a partition
+    // count or layout would diverge between the two sweeps first.
+    val aqe = !sys.env.get("SPARK_GRAFT_AQE").contains("0")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

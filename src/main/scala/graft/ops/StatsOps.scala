@@ -1156,8 +1156,18 @@ object StatsOps {
     */
   def pairSlopeMedianParts(daily: DataFrame, dCol: String, rCol: String,
       nBuckets: Int = 32): DataFrame = {
+    // The pair stream is QUADRATIC in the census rows while the census
+    // itself is byte-tiny, so partitioning derived from census BYTES
+    // serializes the O(D²) enumeration — under AQE (the cluster and
+    // bench default) the upstream day-agg coalesces to ONE partition
+    // and every pair pass ran on one task (measured round 17: q373
+    // class +2 s at sf0.1). Spread the census over the cluster's task
+    // slots explicitly; the tiny exchange costs nothing and the pair
+    // passes parallelize by slot count, not by census bytes.
+    val par = daily.sparkSession.sparkContext.defaultParallelism
     val ck = daily.select(col(dCol).cast(LongType).as("__pd"),
-      col(rCol).cast(LongType).as("__pr")).localCheckpoint(true)
+      col(rCol).cast(LongType).as("__pr"))
+      .repartition(par).localCheckpoint(true)
     val rhs = broadcast(ck.select(col("__pd").as("__pd2"),
       col("__pr").as("__pr2")))
     def pairs: DataFrame = ck.join(rhs, col("__pd") < col("__pd2"))

@@ -44,7 +44,20 @@ object Round11dQueries {
     // rarest-first minimizes candidate fan-out; total so both engines
     // build the identical prefix
     val w = Window.partitionBy("id").orderBy(col("df").asc, col("tok").asc)
+    // candidate generation and pair verification are compute-dense in
+    // PAIRS while their exchange inputs are byte-tiny (ids + hashes) —
+    // AQE's byte-based coalescing serialized both spans onto 1-2 tasks
+    // (measured +2.4 s at sf0.1, round 17). Explicit repartitions pin
+    // the parallelism of the two dense spans to the cluster's task
+    // slots; AQE honors user-specified partition counts.
+    val par = spark.sparkContext.defaultParallelism
     val prefix = toks.join(freq, "tok")
+      // the per-id prefix window sorts ~|tokens| exploded rows whose
+      // exchange is byte-tiny — this explicit same-key repartition IS
+      // the window's required exchange (EnsureRequirements adds none on
+      // top) but, being user-specified, AQE cannot coalesce it to the
+      // 1-2 tasks that serialized the sort + candidate generation
+      .repartition(par, col("id"))
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <= col("n") - expr("(3 * n + 4) div 5") + 1)
       .select(col("tok"), col("id"))
@@ -52,6 +65,11 @@ object Round11dQueries {
       .join(prefix.select(col("tok"), col("id").as("id_b")), "tok")
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      // round-robin (NOT keyed by the distinct's own keys, which
+      // EnsureRequirements would swallow into its coalescible
+      // exchange): the verify span intersects token arrays per pair —
+      // compute-dense on byte-tiny input rows, the same AQE blind spot
+      .repartition(par)
     val sets = docs.select(col("id"), col("toks"), col("n"))
     cands
       .join(sets.select(col("id").as("id_a"), col("toks").as("ta"),

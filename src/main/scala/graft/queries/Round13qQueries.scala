@@ -234,6 +234,12 @@ object Round13qQueries {
       .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
       .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))" +
         " div 100").as("y"))
+      // day² pair enumeration below is quadratic in these rows while
+      // the census is byte-tiny: AQE's byte-based coalescing would
+      // hand the whole pair stream to ONE task (measured +2 s at
+      // sf0.1, worse at 25k days) — spread over the task slots
+      // explicitly (the pairSlopeMedianParts argument)
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true) // feeds the pair frame AND the MAD side
     val b = broadcast(daily.select(col("day").as("dayb"), col("y").as("yb")))
     def pairs: DataFrame = daily.crossJoin(b)
