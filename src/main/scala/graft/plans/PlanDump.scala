@@ -20,7 +20,7 @@ object PlanDump {
     val suffix = args(2)
     val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val aqe = sys.env.get("SPARK_GRAFT_AQE").contains("1")
+    val aqe = !sys.env.get("SPARK_GRAFT_AQE").contains("0")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -67,7 +67,7 @@ object QueryProf {
     val reps = args(1).toInt
     val only = args(2).split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val aqe = sys.env.get("SPARK_GRAFT_AQE").contains("1")
+    val aqe = !sys.env.get("SPARK_GRAFT_AQE").contains("0")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

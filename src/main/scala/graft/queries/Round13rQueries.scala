@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,31 +24,54 @@ object Round13rQueries {
   private val MiVars = Seq("f", "s", "y", "qb")
 
   private def q374(spark: SparkSession, sfDir: String): DataFrame = {
+    // Round 17 rework (same answer, ~5 exchanges instead of 31): the
+    // old form ran 3 aggregations + 2 broadcast builds PER PAIR over
+    // the checkpointed census (19 passes, 13 broadcasts). Instead the
+    // census fans out 6× by a LITERAL pair list (pure map-side
+    // Generate), ONE aggregation builds every pair's joint census, and
+    // the marginals/total ride pair-keyed windows over that tiny frame
+    // — no checkpoint, no per-pair plans. Key values are cast to
+    // STRING for the shared x/yv columns (injective per variable, and
+    // each pair groups only within itself, so grouping is unchanged);
+    // counts stay BIGINT and the micro-nat grid expression is
+    // byte-identical, so every output value is bit-equal to the old
+    // form's (oracle re-verified at all three SFs).
     val cells = Tables.read(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("f"), col("l_linestatus").as("s"),
         expr("CAST(year(l_shipdate) AS BIGINT)").as("y"),
         expr("CAST(l_quantity AS BIGINT) div 10").as("qb"))
       .groupBy("f", "s", "y", "qb").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // ≤ ~500 rows; feeds every pair below
-    val n = cells.agg(sum(col("c")).as("nn"))
     val pairs = for {
       i <- MiVars.indices; j <- (i + 1) until MiVars.size
     } yield (MiVars(i), MiVars(j))
-    pairs.map { case (a, b) =>
-      val joint = cells.groupBy(col(a).as("x"), col(b).as("yv"))
-        .agg(sum(col("c")).as("cxy"))
-      val ma = cells.groupBy(col(a).as("x")).agg(sum(col("c")).as("cx"))
-      val mb = cells.groupBy(col(b).as("yv")).agg(sum(col("c")).as("cy"))
-      joint.join(broadcast(ma), "x").join(broadcast(mb), "yv")
-        .crossJoin(broadcast(n))
-        .select(expr("cxy * CAST(floor(ln(CAST(cxy AS DOUBLE) * nn" +
+    val pairLits = array(pairs.map { case (a, b) =>
+      struct(lit(a).as("pa"), lit(b).as("pb")) }: _*)
+    def keyOf(v: Column): Column = MiVars.foldLeft(lit(null).cast("string")) {
+      case (acc, name) => when(v === name, col(name).cast("string"))
+        .otherwise(acc)
+    }
+    val fanned = cells.select(col("f"), col("s"), col("y"), col("qb"),
+        col("c"), explode(pairLits).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"),
+        keyOf(col("p.pa")).as("x"), keyOf(col("p.pb")).as("yv"), col("c"))
+    val joint = fanned.groupBy("pa", "pb", "x", "yv")
+      .agg(sum(col("c")).as("cxy"))
+    val wx = Window.partitionBy("pa", "pb", "x")
+    val wy = Window.partitionBy("pa", "pb", "yv")
+    val wn = Window.partitionBy("pa", "pb")
+    joint
+      .withColumn("cx", sum(col("cxy")).over(wx))
+      .withColumn("cy", sum(col("cxy")).over(wy))
+      .withColumn("nn", sum(col("cxy")).over(wn))
+      .select(col("pa"), col("pb"), col("nn"),
+        expr("cxy * CAST(floor(ln(CAST(cxy AS DOUBLE) * nn" +
           " / (CAST(cx AS DOUBLE) * cy)) * 1000000 + 0.5) AS BIGINT)")
-          .as("term"), col("nn"))
-        .groupBy("nn").agg(sum(col("term")).as("tsum"))
-        .select(lit(a).as("var_a"), lit(b).as("var_b"),
-          expr("CASE WHEN tsum < 0 THEN -((-tsum) div nn)" +
-            " ELSE tsum div nn END").as("mi_micronats"))
-    }.reduce(_ unionAll _).orderBy("var_a", "var_b")
+          .as("term"))
+      .groupBy("pa", "pb", "nn").agg(sum(col("term")).as("tsum"))
+      .select(col("pa").as("var_a"), col("pb").as("var_b"),
+        expr("CASE WHEN tsum < 0 THEN -((-tsum) div nn)" +
+          " ELSE tsum div nn END").as("mi_micronats"))
+      .orderBy("var_a", "var_b")
   }
 
   private val q374Oracle: String = {
