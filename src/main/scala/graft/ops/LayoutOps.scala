@@ -203,7 +203,8 @@ object LayoutOps {
       sumCols: Seq[String], inclusive: Boolean, desc: Boolean = false,
       tieCol: Option[String] = None,
       nBuckets: Int = 32,
-      partCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+      partCols: Seq[String] = Nil,
+      inputMaterialized: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBuckets > 1, s"nBuckets must exceed 1: $nBuckets")
     require(sumCols.nonEmpty, "censusCum needs at least one sum column")
@@ -212,7 +213,10 @@ object LayoutOps {
     for (c <- Seq("__bkt", "__cuts"))
       require(!census.columns.contains(c),
         s"censusCum: input already has a `$c` column; rename it first")
-    val ck = census.localCheckpoint(true) // cuts probe + bucketed pass
+    // cuts probe + bucketed pass both read the census; callers that
+    // already hold a materialized frame skip the redundant checkpoint
+    // job (round 18 — one driver job per call site on the bench)
+    val ck = if (inputMaterialized) census else census.localCheckpoint(true)
     val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val cuts = ck.agg(percentile_approx(col(valueCol).cast("double"),
       array(fracs.map(lit): _*), lit(10000)).as("__cuts"))

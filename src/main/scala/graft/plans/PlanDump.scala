@@ -95,6 +95,9 @@ object QueryProf {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    // SPARK_GRAFT_PROF_STAGES=1: per-stage wall + task time + name, the
+    // "which stage eats the query" breakdown (round 18)
+    val profStages = sys.env.get("SPARK_GRAFT_PROF_STAGES").contains("1")
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -105,6 +108,14 @@ object QueryProf {
             : Unit = {
           stages.incrementAndGet()
           tasks.addAndGet(s.stageInfo.numTasks)
+          if (profStages) {
+            val si = s.stageInfo
+            val wall = (for {
+              a <- si.submissionTime; b <- si.completionTime
+            } yield b - a).getOrElse(-1L)
+            println(f"[stage] id=${si.stageId}%5d wall=${wall}%6d ms " +
+              f"tasks=${si.numTasks}%4d ${si.name.takeWhile(_ != '\n')}%.90s")
+          }
         }
       })
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
