@@ -1154,70 +1154,138 @@ object StatsOps {
     * (__v1 + __v2) / 2 (quantile_cont parity, q228) and the exact
     * doubled median is __v1 + __v2 (q251).
     */
+  final case class PairSlopeMedian(nPairs: Long, v1: Option[Long],
+      v2: Option[Long])
+
+  /** Pairs of work per task for the implicit day-pair streams: the
+    * parallelism pin is sized by the INPUT (pair count), not by slots
+    * alone (VERDICT r17 #2 — a slots-sized pin fanned byte-tiny spans
+    * across 32 tasks whose per-task work at sf0.1 sat below the
+    * scheduling quantum; q201 measured 4.4 s at 32 cores vs 1.6 at 8).
+    * 2¹⁸ pairs ≈ a few ms of slope arithmetic per task — small enough
+    * to saturate slots at 24k days (288M pairs → capped at slots),
+    * large enough that small inputs degrade to a handful of tasks.
+    */
+  private[graft] val PairsPerTask = 1L << 18
+
+  /** Scale-adaptive parallelism for a compute-dense span: work-sized,
+    * slot-capped (guide §2.5; VERDICT r17 #2).
+    */
+  private[graft] def densePin(spark: org.apache.spark.sql.SparkSession,
+      workUnits: Long, unitsPerTask: Long = PairsPerTask): Int =
+    math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (workUnits + unitsPerTask - 1L) / unitsPerTask)).toInt
+
   def pairSlopeMedianParts(daily: DataFrame, dCol: String, rCol: String,
-      nBuckets: Int = 32): DataFrame = {
+      nDays: Long, nBuckets: Int = 32): PairSlopeMedian = {
     // The pair stream is QUADRATIC in the census rows while the census
     // itself is byte-tiny, so partitioning derived from census BYTES
     // serializes the O(D²) enumeration — under AQE (the cluster and
     // bench default) the upstream day-agg coalesces to ONE partition
     // and every pair pass ran on one task (measured round 17: q373
-    // class +2 s at sf0.1). Spread the census over the cluster's task
-    // slots explicitly; the tiny exchange costs nothing and the pair
-    // passes parallelize by slot count, not by census bytes.
-    val par = daily.sparkSession.sparkContext.defaultParallelism
+    // class +2 s at sf0.1). Spread the census over an INPUT-SIZED
+    // task count (round 18: the round-17 pin used raw slot count,
+    // which at sf0.1 paid 32 scheduling quanta per ~90k-pair stage).
+    //
+    // Round-18 shape: the probe row (cuts + pair count) and the
+    // per-bucket counts are CONFIG-bounded, so they collapse to driver
+    // literals instead of checkpoint + broadcast-per-consumer — on the
+    // bench host every extra job round-trip costs ~60-150 ms and this
+    // function went from ~25 scheduler jobs to ~12. `daily` must be
+    // materialized by the caller (every caller already checkpoints its
+    // day-grain census) and `nDays` passed from the caller's count.
+    val spark = daily.sparkSession
+    val np = nDays * (nDays - 1L) / 2L
     val ck = daily.select(col(dCol).cast(LongType).as("__pd"),
       col(rCol).cast(LongType).as("__pr"))
-      .repartition(par).localCheckpoint(true)
+      .repartition(densePin(spark, np)).localCheckpoint(true)
     val rhs = broadcast(ck.select(col("__pd").as("__pd2"),
       col("__pr").as("__pr2")))
     def pairs: DataFrame = ck.join(rhs, col("__pd") < col("__pd2"))
-      .select(expr("(__pr2 - __pr) * 1000000 div (__pd2 - __pd)").as("__s"))
+      .select(expr(
+        // nullif: the bucket/target filters over __s merge into the
+        // BNLJ join condition, where conjunct order is not guaranteed —
+        // a bare ANSI div would throw on the not-yet-filtered pd2==pd
+        // tuples (round 18); matched pairs always have divisor >= 1
+        "(__pr2 - __pr) * 1000000 div nullif(__pd2 - __pd, 0)").as("__s"))
     val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
     // cut placement costs NO exactness (ranks are exact for any
     // contiguous bucketing), so the probe pass never touches the full
     // pair stream: cuts come from a deterministic ≤2048-day stride
-    // sample (≤2M sample pairs) and the exact pair count is pure
+    // sample (≤2M sample pairs); the exact pair count is pure
     // arithmetic on the day count
-    val nDays = ck.count()
     val stride = math.max(1L, (nDays + 2047L) / 2048L)
     val sL = ck.where(pmod(col("__pd"), lit(stride)) === 0)
     val sR = broadcast(sL.select(col("__pd").as("__pd2"),
       col("__pr").as("__pr2")))
-    val probe = sL.join(sR, col("__pd") < col("__pd2"))
-      .select(expr("(__pr2 - __pr) * 1000000 div (__pd2 - __pd)").as("__s"))
+    val cutsRow = sL.join(sR, col("__pd") < col("__pd2"))
+      .select(expr(
+        // nullif: the bucket/target filters over __s merge into the
+        // BNLJ join condition, where conjunct order is not guaranteed —
+        // a bare ANSI div would throw on the not-yet-filtered pd2==pd
+        // tuples (round 18); matched pairs always have divisor >= 1
+        "(__pr2 - __pr) * 1000000 div nullif(__pd2 - __pd, 0)").as("__s"))
       .agg(percentile_approx(col("__s"), array(fracs.map(lit): _*),
         lit(10000)).as("__cuts"))
-      .withColumn("np", lit(nDays * (nDays - 1L) / 2L))
-      .localCheckpoint(true)
-    def bucketed: DataFrame = pairs.crossJoin(broadcast(probe))
-      .withColumn("__bkt", (1 until nBuckets).foldLeft(lit(1)) {
-        case (acc, i) => acc + when(col("__s") >
-          element_at(col("__cuts"), i), 1).otherwise(0)
-      })
-    val counts = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
-    val off = counts.withColumn("__off",
-      coalesce(sum(col("__n")).over(Window.orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val targets = off.crossJoin(broadcast(probe.select(col("np"))))
-      .where(expr("np div 2") >= col("__off") &&
-        expr("(np - 1) div 2") < col("__off") + col("__n"))
-      .select(col("__bkt"), col("__off"))
-      .localCheckpoint(true) // 1-2 rows: both ranks' buckets
+      .head()
+    // an empty/degenerate day frame has no sample pairs: one bucket
+    val cuts: Seq[Long] =
+      if (cutsRow.isNullAt(0)) Nil else cutsRow.getSeq[Long](0)
+    def bktExpr: Column = cuts.zipWithIndex.foldLeft(lit(1)) {
+      case (acc, (c, _)) => acc + when(col("__s") > lit(c), 1).otherwise(0)
+    }
+    val (r1, r2) = ((np - 1L) / 2L, np / 2L) // 0-based median ranks
+    val counts = pairs.groupBy(bktExpr.as("__bkt"))
+      .agg(count(lit(1)).as("__n")).collect()
+    // driver arithmetic over ≤ nBuckets rows: offsets by bucket, then
+    // the 1-2 buckets holding the two ranks
+    var off = 0L
+    val targets: Seq[(Int, Long)] = counts.sortBy(_.getInt(0)).flatMap { r =>
+      val (lo, hi) = (off, off + r.getLong(1)); off = hi
+      if (r2 >= lo && r1 < hi) Some(r.getInt(0) -> lo) else None
+    }.toSeq
+    if (targets.isEmpty) return PairSlopeMedian(np, None, None)
+    // the narrowed filter is expressed as VALUE INTERVALS, not as a
+    // bucket-fold membership test: the post-join filter merges into
+    // the BNLL join condition, where a 31-deep CASE chain (with the
+    // slope div inlined into every level) fell off codegen and ran
+    // interpreted per CANDIDATE pair — measured 16.6 s for the census
+    // stage at sf0.1 (round 18). Bucket b covers (cuts(b-2), cuts(b-1)]
+    // on the 1-based fold (strict > lower bound keeps ties together).
+    def intervalOf(b: Int): Column = {
+      val lo = if (b >= 2) Some(cuts(b - 2)) else None
+      val hi = if (b <= cuts.length) Some(cuts(b - 1)) else None
+      (lo.map(col("__s") > _) ++ hi.map(col("__s") <= _))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    }
+    val narrowed = targets.map { case (b, _) => intervalOf(b) }.reduce(_ || _)
     // the outer bucket renames to __tbkt: censusCum builds its OWN
     // __bkt scratch column and would silently clobber this one
-    val census = bucketed.join(broadcast(targets), "__bkt")
-      .groupBy("__bkt", "__off", "__s").agg(count(lit(1)).as("__c"))
-      .withColumnRenamed("__bkt", "__tbkt")
+    val tbktExpr = targets.tail.foldLeft(
+      when(intervalOf(targets.head._1), lit(targets.head._1))) {
+      case (acc, (b, _)) => acc.when(intervalOf(b), lit(b))
+    }
+    val offExpr = targets.tail.foldLeft(
+      when(col("__tbkt") === targets.head._1, lit(targets.head._2))) {
+      case (acc, (b, o)) => acc.when(col("__tbkt") === b, lit(o))
+    }
+    val census = pairs.where(narrowed)
+      .withColumn("__tbkt", tbktExpr)
+      .groupBy("__tbkt", "__s").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", offExpr)
     val cum = LayoutOps.censusCum(census, "__s", Seq("__c"),
       inclusive = true, partCols = Seq("__tbkt"))
-    cum.crossJoin(broadcast(probe.select(col("np"))))
+    val row = cum
       .withColumn("__cum0", col("__off") + col("__cum___c") - col("__c"))
-      .agg(max(col("np")).as("n_pairs"),
-        max(when(expr("(np - 1) div 2") >= col("__cum0") &&
-          expr("(np - 1) div 2") < col("__cum0") + col("__c"),
-          col("__s"))).as("__v1"),
-        max(when(expr("np div 2") >= col("__cum0") &&
-          expr("np div 2") < col("__cum0") + col("__c"),
-          col("__s"))).as("__v2"))
+      .agg(
+        max(when(lit(r1) >= col("__cum0") &&
+          lit(r1) < col("__cum0") + col("__c"), col("__s"))).as("__v1"),
+        max(when(lit(r2) >= col("__cum0") &&
+          lit(r2) < col("__cum0") + col("__c"), col("__s"))).as("__v2"))
+      .head()
+    PairSlopeMedian(np,
+      if (row.isNullAt(0)) None else Some(row.getLong(0)),
+      if (row.isNullAt(1)) None else Some(row.getLong(1)))
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -83,9 +83,15 @@ object Round11nQueries {
       .agg(sum(floor(col("o_totalprice"))).as("r"))
       .select(unix_date(col("day")).cast(LongType).as("d"), col("r"))
       .localCheckpoint(true) // day-grain frame: pairs + OLS moments
-    val ts = graft.ops.StatsOps.pairSlopeMedianParts(daily, "d", "r")
-      .select(col("n_pairs"),
-        ((col("__v1") + col("__v2")).cast(DoubleType) / lit(2.0)).as("__med"))
+    // the Theil-Sen median parts are CONFIG-bounded scalars (round 18):
+    // they ride as literals, so the OLS pass is the only remaining
+    // distributed subtree of the output plan
+    val nDays = daily.count()
+    val ts = graft.ops.StatsOps.pairSlopeMedianParts(daily, "d", "r", nDays)
+    val med: Column = (ts.v1, ts.v2) match {
+      case (Some(a), Some(b)) => lit((a + b).toDouble / 2.0)
+      case _ => lit(null).cast(DoubleType)
+    }
     val ols = daily.agg(
       count(lit(1)).as("n_days"),
       count(lit(1)).cast(dec).as("nn"),
@@ -96,10 +102,9 @@ object Round11nQueries {
         ((col("nn") * col("sdr") - col("sd") * col("sr")).cast(DoubleType) /
           (col("nn") * col("sdd") - col("sd") * col("sd")).cast(DoubleType))
           .as("__ols"))
-    ols.crossJoin(broadcast(ts))
-      .select(col("n_days"), col("n_pairs"),
-        Norm.n4(col("__med")).as("theil_sen_u"),
-        Norm.n4(col("__ols") * lit(1000000.0)).as("ols_u"))
+    ols.select(col("n_days"), lit(ts.nPairs).as("n_pairs"),
+      Norm.n4(med).as("theil_sen_u"),
+      Norm.n4(col("__ols") * lit(1000000.0)).as("ols_u"))
   }
 
   private val q228Oracle: String =

@@ -37,37 +37,45 @@ object Round12eQueries {
       .localCheckpoint(true)
     // the slope median runs the 3-pass pair-stream selection (round
     // 17, shared with q228): no pair-sized census ever materializes,
-    // so the day² fan-out costs compute but never spills
-    val slope2 = graft.ops.StatsOps.pairSlopeMedianParts(daily, "d", "r")
-      .select((col("__v1") + col("__v2")).as("slope2_u"))
-    val detr = daily.crossJoin(broadcast(slope2))
+    // so the day² fan-out costs compute but never spills. Round 18:
+    // the scalar stats of the chain (slope, day count, med, mad,
+    // outlier count) ride as DRIVER LITERALS instead of one-row
+    // broadcast frames — each broadcast re-executed its subtree and
+    // cost a build job per consumer (~60-150 ms/job on the bench
+    // host); q251 went from 47 scheduler jobs to ~22.
+    val nDays = daily.count()
+    val sm = graft.ops.StatsOps.pairSlopeMedianParts(daily, "d", "r", nDays)
+    val slope2u: Long = (sm.v1, sm.v2) match {
+      case (Some(a), Some(b)) => a + b
+      case _ => throw new IllegalStateException(
+        "q251: degenerate day frame (no slope pairs)")
+    }
+    val detr = daily
       .select(col("day"), col("r"), (col("d") % 7).as("dow"),
-        (lit(2L) * col("r") * lit(1000000L) - col("slope2_u") * col("d"))
-          .as("dt2"), col("slope2_u"))
+        (lit(2L) * col("r") * lit(1000000L) - lit(slope2u) * col("d"))
+          .as("dt2"))
     val dowEff = detr.groupBy("dow")
       .agg(expr("sum(cast(dt2 as decimal(38,0))) div count(1)").as("m2"))
     val resid = detr.join(broadcast(dowEff), "dow")
-      .select(col("day"), col("r"), col("slope2_u"),
+      .select(col("day"), col("r"),
         expr("(dt2 - m2) div 2000000").as("resid_s"))
       .localCheckpoint(true) // med/mad probe + the outlier filter
-    val bands = resid.agg(
-      count(lit(1)).as("n_days"),
-      element_at(percentile(col("resid_s"), array(lit(0.5))), 1).as("__med"),
-      max(col("slope2_u")).as("slope2_u"))
-    val withMed = resid.crossJoin(broadcast(bands.select("__med")))
-    val mad = withMed.agg(element_at(
-      percentile(abs(col("resid_s").cast(DoubleType) - col("__med")),
-        array(lit(0.5))), 1).as("__mad"))
-    val out = withMed.crossJoin(broadcast(mad))
-      .where(abs(col("resid_s").cast(DoubleType) - col("__med")) >
-        lit(AnomK) * col("__mad"))
+    val med: Double = resid
+      .agg(element_at(percentile(col("resid_s"), array(lit(0.5))), 1))
+      .head().getDouble(0)
+    val mad: Double = resid
+      .agg(element_at(percentile(abs(col("resid_s").cast(DoubleType) -
+        lit(med)), array(lit(0.5))), 1))
+      .head().getDouble(0)
+    val out = resid
+      .where(abs(col("resid_s").cast(DoubleType) - lit(med)) >
+        lit(AnomK) * lit(mad))
       .localCheckpoint(true) // rows + the outlier count
-    val nOut = out.agg(count(lit(1)).as("n_out"))
-    out.crossJoin(broadcast(nOut))
-      .crossJoin(broadcast(bands.select(col("n_days"))))
-      .select(col("day"), col("r"), col("resid_s"), col("n_days"),
-        col("n_out"), Norm.n4(col("slope2_u").cast(DoubleType) /
-          lit(2000000.0)).as("slope_n4"))
+    val nOut = out.count()
+    out.select(col("day"), col("r"), col("resid_s"),
+        lit(nDays).as("n_days"), lit(nOut).as("n_out"),
+        Norm.n4(lit(slope2u).cast(DoubleType) / lit(2000000.0))
+          .as("slope_n4"))
       .orderBy("day")
   }
 

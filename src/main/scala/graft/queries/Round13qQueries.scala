@@ -230,16 +230,21 @@ object Round13qQueries {
 
   private def q373(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.read(spark, sfDir, "orders")
+    val daily0 = Tables.read(spark, sfDir, "orders")
       .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
       .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))" +
         " div 100").as("y"))
-      // day² pair enumeration below is quadratic in these rows while
-      // the census is byte-tiny: AQE's byte-based coalescing would
-      // hand the whole pair stream to ONE task (measured +2 s at
-      // sf0.1, worse at 25k days) — spread over the task slots
-      // explicitly (the pairSlopeMedianParts argument)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true) // day count + the repartitioned pair base
+    val nDays = daily0.count()
+    // day² pair enumeration below is quadratic in these rows while
+    // the census is byte-tiny: AQE's byte-based coalescing would
+    // hand the whole pair stream to ONE task (measured +2 s at
+    // sf0.1, worse at 25k days). Round 18: spread over an INPUT-SIZED
+    // task count (pairs/2¹⁸, slot-capped) instead of raw slots —
+    // the round-17 slots pin paid 32 scheduling quanta per ~90k-pair
+    // stage at sf0.1 (the q201 lesson, VERDICT r17 #2).
+    val daily = daily0
+      .repartition(graft.ops.StatsOps.densePin(spark, nDays * (nDays - 1L)))
       .localCheckpoint(true) // feeds the pair frame AND the MAD side
     val b = broadcast(daily.select(col("day").as("dayb"), col("y").as("yb")))
     def pairs: DataFrame = daily.crossJoin(b)
@@ -248,20 +253,23 @@ object Round13qQueries {
     val fracs = (1 until SnBuckets).map(_.toDouble / SnBuckets)
     // cut placement is rank-exact per day for ANY contiguous
     // bucketing, so the cuts probe rides a deterministic ≤2048-day
-    // stride sample of BOTH sides; nper = D − 1 is exact arithmetic
-    val nDays = daily.count()
+    // stride sample of BOTH sides; nper = D − 1 is exact arithmetic.
+    // Cuts and nper are CONFIG-bounded scalars: they ride as literals
+    // (round 18 — the one-row probe frame cost a checkpoint plus one
+    // broadcast-build job per consuming pass).
     val stride = math.max(1L, (nDays + 2047L) / 2048L)
     val sL = daily.where(pmod(unix_date(col("day")), lit(stride)) === 0)
     val sR = broadcast(sL.select(col("day").as("dayb"), col("y").as("yb")))
-    val probe = sL.crossJoin(sR).where(col("day") =!= col("dayb"))
+    val cutsRow = sL.crossJoin(sR).where(col("day") =!= col("dayb"))
       .agg(percentile_approx(abs(col("y") - col("yb")),
         array(fracs.map(lit): _*), lit(10000)).as("__cuts"))
-      .withColumn("nper", lit(nDays - 1L))
-      .localCheckpoint(true) // one row
-    def bucketed: DataFrame = pairs.crossJoin(broadcast(probe))
-      .withColumn("__bkt", (1 until SnBuckets).foldLeft(lit(1)) {
-        case (acc, i) => acc + when(col("dist") >
-          element_at(col("__cuts"), i), 1).otherwise(0)
+      .head()
+    val cuts: Seq[Long] =
+      if (cutsRow.isNullAt(0)) Nil else cutsRow.getSeq[Long](0)
+    val (r1, r2) = ((nDays - 2L) / 2L, (nDays - 1L) / 2L) // 0-based, per day
+    def bucketed: DataFrame = pairs
+      .withColumn("__bkt", cuts.foldLeft(lit(1)) {
+        case (acc, c) => acc + when(col("dist") > lit(c), 1).otherwise(0)
       })
     val offs = bucketed.groupBy("day", "__bkt")
       .agg(count(lit(1)).as("__n"))
@@ -269,11 +277,9 @@ object Round13qQueries {
         .over(Window.partitionBy("day").orderBy("__bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     // 0-based median ranks over each day's D-1 distances
-    val targets = offs.crossJoin(broadcast(probe.select(col("nper"))))
-      .where(expr("nper div 2") >= col("__off") &&
-        expr("(nper - 1) div 2") < col("__off") + col("__n"))
+    val targets = offs
+      .where(lit(r2) >= col("__off") && lit(r1) < col("__off") + col("__n"))
       .select(col("day"), col("__bkt"), col("__off"))
-      .localCheckpoint(true) // <= 2 rows per day
     val w = Window.partitionBy("day", "__bkt").orderBy("dist")
       .rowsBetween(Window.unboundedPreceding, 0)
     // a day whose two median ranks straddle a bucket boundary keeps
@@ -284,22 +290,23 @@ object Round13qQueries {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cum0",
         col("__off") + sum(col("__c")).over(w) - col("__c"))
-      .crossJoin(broadcast(probe.select(col("nper"))))
       .groupBy("day").agg(
-        ((max(when(expr("(nper - 1) div 2") >= col("__cum0") &&
-            expr("(nper - 1) div 2") < col("__cum0") + col("__c"),
-            col("dist"))) +
-          max(when(expr("nper div 2") >= col("__cum0") &&
-            expr("nper div 2") < col("__cum0") + col("__c"),
-            col("dist")))).cast("double") / lit(2.0)).as("medabs"))
+        ((max(when(lit(r1) >= col("__cum0") &&
+            lit(r1) < col("__cum0") + col("__c"), col("dist"))) +
+          max(when(lit(r2) >= col("__cum0") &&
+            lit(r2) < col("__cum0") + col("__c"), col("dist"))))
+          .cast("double") / lit(2.0)).as("medabs"))
     val sn = inner.agg(count(lit(1)).as("n_days"),
       expr("CAST(floor(percentile(medabs, 0.5) * 1.1926 * 1000 + 0.5)" +
         " AS BIGINT)").as("sn_milli"))
-    val med = daily.agg(expr("percentile(y, 0.5)").as("m"))
-    val mad = daily.crossJoin(broadcast(med))
-      .agg(expr("CAST(floor(percentile(abs(y - m), 0.5) * 1.4826 * 1000" +
-        " + 0.5) AS BIGINT)").as("mad_milli"))
-    sn.crossJoin(broadcast(mad))
+    // the MAD side's center and scale are day-grain scalars: literals,
+    // not one-row broadcast frames (round 18)
+    val m: Double = daily.agg(expr("percentile(y, 0.5)")).head().getDouble(0)
+    val madMilli: Long = daily
+      .agg(floor(percentile(abs(col("y") - lit(m)), lit(0.5)) * lit(1.4826)
+        * lit(1000) + lit(0.5)).cast("long"))
+      .head().getLong(0)
+    sn.withColumn("mad_milli", lit(madMilli))
   }
 
   private val q373Oracle: String =

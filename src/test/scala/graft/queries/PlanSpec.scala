@@ -1225,10 +1225,36 @@ class PlanSpec extends EtlSpecBase {
   }
 
   test("q228 Theil-Sen: day-grain pair expansion is a broadcast " +
-    "non-equi join, never a sort-merge or cartesian") {
+    "non-equi join, never a sort-merge or cartesian (round 18: the " +
+    "pair selection runs at build time, so the machinery is asserted " +
+    "on the shared helper's own passes)") {
+    // the output plan no longer carries the pair machinery (its
+    // selection collapses to literals at build time); assert the
+    // machinery's join strategy on the helper directly
+    import org.apache.spark.sql.functions._
+    val daily = spark.range(0, 40)
+      .selectExpr("id AS d", "(id * 7) % 13 AS r").localCheckpoint(true)
+    val plans = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans += qe.executedPlan.toString
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.ops.StatsOps.pairSlopeMedianParts(daily, "d", "r", 40L)
+      spark.sparkContext.listenerBus.waitUntilEmpty()
+      val pairPlans = plans.filter(_.contains("__pd2"))
+      assert(pairPlans.nonEmpty, s"no pair pass observed:\n${plans.mkString}")
+      assert(pairPlans.forall(p => p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")),
+        s"day-frame self-pairs must broadcast:\n${pairPlans.mkString}")
+    } finally spark.listenerManager.unregister(listener)
+    // and the OUTPUT plan holds no data-sized join either
     val plan = planOf("q228_theil_sen")
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"day-frame self-pairs must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"no data-sized join:\n$plan")
   }
